@@ -1,0 +1,251 @@
+"""Java-compatible primitives, vectorized in NumPy.
+
+The reference engine (mitdbg/lazo) hashes every set element with Guava's
+``Hashing.murmur3_128(seed).hashString(v, defaultCharset()).asLong()``
+(reference: src/main/java/lazo/sketch/MinHash.java:73-74,
+SketchUtils.java:24-31), draws its permutation coefficients from
+``new java.util.Random(seed).longs(k, origin, bound)``
+(MinHash.java:55-61) and hashes LSH band segments with
+``java.util.Arrays.hashCode(long[])`` (LazoIndex.java:182-184).
+
+To reproduce the reference's candidate sets bit-for-bit we re-implement
+those three primitives from their *public specifications* (the MurmurHash3
+x64_128 algorithm by Austin Appleby, the documented java.util.Random LCG,
+and the documented Arrays.hashCode polynomial) — vectorized over NumPy
+arrays so that they run at Arrow-batch speed inside pandas UDFs.
+Golden-vector tests (tests/golden/) pin equality against the compiled
+reference.
+
+All arithmetic intentionally wraps modulo 2^64 / 2^32 exactly like Java
+primitive longs/ints.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+I64 = np.int64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+_C1 = U64(0x87C37B91114253D5)
+_C2 = U64(0x4CF5AD432745937F)
+_FMIX1 = U64(0xFF51AFD7ED558CCD)
+_FMIX2 = U64(0xC4CEB9FE1A85EC53)
+
+MERSENNE_PRIME = (1 << 61) - 1  # MinHash.java:12
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << U64(r)) | (x >> U64(64 - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> U64(33))
+    k = k * _FMIX1
+    k = k ^ (k >> U64(33))
+    k = k * _FMIX2
+    k = k ^ (k >> U64(33))
+    return k
+
+
+def murmur3_x64_128_h1(data: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    """MurmurHash3 x64 128 over N byte strings; returns h1 as signed int64.
+
+    ``data`` is a 2-D uint8 matrix [N, W] where row i holds lengths[i]
+    payload bytes followed by zero padding, and W is a multiple of 16 with
+    W >= 16 * (max(lengths) // 16 + 1).  Returns the low 64 bits of the
+    128-bit hash (== Guava HashCode.asLong()).
+    """
+    n = data.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=I64)
+    lengths = lengths.astype(np.int64)
+    # seed is an int in Java; h1 = h2 = seed (sign-extended to long)
+    seed64 = U64(np.int64(np.int32(seed)).astype(np.uint64))
+    h1 = np.full(n, seed64, dtype=U64)
+    h2 = np.full(n, seed64, dtype=U64)
+
+    u64view = data.view("<u8")  # [N, W/8] little-endian words
+    nblocks = lengths // 16
+    max_blocks = int(nblocks.max()) if n else 0
+
+    for i in range(max_blocks):
+        mask = nblocks > i
+        if not mask.any():
+            break
+        k1 = u64view[:, 2 * i].astype(U64, copy=True)
+        k2 = u64view[:, 2 * i + 1].astype(U64, copy=True)
+        # mixK1 / mixK2
+        k1 *= _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        nh1 = h1 ^ k1
+        nh1 = _rotl64(nh1, 27)
+        nh1 = nh1 + h2
+        nh1 = nh1 * U64(5) + U64(0x52DCE729)
+        k2 *= _C2
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1
+        nh2 = h2 ^ k2
+        nh2 = _rotl64(nh2, 31)
+        nh2 = nh2 + nh1
+        nh2 = nh2 * U64(5) + U64(0x38495AB5)
+        h1 = np.where(mask, nh1, h1)
+        h2 = np.where(mask, nh2, h2)
+
+    # Tail: zero-padded little-endian loads at the tail block are exactly
+    # the switch-fallthrough byte ORs; when len % 16 == 0 the loads are all
+    # zeros and mixK(0) == 0, so the tail is a harmless no-op.
+    rows = np.arange(n)
+    tk1 = u64view[rows, 2 * nblocks].astype(U64, copy=True)
+    tk2 = u64view[rows, 2 * nblocks + 1].astype(U64, copy=True)
+    tk1 *= _C1
+    tk1 = _rotl64(tk1, 31)
+    tk1 *= _C2
+    h1 = h1 ^ tk1
+    tk2 *= _C2
+    tk2 = _rotl64(tk2, 33)
+    tk2 *= _C1
+    h2 = h2 ^ tk2
+
+    ln = lengths.astype(U64)
+    h1 = h1 ^ ln
+    h2 = h2 ^ ln
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = h1 + h2
+    # (h2 += h1 affects only the high 64 bits; asLong() returns h1)
+    return h1.view(I64)
+
+
+def pack_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an iterable of N python strings into the padded uint8 matrix
+    + length vector expected by :func:`murmur3_x64_128_h1`."""
+    bs = [s.encode("utf-8") for s in strings]
+    n = len(bs)
+    lengths = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    if n == 0:
+        return np.zeros((0, 16), dtype=np.uint8), lengths
+    width = 16 * (int(lengths.max()) // 16 + 1)
+    data = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        if b:
+            data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return data, lengths
+
+
+def murmur3_str(strings, seed: int = 666) -> np.ndarray:
+    """Hash N strings (UTF-8) -> signed int64 h1, Guava-compatible."""
+    data, lengths = pack_utf8(strings)
+    return murmur3_x64_128_h1(data, lengths, seed)
+
+
+class JavaRandom:
+    """java.util.Random 48-bit LCG (public algorithm from the JDK docs)."""
+
+    _MULT = 0x5DEECE66D
+    _ADD = 0xB
+    _MASK48 = (1 << 48) - 1
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ self._MULT) & self._MASK48
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * self._MULT + self._ADD) & self._MASK48
+        return _to_i32(self.seed >> (48 - bits))
+
+    def next_int(self, bound: int | None = None) -> int:
+        if bound is None:
+            return self._next(32)
+        if bound <= 0:
+            raise ValueError("bound must be positive")
+        m = bound - 1
+        if (bound & m) == 0:  # power of two
+            return _to_i32((bound * self._next(31)) >> 31)
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if _to_i32(bits - val + m) >= 0:
+                return val
+
+    def next_long(self) -> int:
+        hi = self._next(32)
+        lo = self._next(32)
+        return _to_i64((hi << 32) + lo)
+
+    def _internal_next_long(self, origin: int, bound: int) -> int:
+        r = self.next_long()
+        if origin < bound:
+            n = bound - origin
+            m = n - 1
+            if (n & m) == 0:
+                r = (r & m) + origin
+            elif n > 0:
+                u = _urs64(r, 1)
+                while True:
+                    r = u % n
+                    if _to_i64(u + m - r) >= 0:
+                        break
+                    u = _urs64(self.next_long(), 1)
+                r = _to_i64(r + origin)
+            else:
+                while r < origin or r >= bound:
+                    r = self.next_long()
+        return _to_i64(r)
+
+    def longs(self, k: int, origin: int, bound: int) -> np.ndarray:
+        """Random.longs(streamSize, origin, bound) -> int64 array."""
+        return np.array(
+            [self._internal_next_long(origin, bound) for _ in range(k)], dtype=I64
+        )
+
+
+def _to_i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _to_i64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _urs64(x: int, n: int) -> int:
+    return (x & ((1 << 64) - 1)) >> n
+
+
+def minhash_permutations(k: int, seed: int = 666) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation coefficient arrays a, b exactly as MinHash.java:55-61."""
+    gen = JavaRandom(seed)
+    a = gen.longs(k, 1, MERSENNE_PRIME)
+    b = gen.longs(k, 0, MERSENNE_PRIME)
+    return a, b
+
+
+def arrays_hashcode_long(segments: np.ndarray) -> np.ndarray:
+    """java.util.Arrays.hashCode(long[]) over the last axis, vectorized.
+
+    segments: int64 array [..., r]; returns int32 (sign preserved) as int64
+    (Java widens the int hash to long when used as a map key,
+    LazoIndex.java:200).
+    """
+    segments = segments.astype(np.int64, copy=False)
+    u = segments.view(np.uint64)
+    elem = (u ^ (u >> U64(32))).astype(np.uint32).view(np.int32).astype(np.int64)
+    result = np.ones(segments.shape[:-1], dtype=np.int64)
+    for i in range(segments.shape[-1]):
+        result = (31 * result + elem[..., i]) & 0xFFFFFFFF
+        # keep it in int32 range, Java int wraparound
+        result = np.where(result >= (1 << 31), result - (1 << 32), result)
+    return result
+
+
+def java_string_hashcode(s: str) -> int:
+    """java.lang.String.hashCode (used for CSV column ids,
+    LazoBenchmark.java:63-65)."""
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h

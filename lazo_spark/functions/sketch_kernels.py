@@ -1,0 +1,179 @@
+"""Vectorized sketching kernels (NumPy, Arrow-batch friendly).
+
+Batch layout: a *ragged batch* of R rows is a flat int64 array of element
+hashes plus an offsets array of length R+1 (row i owns
+``flat[offsets[i]:offsets[i+1]]``).  This is exactly Arrow's list layout,
+so pandas UDFs can feed these kernels with zero copies of substance.
+
+Semantics reproduce the reference bit-for-bit (golden-tested):
+  * MinHash k-permutation update — reference MinHash.java:69-79
+    (h = murmur3_128(666).hashString(v).asLong();
+     sig[i] = min(floorMod(a[i]*h + b[i], 2^61-1)))
+  * One-permutation hashing + optimal densification —
+    reference MinHashOptimal.java:91-133
+  * Signature jaccard = fraction of equal positions — SketchUtils.java:10-22
+  * Merge = elementwise min — MinHash.java:85-99
+  * SimHash (companion path, not in the reference; required by the north
+    rule): Charikar 64-bit sign-of-sums over element hashes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .javacompat import MERSENNE_PRIME, minhash_permutations
+
+LONG_MAX = np.int64(np.iinfo(np.int64).max)
+# chunk budget: keep the [M, k] permutation matrix under ~64 MB
+_CHUNK_CELLS = 8_000_000
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def get_permutations(k: int, seed: int = 666) -> tuple[np.ndarray, np.ndarray]:
+    key = (k, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = minhash_permutations(k, seed)
+    return _PERM_CACHE[key]
+
+
+def minhash_sigs(
+    flat: np.ndarray, offsets: np.ndarray, k: int, seed: int = 666
+) -> np.ndarray:
+    """Classic k-permutation MinHash signatures for a ragged batch.
+
+    flat: int64 element hashes (murmur3 h1); offsets: int64[R+1].
+    Returns int64[R, k]; rows with no elements are all Long.MAX_VALUE
+    (the reference's initial state, SketchUtils.java:33-37).
+    """
+    a, b = get_permutations(k, seed)
+    r = len(offsets) - 1
+    out = np.full((r, k), LONG_MAX, dtype=np.int64)
+    if len(flat) == 0 or r == 0:
+        return out
+    flat = flat.astype(np.int64, copy=False)
+    counts = np.diff(offsets)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty) == 0:
+        return out
+    # process rows in chunks bounded by _CHUNK_CELLS permuted values
+    rows_per_chunk = max(1, _CHUNK_CELLS // (k * max(1, int(counts.max()))))
+    p = np.int64(MERSENNE_PRIME)
+    with np.errstate(over="ignore"):
+        for s in range(0, len(nonempty), rows_per_chunk):
+            rows = nonempty[s : s + rows_per_chunk]
+            lo, hi = offsets[rows[0]], offsets[rows[-1] + 1]
+            h = flat[lo:hi]
+            # Java long overflow == int64 wraparound; floorMod == numpy %
+            phi = a[None, :] * h[:, None] + b[None, :]
+            phi %= p
+            local_off = (offsets[rows] - lo).astype(np.intp)
+            mins = np.minimum.reduceat(phi, local_off, axis=0)
+            out[rows] = mins
+    return out
+
+
+def oph_raw_sigs(flat: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """One-permutation-hashing raw signatures (pre-densification).
+
+    bucket = abs(((int) h) % k); sig[bucket] = min(h) by *signed* value —
+    reference MinHashOptimal.java:100-109.  Empty buckets = Long.MAX_VALUE.
+    """
+    r = len(offsets) - 1
+    out = np.full((r, k), LONG_MAX, dtype=np.int64)
+    if len(flat) == 0 or r == 0:
+        return out
+    h = flat.astype(np.int64, copy=False)
+    # (int) hv: truncate to low 32 bits, signed; then Java % (trunc toward 0)
+    i32 = h.astype(np.int32).astype(np.int64)
+    bucket = np.abs(np.fmod(i32, np.int64(k))).astype(np.intp)
+    row_idx = np.repeat(
+        np.arange(r, dtype=np.intp), np.diff(offsets).astype(np.intp)
+    )
+    np.minimum.at(out.reshape(-1), row_idx * k + bucket, h)
+    return out
+
+
+def oph_densify_constants(k: int, seed: int = 666) -> tuple[int, int]:
+    """(theHashValue, logPermutations) for the default ctor —
+    reference MinHashOptimal.java:46-49."""
+    from .javacompat import JavaRandom
+
+    rnd = JavaRandom(seed)
+    random = rnd.next_int(2**31 - 2) + 1
+    the_hash_value = random if random % 2 == 0 else random + 1
+    log_permutations = int(np.log(k) / np.log(2)) + 1
+    return the_hash_value, log_permutations
+
+
+def oph_densify(sigs: np.ndarray, k: int, seed: int = 666) -> np.ndarray:
+    """Optimal densification (Shrivastava ICML'17) with the reference's
+    exact probe sequence — MinHashOptimal.java:112-133.
+
+    Processes buckets in index order (earlier densified buckets may seed
+    later ones, as in the sequential Java loop).  All-empty rows stay
+    empty (the reference would loop forever; we guard).
+    """
+    the_hash_value, log_perm = oph_densify_constants(k, seed)
+    shift = 32 - log_perm
+    out = sigs.copy()
+    empty_rows = np.flatnonzero((out == LONG_MAX).all(axis=1))
+    candidate_rows = np.flatnonzero((out == LONG_MAX).any(axis=1))
+    skip = set(empty_rows.tolist())
+    thv = np.int64(np.int32(the_hash_value))
+    with np.errstate(over="ignore"):
+        for ri in candidate_rows:
+            if int(ri) in skip:
+                continue
+            row = out[ri]
+            for i in np.flatnonzero(row == LONG_MAX):
+                nonce = 0
+                while row[i] == LONG_MAX:
+                    nonce += 1
+                    toh = np.int32(np.int64((int(i) + 1) << 10) + nonce)
+                    v = np.int32(thv * toh) << np.int32(3)
+                    idx = abs(int(np.int32(v) >> np.int32(shift)))
+                    if idx == k:
+                        idx -= 1
+                    row[i] = row[idx]
+    return out
+
+
+def sig_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Estimated JS = fraction of equal positions (SketchUtils.java:10-22)."""
+    return float((a == b).mean())
+
+
+def sig_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union merge = elementwise min (MinHash.java:85-99)."""
+    return np.minimum(a, b)
+
+
+def simhash64(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Charikar 64-bit SimHash per ragged row over element hashes.
+
+    bit j of the result = 1 iff sum over elements of (bit j ? +1 : -1) > 0.
+    Returns int64[R] (same bits reinterpreted signed).  Companion dedup
+    path required by the north rule (not present in the reference).
+    """
+    r = len(offsets) - 1
+    out = np.zeros(r, dtype=np.uint64)
+    if len(flat) == 0 or r == 0:
+        return out.view(np.int64)
+    u = flat.view(np.uint64)
+    # unpack to [M, 64] bits
+    bytes_ = u.view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(bytes_, axis=1, bitorder="little").astype(np.int32)
+    counts = np.diff(offsets).astype(np.intp)
+    sums = np.add.reduceat(bits, offsets[:-1].astype(np.intp), axis=0)
+    # reduceat on empty segments returns the next row's value; zero them
+    sums[counts == 0] = 0
+    pos = 2 * sums > counts[:, None]  # sum of ±1 > 0  <=>  ones > half
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    out = (pos.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between int64 simhashes (vectorized)."""
+    x = (a.view(np.uint64) ^ b.view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

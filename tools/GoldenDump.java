@@ -1,0 +1,192 @@
+// Golden-vector dump tool: runs the REFERENCE implementation (compiled from
+// /root/reference, used strictly as an oracle) and writes JSON vectors that
+// pin bit-level parity of the PySpark rebuild's NumPy kernels.
+// Usage: java GoldenDump <outDir>
+import java.io.FileWriter;
+import java.io.PrintWriter;
+import java.lang.reflect.Field;
+import java.nio.charset.Charset;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.List;
+import java.util.Map;
+import java.util.Random;
+import java.util.Set;
+import java.util.stream.Collectors;
+
+import com.google.common.hash.HashFunction;
+import com.google.common.hash.Hashing;
+
+import lazo.index.LazoIndex;
+import lazo.index.LazoIndex.LazoCandidate;
+import lazo.sketch.LazoSketch;
+import lazo.sketch.MinHash;
+import lazo.sketch.MinHashOptimal;
+import lazo.sketch.SketchType;
+
+public class GoldenDump {
+
+    static String longs(long[] a) {
+        return Arrays.stream(a).mapToObj(Long::toString).collect(Collectors.joining(",", "[", "]"));
+    }
+
+    static String strs(List<String> a) {
+        return a.stream().map(s -> "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\"")
+                .collect(Collectors.joining(",", "[", "]"));
+    }
+
+    public static void main(String[] args) throws Exception {
+        String outDir = args.length > 0 ? args[0] : ".";
+        PrintWriter w = new PrintWriter(new FileWriter(outDir + "/kernels.json"));
+        w.println("{");
+
+        // --- murmur3_128(seed).hashString(v, defaultCharset()).asLong() ---
+        List<String> samples = new ArrayList<>();
+        for (int i = 0; i < 50; i++) samples.add(Integer.toString(i));
+        samples.add("");
+        samples.add("a");
+        samples.add("hello world");
+        samples.add("exactly sixteen b");  // 17 bytes
+        samples.add("0123456789abcdef");   // 16 bytes
+        samples.add("0123456789abcdef0123456789abcdef");  // 32
+        samples.add("0123456789abcdef0123456789abcdefX"); // 33
+        samples.add("def foo(x):\n    return x + 1\n");
+        samples.add("café üß 中文");
+        StringBuilder tail = new StringBuilder();
+        for (int i = 0; i < 100; i++) tail.append("line").append(i).append(";");
+        samples.add(tail.toString());
+        HashFunction hf = Hashing.murmur3_128(666);
+        long[] hashes = new long[samples.size()];
+        for (int i = 0; i < samples.size(); i++)
+            hashes[i] = hf.hashString(samples.get(i), Charset.defaultCharset()).asLong();
+        w.println("\"charset\": \"" + Charset.defaultCharset().name() + "\",");
+        w.println("\"murmur_samples\": " + strs(samples) + ",");
+        w.println("\"murmur_h1_seed666\": " + longs(hashes) + ",");
+        long[] h2 = new long[samples.size()];
+        HashFunction hf0 = Hashing.murmur3_128(0);
+        for (int i = 0; i < samples.size(); i++)
+            h2[i] = hf0.hashString(samples.get(i), Charset.defaultCharset()).asLong();
+        w.println("\"murmur_h1_seed0\": " + longs(h2) + ",");
+
+        // --- java.util.Random permutations (MinHash.java:55-61) ---
+        for (int k : new int[] { 12, 64, 512 }) {
+            Random gen = new Random(666);
+            long mp = ((long) 1 << 61) - 1;
+            long[] a = gen.longs(k, 1, mp).toArray();
+            long[] b = gen.longs(k, 0, mp).toArray();
+            w.println("\"perm_a_k" + k + "\": " + longs(a) + ",");
+            w.println("\"perm_b_k" + k + "\": " + longs(b) + ",");
+        }
+
+        // --- MinHash signatures over "0".."49" ---
+        for (int k : new int[] { 12, 64 }) {
+            MinHash mh = new MinHash(k);
+            for (int i = 0; i < 50; i++) mh.update(Integer.toString(i));
+            w.println("\"minhash_sig_0to49_k" + k + "\": " + longs(mh.getHashValues()) + ",");
+        }
+
+        // --- OPH (MinHashOptimal) ---
+        MinHashOptimal oph = new MinHashOptimal(512);
+        for (int i = 0; i < 16; i++) oph.update(Integer.toString(i));
+        w.println("\"oph_sig_16vals_k512\": " + longs(oph.getHashValues()) + ",");
+        MinHashOptimal oph64 = new MinHashOptimal(64);
+        for (int i = 0; i < 50; i++) oph64.update(Integer.toString(i));
+        w.println("\"oph_sig_0to49_k64\": " + longs(oph64.getHashValues()) + ",");
+        Field fr = MinHashOptimal.class.getDeclaredField("random");
+        Field fh = MinHashOptimal.class.getDeclaredField("theHashValue");
+        Field fl = MinHashOptimal.class.getDeclaredField("logPermutations");
+        fr.setAccessible(true); fh.setAccessible(true); fl.setAccessible(true);
+        w.println("\"oph_constants_k512\": [" + fr.getInt(oph) + "," + fh.getInt(oph) + "," + fl.getInt(oph) + "],");
+        w.println("\"oph_constants_k64\": [" + fr.getInt(oph64) + "," + fh.getInt(oph64) + "," + fl.getInt(oph64) + "],");
+
+        // --- Arrays.hashCode(long[]) ---
+        long[][] segs = new long[][] {
+            { 0L }, { 1L }, { -1L }, { Long.MAX_VALUE }, { Long.MIN_VALUE },
+            { 1234567890123456789L }, { -987654321098765432L },
+            { 1L, 2L }, { Long.MAX_VALUE, Long.MIN_VALUE, 42L },
+        };
+        long[] segHashes = new long[segs.length];
+        for (int i = 0; i < segs.length; i++) segHashes[i] = Arrays.hashCode(segs[i]);
+        w.println("\"arrays_hashcode\": " + longs(segHashes) + ",");
+
+        // --- HLL++ (p=18, sp=25) cardinalities, LazoSketchTest recipes ---
+        long[] cards = new long[3];
+        int[] ns = new int[] { 500, 1000, 5000 };
+        for (int j = 0; j < ns.length; j++) {
+            LazoSketch sk = new LazoSketch(64, SketchType.MINHASH);
+            for (int i = 0; i < ns[j]; i++) sk.update(Integer.toString(i));
+            cards[j] = sk.getCardinality();
+        }
+        w.println("\"hll_cardinality_500_1000_5000\": " + longs(cards) + ",");
+
+        // --- banding table (LazoIndex thresholdToBandsRows), k=64 d=0.05 ---
+        LazoIndex idx = new LazoIndex(64);
+        Field ftb = LazoIndex.class.getDeclaredField("thresholdToBandsRows");
+        ftb.setAccessible(true);
+        @SuppressWarnings("unchecked")
+        Map<Integer, Integer[]> tb = (Map<Integer, Integer[]>) ftb.get(idx);
+        StringBuilder sb = new StringBuilder("{");
+        for (int i = 0; i < 20; i++) {
+            Integer[] br = tb.get(i);
+            sb.append("\"").append(i).append("\": [").append(br[0]).append(",").append(br[1]).append("]");
+            if (i < 19) sb.append(",");
+        }
+        sb.append("}");
+        w.println("\"banding_k64_d005\": " + sb + ",");
+
+        // --- LazoIndex end-to-end small corpus golden ---
+        // 12 integer-range sets with controlled overlap/containment.
+        int[][] ranges = new int[][] {
+            { 0, 100 }, { 0, 100 },      // identical pair
+            { 0, 95 },                   // js ~0.9 with set 0
+            { 0, 50 },                   // contained in set 0
+            { 25, 75 },                  // half overlap with 3
+            { 200, 300 }, { 205, 300 },  // near-identical pair
+            { 400, 500 }, { 600, 700 },  // disjoint
+            { 0, 1000 },                 // superset of several
+            { 950, 1050 },               // overlaps 9 only
+            { 5000, 5001 },              // singleton
+        };
+        LazoIndex gi = new LazoIndex(64);
+        LazoSketch[] sketches = new LazoSketch[ranges.length];
+        long[] gcards = new long[ranges.length];
+        for (int i = 0; i < ranges.length; i++) {
+            LazoSketch sk = new LazoSketch(64, SketchType.MINHASH);
+            for (int v = ranges[i][0]; v < ranges[i][1]; v++) sk.update(Integer.toString(v));
+            sketches[i] = sk;
+            gcards[i] = sk.getCardinality();
+            gi.insert("s" + i, sk);
+        }
+        w.println("\"index_corpus_ranges\": " + Arrays.deepToString(ranges).replace(" ", "") + ",");
+        w.println("\"index_corpus_cardinalities\": " + longs(gcards) + ",");
+        StringBuilder qres = new StringBuilder("[");
+        boolean first = true;
+        for (int i = 0; i < ranges.length; i++) {
+            Set<LazoCandidate> cands = gi.queryContainment(sketches[i], 0.5f);
+            for (LazoCandidate c : cands) {
+                if (!first) qres.append(",");
+                first = false;
+                qres.append("[\"s").append(i).append("\",\"").append(c.key).append("\",")
+                    .append(c.js).append(",").append(c.jcx).append(",").append(c.jcy).append("]");
+            }
+        }
+        qres.append("]");
+        w.println("\"index_containment_05\": " + qres + ",");
+        qres = new StringBuilder("[");
+        first = true;
+        for (int i = 0; i < ranges.length; i++) {
+            Set<LazoCandidate> cands = gi.querySimilarity(sketches[i], 0.3f);
+            for (LazoCandidate c : cands) {
+                if (!first) qres.append(",");
+                first = false;
+                qres.append("[\"s").append(i).append("\",\"").append(c.key).append("\",")
+                    .append(c.js).append(",").append(c.jcx).append(",").append(c.jcy).append("]");
+            }
+        }
+        qres.append("]");
+        w.println("\"index_similarity_03\": " + qres);
+        w.println("}");
+        w.close();
+        System.out.println("wrote " + outDir + "/kernels.json");
+    }
+}

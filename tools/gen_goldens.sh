@@ -1,0 +1,15 @@
+#!/bin/bash
+# Compile the reference (oracle) + golden dump tools and regenerate
+# tests/golden/*.json. Build artifacts stay out of git (.golden/).
+set -euo pipefail
+REPO=/root/repo
+REF=/root/reference
+JARS=$(python -c "import pyspark,os; print(os.path.join(os.path.dirname(pyspark.__file__),'jars'))")
+CP="$JARS/guava-33.4.8-jre.jar:$JARS/stream-2.9.8.jar:$JARS/univocity-parsers-2.9.1.jar"
+BUILD=$REPO/.golden
+mkdir -p "$BUILD/classes"
+find "$REF/src/main/java" -name '*.java' > "$BUILD/sources.txt"
+javac -nowarn -encoding UTF-8 -cp "$CP" -d "$BUILD/classes" @"$BUILD/sources.txt"
+javac -nowarn -encoding UTF-8 -cp "$CP:$BUILD/classes" -d "$BUILD/classes" "$REPO"/tools/*.java
+java -Dfile.encoding=UTF-8 -cp "$CP:$BUILD/classes" GoldenDump "$REPO/tests/golden"
+echo OK
