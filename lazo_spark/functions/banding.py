@@ -1,0 +1,128 @@
+"""LSH banding parameter optimizer + threshold assignment.
+
+Replicates the reference optimizer *verbatim*, including its quirks
+(reference MinHashLSH.java:103-149, duplicated LazoIndex.java:131-176):
+
+  * the integrand multiplies only the pow-term by the integration step
+    (``1 - pow(...) * IP``) so each step contributes ~1 — the argmin over
+    (bands, rows) still discriminates via the pow sums;
+  * the accumulator and the x stepper are Java ``float`` (32-bit); we
+    reproduce float32 accumulation exactly, vectorized across all
+    (bands, rows) combinations per threshold.
+
+Also derives the *effective* threshold-assignment rule of the default
+LazoIndex (k=64, d=0.05, GCD slice = 1): because querySlice probes
+``hashTables.get(b)`` for every within-band row i (LazoIndex.java:298-303)
+and unions the partially-built candidate set even when the row loop breaks
+early (LazoIndex.java:314-319), a pair's assigned threshold depends only on
+its minimum matching signature position m: the first threshold in the
+descending sweep whose band count exceeds m.  This collapses the
+reference's 20 per-threshold queries into ONE Spark band join + a
+``min(pos)`` aggregation.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+def _combo_list(k: int) -> list[tuple[int, int]]:
+    """(bands, rows) in the reference's scan order (MinHashLSH.java:133-135)."""
+    out = []
+    for band in range(1, k + 1):
+        for rows in range(1, k // band + 1):
+            out.append((band, rows))
+    return out
+
+
+def _x_sequence(start: float, end: float) -> np.ndarray:
+    """x stepping in float32 exactly as the Java while loop (x += IP)."""
+    ip = np.float32(0.001)
+    xs = []
+    x = np.float32(start)
+    e = np.float32(end)
+    while x < e:
+        xs.append(float(x))
+        x = np.float32(x + ip)
+    return np.asarray(xs, dtype=np.float64)
+
+
+def _accumulate_f32(vals: np.ndarray) -> np.ndarray:
+    """Sequential float32 accumulation of double-valued steps, vectorized
+    across combos: area_{n+1} = float32(float64(area_n) + val_n)."""
+    area = np.zeros(vals.shape[0], dtype=np.float32)
+    for i in range(vals.shape[1]):
+        area = (area.astype(np.float64) + vals[:, i]).astype(np.float32)
+    return area
+
+
+def optimal_parameters(
+    threshold: float, k: int, fp_rate: float = 0.5, fn_rate: float = 0.5
+) -> tuple[int, int]:
+    """computeOptimalParameters (MinHashLSH.java:127-149) bit-for-bit."""
+    combos = _combo_list(k)
+    b = np.array([c[0] for c in combos], dtype=np.float64)[:, None]
+    r = np.array([c[1] for c in combos], dtype=np.float64)[:, None]
+
+    xs_fp = _x_sequence(0.0, threshold)
+    if len(xs_fp):
+        vals = 1.0 - np.power(1.0 - np.power(xs_fp[None, :] + 0.0005, r), b) * 0.001
+        fp = _accumulate_f32(vals)
+    else:
+        fp = np.zeros(len(combos), dtype=np.float32)
+
+    xs_fn = _x_sequence(threshold, 1.0)
+    if len(xs_fn):
+        vals = 1.0 - (
+            1.0 - np.power(1.0 - np.power(xs_fn[None, :] + 0.0005, r), b) * 0.001
+        )
+        fn = _accumulate_f32(vals)
+    else:
+        fn = np.zeros(len(combos), dtype=np.float32)
+
+    err = np.float32(fp_rate) * fp + np.float32(fn_rate) * fn
+    best = int(np.argmin(err))  # first strict minimum, like `error < minError`
+    return combos[best]
+
+
+@lru_cache(maxsize=8)
+def banding_table(
+    k: int = 64, d: float = 0.05, fp_rate: float = 0.5, fn_rate: float = 0.5
+) -> dict[int, tuple[int, int]]:
+    """threshold index i (threshold = i*d) -> (bands, rows), as
+    LazoIndex.initIndex (LazoIndex.java:80-116)."""
+    num_thresholds = int(1 / d)
+    table = {}
+    for i in range(num_thresholds):
+        threshold = float(np.float32(d) * np.float32(i))
+        table[i] = optimal_parameters(threshold, k, fp_rate, fn_rate)
+    return table
+
+
+def gcd_slice_size(table: dict[int, tuple[int, int]]) -> int:
+    rows = {br[1] for br in table.values()}
+    g = 0
+    for x in rows:
+        g = np.gcd(g, x)
+    return int(g)
+
+
+@lru_cache(maxsize=8)
+def minpos_to_threshold(
+    k: int = 64, d: float = 0.05, fp_rate: float = 0.5, fn_rate: float = 0.5
+) -> np.ndarray:
+    """For each minimum-matching-position m in 0..k-1, the threshold the
+    descending sweep (LazoIndex.java:330-343) assigns: the first (highest)
+    threshold whose band count exceeds m.  float32, like the Java floats."""
+    table = banding_table(k, d, fp_rate, fn_rate)
+    assert gcd_slice_size(table) == 1, "min-pos mapping assumes GCD slice 1"
+    n = int(1 / d)
+    out = np.zeros(k, dtype=np.float32)
+    for m in range(k):
+        for i in range(n - 1, -1, -1):  # descending thresholds
+            bands = table[i][0]
+            if bands > m:
+                out[m] = np.float32(d) * np.float32(i)
+                break
+    return out

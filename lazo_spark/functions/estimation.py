@@ -1,0 +1,125 @@
+"""Lazo cardinality-augmented JS/JCX/JCY estimation + ECH correction.
+
+Vectorized NumPy float32 replica of the reference estimation block
+(LazoIndex.java:349-469): alpha/ix/un at the lower and upper bound
+thresholds, feasibility clamping (ECH), averaging, and the final
+threshold filter.  All arithmetic is float32 with (long)-style
+truncation, matching Java's float/long semantics bit-for-bit so the
+Spark pipeline, the pure-Python oracle, and the compiled reference agree.
+
+Used both by lazo_spark.oracle.LazoIndexOracle (tests) and by the Spark
+candidate-pair stage (operators/lazo.py) as a vectorized pandas batch.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+F32 = np.float32
+
+
+def _alpha(min_c: np.ndarray, max_c: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """getAlpha (LazoIndex.java:477-480): (long)((minC - t*maxC)/(1+t))."""
+    v = (min_c.astype(F32) - t * max_c.astype(F32)) / (F32(1.0) + t)
+    return np.trunc(v.astype(np.float64)).astype(np.int64)
+
+
+def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """float32 num/den with 0 where den <= 0 (the reference's ternaries)."""
+    den_f = den.astype(F32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num.astype(F32) / den_f
+    return np.where(den > 0, out, F32(0.0)).astype(F32)
+
+
+@dataclass
+class EstimateResult:
+    js: np.ndarray
+    jcx: np.ndarray
+    jcy: np.ndarray
+    keep: np.ndarray
+    corrections: int = 0
+
+
+def estimate_pairs(
+    th: np.ndarray,
+    query_card: np.ndarray,
+    candidate_card: np.ndarray,
+    d: float = 0.05,
+    js_threshold: float = 0.0,
+    jcx_threshold: float = 0.0,
+    ech: bool = True,
+) -> EstimateResult:
+    """Estimate (js, jcx, jcy) for candidate pairs and apply the final
+    filter.  `th` is the per-pair lower-bound threshold assigned by the
+    sweep; `query_card`/`candidate_card` are the X/Y set cardinalities.
+    """
+    th = th.astype(F32)
+    q = query_card.astype(np.int64)
+    c = candidate_card.astype(np.int64)
+    lower_t = th
+    upper_t = (th + F32(d)).astype(F32)
+    min_c = np.minimum(q, c)
+    max_c = np.maximum(q, c)
+
+    a_lo = _alpha(min_c, max_c, lower_t)
+    a_up = _alpha(min_c, max_c, upper_t)
+    ix_lo = min_c - a_lo
+    ix_up = min_c - a_up
+    un_lo = max_c + a_lo
+    un_up = max_c + a_up
+
+    js_lo = _safe_div(ix_lo, un_lo)
+    js_up = _safe_div(ix_up, un_up)
+    jcx_lo = _safe_div(ix_lo, q)
+    jcx_up = _safe_div(ix_up, q)
+    jcy_lo = _safe_div(ix_lo, c)
+    jcy_up = _safe_div(ix_up, c)
+
+    jcx_max = np.minimum(_safe_div(min_c, q), F32(1.0)).astype(F32)
+    jcy_max = np.minimum(_safe_div(min_c, c), F32(1.0)).astype(F32)
+
+    corrections = 0
+    if ech:
+        # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
+        def corr_alpha(card, bound):
+            v = min_c.astype(F32) - bound * card.astype(F32)
+            return np.trunc(v.astype(np.float64)).astype(np.int64)
+
+        def corrected_js(ca):
+            return _safe_div(min_c - ca, max_c + ca)
+
+        # ---- upper bound corrections (LazoIndex.java:393-413) ----
+        cond_x_up = (jcx_up > jcx_max) & (jcx_max > 0)
+        cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
+        ca_x = corr_alpha(q, jcx_max)
+        ca_y = corr_alpha(c, jcy_max)
+        js_up = np.where(cond_x_up, corrected_js(ca_x), js_up)
+        jcy_up = np.where(cond_x_up, _safe_div(min_c - ca_x, c), jcy_up)
+        jcx_up2 = np.where(cond_x_up, jcx_max, jcx_up)
+        js_up = np.where(cond_y_up, corrected_js(ca_y), js_up)
+        jcx_up2 = np.where(cond_y_up, _safe_div(min_c - ca_y, q), jcx_up2)
+        jcy_up = np.where(cond_y_up, jcy_max, jcy_up)
+        jcx_up = jcx_up2.astype(F32)
+
+        # ---- lower bound corrections (LazoIndex.java:415-438) ----
+        cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
+        cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
+        js_lo = np.where(cond_x_lo, corrected_js(ca_x), js_lo)
+        jcy_lo = np.where(cond_x_lo, _safe_div(min_c - ca_x, c), jcy_lo)
+        jcx_lo2 = np.where(cond_x_lo, jcx_max, jcx_lo)
+        js_lo = np.where(cond_y_lo, corrected_js(ca_y), js_lo)
+        jcx_lo2 = np.where(cond_y_lo, _safe_div(min_c - ca_y, q), jcx_lo2)
+        jcy_lo = np.where(cond_y_lo, jcy_max, jcy_lo)
+        jcx_lo = jcx_lo2.astype(F32)
+
+        corrections = int((cond_x_up | cond_y_up | cond_x_lo | cond_y_lo).sum())
+
+    two = F32(2.0)
+    avg_js = ((js_lo.astype(F32) + js_up.astype(F32)) / two).astype(F32)
+    avg_jcx = ((jcx_lo.astype(F32) + jcx_up.astype(F32)) / two).astype(F32)
+    avg_jcy = ((jcy_lo.astype(F32) + jcy_up.astype(F32)) / two).astype(F32)
+
+    keep = (avg_js >= F32(js_threshold)) & (avg_jcx >= F32(jcx_threshold))
+    return EstimateResult(avg_js, avg_jcx, avg_jcy, keep, corrections)

@@ -1,0 +1,126 @@
+"""Single-process reference oracle for tests.
+
+A faithful in-memory re-expression (in Python, over our NumPy kernels) of
+the reference's LazoIndex semantics — insert (LazoIndex.java:186-216),
+querySlice including its early-break/partial-union behavior
+(LazoIndex.java:291-322), the descending threshold sweep
+(LazoIndex.java:324-343) and the estimation/ECH block (delegated to
+functions.estimation).  Golden tests pin its outputs against the compiled
+Java reference; pipeline tests then use it as the ground truth the Spark
+jobs must reproduce (dup-pair recall >= 0.99 per BASELINE.json).
+
+This module is a TEST ORACLE, not part of the distributed pipeline.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .functions.banding import banding_table, gcd_slice_size
+from .functions.estimation import estimate_pairs
+from .functions.javacompat import arrays_hashcode_long
+
+
+class LazoIndexOracle:
+    def __init__(self, k: int = 64, d: float = 0.05):
+        self.k = k
+        self.d = d
+        self.table = banding_table(k, d)
+        self.num_thresholds = int(1 / d)
+        self.gcd = gcd_slice_size(self.table)
+        self.gcd_bands = k // self.gcd
+        self.hash_ranges = [i * self.gcd for i in range(self.gcd_bands)]
+        self.hash_tables: list[dict[int, set]] = [dict() for _ in range(self.gcd_bands)]
+        self.key_cardinality: dict[object, int] = {}
+
+    def _segment_hash(self, sig: np.ndarray, start: int, end: int) -> int:
+        # zero-padded past the end, like Arrays.copyOfRange
+        seg = np.zeros(end - start, dtype=np.int64)
+        avail = sig[start : min(end, len(sig))]
+        seg[: len(avail)] = avail
+        return int(arrays_hashcode_long(seg))
+
+    def insert(self, key, sig: np.ndarray, cardinality: int) -> None:
+        self.key_cardinality[key] = int(cardinality)
+        for i in range(self.gcd_bands):
+            start = self.hash_ranges[i]
+            seg_id = self._segment_hash(sig, start, start + self.gcd)
+            self.hash_tables[i].setdefault(seg_id, set()).add(key)
+
+    def remove(self, key) -> bool:
+        if key not in self.key_cardinality:
+            return False
+        del self.key_cardinality[key]
+        for table in self.hash_tables:
+            for seg_id in [s for s, keys in table.items() if key in keys]:
+                table[seg_id].discard(key)
+                if not table[seg_id]:
+                    del table[seg_id]
+        return True
+
+    def update(self, key, sig: np.ndarray, cardinality: int) -> None:
+        self.remove(key)
+        self.insert(key, sig, cardinality)
+
+    def query_slice(self, sig: np.ndarray, bands: int, rows: int) -> set:
+        """Literal port of querySlice (LazoIndex.java:291-322), including
+        the probe of hashTables[b] for every within-band row and the
+        union of the partially-built intersection on early break."""
+        candidates: set = set()
+        per_rows = rows // self.gcd
+        for b in range(bands):
+            band_candidates: set = set()
+            for i in range(per_rows):
+                start = self.hash_ranges[b * self.gcd + i]
+                end = (self.hash_ranges[b * self.gcd + i] + 1) * self.gcd
+                seg_id = self._segment_hash(sig, start, end)
+                table = self.hash_tables[b]
+                if seg_id in table:
+                    result = table[seg_id]
+                    if not band_candidates:
+                        band_candidates |= result
+                    else:
+                        band_candidates &= result
+                        if not band_candidates:
+                            break
+                else:
+                    break
+            candidates |= band_candidates
+        return candidates
+
+    def query(
+        self,
+        sig: np.ndarray,
+        cardinality: int,
+        js_threshold: float = 0.0,
+        jcx_threshold: float = 0.0,
+    ) -> list[tuple]:
+        """Descending threshold sweep + estimation; returns
+        [(key, js, jcx, jcy)] passing the final filter."""
+        partial: dict = {}
+        for i in range(self.num_thresholds):
+            key_threshold = self.num_thresholds - i - 1
+            th = float(np.float32(key_threshold) * np.float32(self.d))
+            bands, rows = self.table[key_threshold]
+            for cand in self.query_slice(sig, bands, rows):
+                if cand not in partial:
+                    partial[cand] = th
+        if not partial:
+            return []
+        keys = list(partial.keys())
+        th = np.array([partial[c] for c in keys], dtype=np.float32)
+        q_card = np.full(len(keys), int(cardinality), dtype=np.int64)
+        c_card = np.array([self.key_cardinality[c] for c in keys], dtype=np.int64)
+        est = estimate_pairs(
+            th, q_card, c_card, self.d, js_threshold, jcx_threshold
+        )
+        return [
+            (keys[i], float(est.js[i]), float(est.jcx[i]), float(est.jcy[i]))
+            for i in range(len(keys))
+            if est.keep[i]
+        ]
+
+    def query_similarity(self, sig, cardinality, js_threshold):
+        return self.query(sig, cardinality, js_threshold, 0.0)
+
+    def query_containment(self, sig, cardinality, jcx_threshold):
+        return self.query(sig, cardinality, 0.0, jcx_threshold)

@@ -1,0 +1,116 @@
+"""Oracle-level parity: banding table and full LazoIndex query results vs
+the compiled reference (tests/golden/kernels.json)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lazo_spark.functions.banding import (
+    banding_table,
+    gcd_slice_size,
+    minpos_to_threshold,
+)
+from lazo_spark.functions.javacompat import murmur3_str
+from lazo_spark.functions.sketch_kernels import minhash_sigs
+from lazo_spark.oracle import LazoIndexOracle
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "kernels.json")
+
+
+@pytest.fixture(scope="module")
+def g():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_banding_table_matches_reference(g):
+    table = banding_table(64, 0.05)
+    want = {int(i): tuple(br) for i, br in g["banding_k64_d005"].items()}
+    assert table == want
+    assert gcd_slice_size(table) == 1
+
+
+def test_minpos_mapping_monotone_prefix():
+    m = minpos_to_threshold(64, 0.05)
+    # position 0 matches the highest-threshold config (bands=2 at th=0.95)
+    assert m[0] == np.float32(0.95)
+    # every position maps to some threshold (bands=64 at th=0 catches all)
+    assert (m >= 0).all() and m.dtype == np.float32
+
+
+def _range_sig_card(lo, hi, k=64):
+    vals = [str(v) for v in range(lo, hi)]
+    h = murmur3_str(vals)
+    sig = minhash_sigs(h, np.array([0, len(vals)]), k)[0]
+    return sig, len(set(vals))
+
+
+@pytest.fixture(scope="module")
+def loaded_index(g):
+    idx = LazoIndexOracle(64, 0.05)
+    sigs = []
+    for i, (lo, hi) in enumerate(g["index_corpus_ranges"]):
+        sig, card = _range_sig_card(lo, hi)
+        idx.insert(f"s{i}", sig, card)
+        sigs.append((sig, card))
+    return idx, sigs
+
+
+def _golden_pairs(entries):
+    return {(q, c): (js, jcx, jcy) for q, c, js, jcx, jcy in entries}
+
+
+@pytest.mark.parametrize(
+    "golden_key,js_t,jcx_t",
+    [("index_containment_05", 0.0, 0.5), ("index_similarity_03", 0.3, 0.0)],
+)
+def test_index_query_matches_reference(g, loaded_index, golden_key, js_t, jcx_t):
+    idx, sigs = loaded_index
+    want = _golden_pairs(g[golden_key])
+    got = {}
+    for i, (sig, card) in enumerate(sigs):
+        for key, js, jcx, jcy in idx.query(sig, card, js_t, jcx_t):
+            got[(f"s{i}", key)] = (js, jcx, jcy)
+    assert set(got) == set(want)
+    for pair, (js, jcx, jcy) in want.items():
+        gjs, gjcx, gjcy = got[pair]
+        assert gjs == pytest.approx(js, abs=2e-6), pair
+        assert gjcx == pytest.approx(jcx, abs=2e-6), pair
+        assert gjcy == pytest.approx(jcy, abs=2e-6), pair
+
+
+def test_junit_lazo_index_update(g):
+    """Port of LazoIndexTest.testUpdate (LazoIndexTest.java:27-76)."""
+    idx = LazoIndexOracle(64)
+    sig_a, card_a = _range_sig_card(0, 11)
+    idx.insert("test", sig_a, card_a)
+
+    sig_b, card_b = _range_sig_card(11, 21)
+    assert idx.query_containment(sig_b, card_b, 0.0) == []
+    assert len(idx.query_containment(sig_a, card_a, 0.0)) == 1
+
+    idx.update("test", sig_b, card_b)
+    assert len(idx.query_containment(sig_b, card_b, 0.0)) == 1
+    assert idx.query_containment(sig_a, card_a, 0.0) == []
+
+
+def test_junit_lsh_recall_identical_and_disjoint():
+    """Port of MinHashLSHTest semantics on the Lazo index: identical
+    sketches all retrieved; disjoint ones only self-retrieved."""
+    idx = LazoIndexOracle(64)
+    sig, card = _range_sig_card(0, 50)
+    for i in range(10):
+        idx.insert(f"k{i}", sig, card)
+    got = {k for k, *_ in idx.query_similarity(sig, card, 0.5)}
+    assert got == {f"k{i}" for i in range(10)}
+
+    idx2 = LazoIndexOracle(64)
+    sigs = []
+    for i in range(10):
+        s, c = _range_sig_card(i * 50, (i + 1) * 50)
+        idx2.insert(f"k{i}", s, c)
+        sigs.append((s, c))
+    for i, (s, c) in enumerate(sigs):
+        got = {k for k, *_ in idx2.query_similarity(s, c, 0.5)}
+        assert got == {f"k{i}"}
