@@ -1,0 +1,38 @@
+"""Pipeline configuration."""
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class LazoConfig:
+    """Configuration of the near-duplicate detection pipeline.
+
+    Defaults mirror the reference flagship (LazoBenchmark.java:265-276 CLI
+    and LazoIndex.java:43-50 defaults): k=64 permutations, d=0.05 (20
+    logical thresholds), fp=fn=0.5, containment query threshold 0.5.
+    """
+
+    k: int = 64
+    d: float = 0.05
+    fp_rate: float = 0.5
+    fn_rate: float = 0.5
+    seed: int = 666
+    sketch_type: str = "minhash"  # minhash | oph  (SketchType.java)
+    shingle_mode: str = "token_ngram:3"
+    js_threshold: float = 0.0
+    jcx_threshold: float = 0.5  # flagship queries containment (LazoBenchmark.java:242)
+    ech: bool = True
+    # scale knobs (no effect on results)
+    bucket_cap: int = 2000  # salt band buckets larger than this
+    shuffle_partitions: int | None = None
+
+    def fingerprint(self) -> str:
+        """Stable config hash for checkpoint paths / lineage."""
+        payload = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = LazoConfig()

@@ -130,9 +130,10 @@ def pack_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros((0, 16), dtype=np.uint8), lengths
     width = 16 * (int(lengths.max()) // 16 + 1)
     data = np.zeros((n, width), dtype=np.uint8)
-    for i, b in enumerate(bs):
-        if b:
-            data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    # boolean row-major fill: positions [i, :len_i] in concatenation order
+    mask = np.arange(width)[None, :] < lengths[:, None]
+    data[mask] = buf
     return data, lengths
 
 

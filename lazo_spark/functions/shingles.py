@@ -1,0 +1,63 @@
+"""Shingle extraction: content string -> set of shingle strings.
+
+Modes (the reference only defines per-word char n-grams,
+StringUtils.java:14-29; the others are the code-corpus modes the north
+rule requires — shingling of file content at a configurable size):
+
+  * ``token_ngram:N`` — N-grams of whitespace tokens (default, N=3);
+    robust for source code, insensitive to reformatting of whitespace.
+  * ``line``          — distinct stripped lines.
+  * ``char_ngram:N``  — reference parity: lowercase, split on single
+    space, all char N-grams of each word (StringUtils.java:14-29).
+  * ``word``          — whitespace tokens as 1-shingles.
+
+Every mode returns a *set* (the reference sketches sets of strings —
+LazoBenchmark.java:145-151 collects values into Set<String>).
+"""
+from __future__ import annotations
+
+import re
+
+_WS = re.compile(r"\s+")
+
+
+def shingle(content: str, mode: str = "token_ngram:3") -> list[str]:
+    """Distinct shingles of one document, per mode (order not significant)."""
+    if content is None:
+        return []
+    if mode.startswith("token_ngram"):
+        n = int(mode.split(":")[1]) if ":" in mode else 3
+        toks = _WS.split(content.strip())
+        toks = [t for t in toks if t]
+        if len(toks) < n:
+            return [" ".join(toks)] if toks else []
+        return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+    if mode == "line":
+        return list({ln.strip() for ln in content.splitlines() if ln.strip()})
+    if mode.startswith("char_ngram"):
+        n = int(mode.split(":")[1]) if ":" in mode else 3
+        # reference StringUtils.java:14-29: lowercase, split on single
+        # space, char n-grams per word (words shorter than n are skipped)
+        out = set()
+        for word in content.lower().split(" "):
+            for i in range(len(word) - n + 1):
+                out.add(word[i : i + n])
+        return list(out)
+    if mode == "word":
+        return list({t for t in _WS.split(content.strip()) if t})
+    raise ValueError(f"unknown shingle mode: {mode}")
+
+
+def shingle_batch(contents, mode: str = "token_ngram:3"):
+    """Shingle a batch of documents -> (flat list of shingles, offsets).
+
+    offsets[i]:offsets[i+1] delimit row i's shingles in the flat list —
+    the ragged-batch layout the sketch kernels consume.
+    """
+    flat: list[str] = []
+    offsets = [0]
+    for c in contents:
+        s = shingle(c, mode)
+        flat.extend(s)
+        offsets.append(len(flat))
+    return flat, offsets

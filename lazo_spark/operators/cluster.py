@@ -1,0 +1,100 @@
+"""Connected-components clustering over candidate-pair edges.
+
+The reference emits pairs only (LazoBenchmark.java:317-335); clustering is
+new design work required by the north rule: iterative DataFrame min-label
+propagation with per-iteration localCheckpoint to truncate lineage, plus a
+deterministic representative per cluster.
+
+Algorithm: hash-to-min label propagation.  Each node starts with its own
+key as label; every iteration each node takes the min label over itself
+and its neighbors.  Converges in O(diameter) iterations — near-duplicate
+clusters are dense and shallow, so convergence is fast; each iteration is
+one shuffle (edges join labels) + one aggregation.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "key_x",
+    dst: str = "key_y",
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """edges(src, dst) -> (key, cluster) where cluster = min key reachable.
+
+    Undirected; edges are symmetrized internally.  Nodes appearing only as
+    src or dst are included.  Isolated nodes are the caller's concern
+    (left-join the full key set afterwards if needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("key")).distinct().withColumn(
+        "cluster", F.col("key")
+    )
+    if checkpoint:
+        sym = sym.localCheckpoint()
+        labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor-min message pass
+        msgs = (
+            sym.join(labels.withColumnRenamed("key", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_min"))
+            .withColumnRenamed("a", "key")
+        )
+        new_labels = (
+            labels.join(msgs, "key", "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "key")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_assignments(
+    pair_edges: DataFrame,
+    membership: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Combine near-dup pair edges (between sha-group representatives) with
+    exact-dup membership edges (key -> rep_key) and label every input key.
+
+    Returns (key, cluster): cluster = min key of the connected component;
+    keys with no duplicate relations form singleton clusters.
+    """
+    member_edges = (
+        membership.filter(F.col(key_col) != F.col("rep_key"))
+        .select(F.col(key_col).alias("key_x"), F.col("rep_key").alias("key_y"))
+    )
+    edges = pair_edges.select("key_x", "key_y").union(member_edges)
+    comp = connected_components(edges)
+    return (
+        membership.select(key_col)
+        .join(comp, key_col, "left")
+        .select(
+            key_col, F.coalesce(F.col("cluster"), F.col(key_col)).alias("cluster")
+        )
+    )

@@ -1,0 +1,167 @@
+"""Lazo LSH candidate generation + estimation as one Spark plan.
+
+The reference inserts every sketch into 64 single-position hash tables and
+then runs a 20-threshold descending sweep per query
+(LazoIndex.java:186-216, 324-343).  At the default config (GCD slice = 1)
+the sweep's effective semantics collapse to: a pair's assigned threshold
+is a pure function of its *minimum matching signature position* (see
+functions/banding.py).  The whole index+sweep therefore becomes:
+
+    bands  = posexplode(band_hashes)              -- narrow
+    pairs  = bands self-join on (pos, band_hash)  -- THE shuffle
+    agg    = groupBy(pair).min(pos)               -- map-side combinable
+    th     = element_at(minpos_to_threshold, min_pos + 1)
+    est    = vectorized float32 estimation + ECH (pandas UDF)
+    filter = avg thresholds                       -- final predicate
+
+One wide shuffle instead of 20 query loops; partial aggregation and AQE
+skew handling apply; hot buckets are optionally salted (bounded,
+measured candidate loss) after exact-dup pre-collapse removed the
+structural skew.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import LazoConfig
+from ..functions.banding import minpos_to_threshold
+from ..functions.estimation import estimate_pairs
+
+EST_SCHEMA = "js float, jcx float, jcy float, keep boolean"
+
+
+def band_explode(sketches: DataFrame) -> DataFrame:
+    """(key, cardinality, band_hashes) -> (key, card, pos, bh).  Narrow."""
+    return sketches.select(
+        "key",
+        F.col("cardinality").alias("card"),
+        F.posexplode("band_hashes").alias("pos", "bh"),
+    )
+
+
+def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Split band buckets larger than `cap` into sub-buckets by a salt on
+    the key hash.  Pairs are then only formed within a sub-bucket —
+    a bounded, explicit recall/scale tradeoff for pathological buckets
+    (the north rule's 'salted repartition to defuse hot-bucket skew').
+    Exact-duplicate collapse upstream already removed structural skew, so
+    at sane caps this fires only on adversarial corpora."""
+    counts = bands.groupBy("pos", "bh").agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") > cap).withColumn(
+        "nsplits", F.ceil(F.col("n") / cap).cast("int")
+    )
+    out = bands.join(F.broadcast(hot.select("pos", "bh", "nsplits")), ["pos", "bh"], "left")
+    return out.withColumn(
+        "salt",
+        F.when(
+            F.col("nsplits").isNotNull(),
+            F.pmod(F.xxhash64("key"), F.col("nsplits")).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("nsplits")
+
+
+def candidate_pairs(
+    sketches: DataFrame, config: LazoConfig, salt: bool = False
+) -> DataFrame:
+    """Self-join on (pos, band_hash) -> unordered candidate pairs with
+    min matching position and both cardinalities.
+
+    Cardinality rides along in the bands rows (8 bytes) so no extra join
+    against the sketch table is needed afterwards; at extreme scale the
+    same plan works with keys pre-hashed to longs (join back at the end).
+    """
+    bands = band_explode(sketches)
+    join_keys = ["pos", "bh"]
+    if salt and config.bucket_cap:
+        bands = salt_hot_buckets(bands, config.bucket_cap)
+        join_keys = ["pos", "bh", "salt"]
+    x = bands.select(
+        *join_keys, F.col("key").alias("key_x"), F.col("card").alias("card_x")
+    )
+    y = bands.select(
+        *join_keys, F.col("key").alias("key_y"), F.col("card").alias("card_y")
+    )
+    joined = x.join(y, join_keys).filter(F.col("key_x") < F.col("key_y"))
+    return joined.groupBy("key_x", "key_y").agg(
+        F.min("pos").alias("min_pos"),
+        F.first("card_x").alias("card_x"),
+        F.first("card_y").alias("card_y"),
+    )
+
+
+def estimate_candidates(
+    pairs: DataFrame,
+    config: LazoConfig,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+    direction: str = "either",
+) -> DataFrame:
+    """Assign sweep thresholds from min_pos, run the float32 estimation +
+    ECH correction (vectorized pandas UDF — exact reference float
+    semantics), and apply the final filter.
+
+    direction:
+      'either'   keep pair if either containment direction passes
+                 (undirected dup-pair semantics; JS always symmetric)
+      'x' / 'y'  strictly directed, as a single reference query() call
+    """
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
+    th_array = F.array(*[F.lit(float(v)) for v in mapping])
+    with_th = pairs.withColumn(
+        "th", F.element_at(th_array, F.col("min_pos") + 1).cast("float")
+    )
+
+    d, ech = config.d, config.ech
+
+    @F.pandas_udf(EST_SCHEMA)
+    def est_udf(th: pd.Series, card_x: pd.Series, card_y: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        thv = th.to_numpy("float32")
+        cx = card_x.to_numpy("int64")
+        cy = card_y.to_numpy("int64")
+        # x as query direction
+        rx = estimate_pairs(thv, cx, cy, d, js_t, jcx_t, ech)
+        if direction == "either":
+            ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
+            keep = rx.keep | ry.keep
+        elif direction == "y":
+            ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
+            rx, keep = ry, ry.keep
+        else:
+            keep = rx.keep
+        return pd.DataFrame(
+            {"js": rx.js, "jcx": rx.jcx, "jcy": rx.jcy, "keep": keep}
+        )
+
+    out = with_th.withColumn(
+        "est", est_udf(F.col("th"), F.col("card_x"), F.col("card_y"))
+    )
+    return (
+        out.filter(F.col("est.keep"))
+        .select(
+            "key_x",
+            "key_y",
+            F.col("est.js").alias("js"),
+            F.col("est.jcx").alias("jcx"),
+            F.col("est.jcy").alias("jcy"),
+            "th",
+            "min_pos",
+        )
+    )
+
+
+def lazo_pairs(
+    sketches: DataFrame,
+    config: LazoConfig,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+    salt: bool = False,
+) -> DataFrame:
+    """Full candidate pipeline: bands join -> min_pos -> estimate -> filter."""
+    pairs = candidate_pairs(sketches, config, salt=salt)
+    return estimate_candidates(pairs, config, js_threshold, jcx_threshold)

@@ -1,0 +1,140 @@
+"""Distributed sketch stage: content -> (signature, cardinality, band
+hashes, simhash) via mapInPandas (Arrow batches, vectorized NumPy — no
+per-row Python crossing the boundary).
+
+Reference dataflow being re-expressed: per-column LazoSketch construction
+(LazoBenchmark.java:207-235 — murmur3 per value, k permutations, HLL
+cardinality) and LSH segment hashing at insert (LazoIndex.java:186-206).
+Cardinality is the *exact* distinct-shingle count (strictly more accurate
+than the reference's HyperLogLogPlus(18,25); identical for small sets,
+which the HLL sparse mode counts exactly — see tests/golden).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..config import LazoConfig
+from ..functions.javacompat import murmur3_str
+from ..functions.shingles import shingle_batch
+from ..functions.sketch_kernels import (
+    minhash_sigs,
+    oph_densify,
+    oph_raw_sigs,
+    simhash64,
+)
+
+SKETCH_SCHEMA = (
+    "key string, sha string, cardinality long, signature array<long>, "
+    "band_hashes array<int>, simhash long"
+)
+
+
+def band_hashes_r1(sigs: np.ndarray) -> np.ndarray:
+    """Per-position band hashes for GCD slice size 1:
+    Arrays.hashCode(new long[]{v}) = 31 + (int)(v ^ (v >>> 32)),
+    vectorized (LazoIndex.java:182-184 + java.util.Arrays spec)."""
+    u = sigs.view(np.uint64)
+    elem = (u ^ (u >> np.uint64(32))).astype(np.uint32)
+    return (np.uint32(31) + elem).view(np.int32)
+
+
+def compute_sketches(
+    keys, shas, contents, config: LazoConfig
+) -> pd.DataFrame:
+    """Sketch one Arrow batch (pure NumPy; used by the UDF and by tests)."""
+    flat, offsets = shingle_batch(contents, config.shingle_mode)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    h = murmur3_str(flat, seed=config.seed)
+    if config.sketch_type == "minhash":
+        sigs = minhash_sigs(h, offsets, config.k, config.seed)
+    elif config.sketch_type == "oph":
+        sigs = oph_densify(oph_raw_sigs(h, offsets, config.k), config.k, config.seed)
+    else:
+        raise ValueError(f"unknown sketch_type {config.sketch_type}")
+    cards = np.diff(offsets)  # shingle() already dedups -> exact distinct
+    bands = band_hashes_r1(sigs)
+    sims = simhash64(h, offsets)
+    return pd.DataFrame(
+        {
+            "key": list(keys),
+            "sha": list(shas),
+            "cardinality": cards,
+            "signature": list(sigs),
+            "band_hashes": list(bands),
+            "simhash": sims,
+        }
+    )
+
+
+def sketch_stage(
+    df: DataFrame,
+    config: LazoConfig,
+    key_col: str = "key",
+    content_col: str = "content",
+    sha_col: str = "sha",
+) -> DataFrame:
+    """df(key, sha, content) -> df(key, sha, cardinality, signature,
+    band_hashes, simhash).  Narrow (no shuffle): runs where the scan runs.
+    Rows with empty shingle sets are dropped, mirroring the reference's
+    null/empty-column skip (LazoBenchmark.java:222-228)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = compute_sketches(
+                pdf[key_col].tolist(), pdf[sha_col].tolist(),
+                pdf[content_col].tolist(), config,
+            )
+            yield out[out["cardinality"] > 0]
+
+    return df.select(key_col, sha_col, content_col).mapInPandas(run, SKETCH_SCHEMA)
+
+
+def with_key_and_sha(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """Add the stable document key (repo:path@commit) and the per-row
+    sha256(content) invariance column (BASELINE input_hint) — both JVM-side
+    built-ins, fully codegen'd."""
+    key = F.concat_ws("", F.concat_ws(":", *[F.col(c) for c in key_cols[:2]]))
+    if len(key_cols) > 2:
+        key = F.concat(key, F.lit("@"), F.col(key_cols[2]))
+    return df.withColumn("key", key).withColumn(
+        "sha", F.sha2(F.col(content_col), 256)
+    )
+
+
+def collapse_exact_duplicates(
+    df: DataFrame, key_col: str = "key", content_col: str = "content"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse by sha256 (skew defusal + work
+    reduction): returns (representatives, membership).
+
+    representatives: one row per distinct content (rep key = min key) —
+      the only rows that get sketched/LSH'd.
+    membership: (key, sha, rep_key, group_size) for every input row —
+      used to expand clusters back to all keys.
+
+    At 10^12-file scale this is the single biggest win: exact duplicates
+    (vendored files, license boilerplate, empty files) both dominate
+    volume and create the hottest LSH buckets; collapsing first removes
+    the skew at its source (SURVEY §4).
+    """
+    w = Window.partitionBy("sha")
+    membership = (
+        df.select(key_col, "sha")
+        .withColumn("rep_key", F.min(key_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+    )
+    reps = df.groupBy("sha").agg(
+        F.min(key_col).alias(key_col),
+        F.first(content_col).alias(content_col),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return reps, membership

@@ -1,0 +1,137 @@
+"""Flagship end-to-end near-duplicate detection + clustering plan.
+
+Spark-first re-expression of the reference all-pairs pipeline
+(LazoBenchmark.java:198-263): scan -> sha256 exact-dup collapse ->
+sketch (mapInPandas) -> band self-join -> threshold sweep via min_pos ->
+estimation/ECH -> filter -> connected-components clustering.
+
+Stage boundaries can checkpoint to parquet keyed by the config
+fingerprint; re-running with the same config resumes from the last
+completed stage (resumability requirement of the north rule).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import LazoConfig
+from ..operators.cluster import cluster_assignments
+from ..operators.lazo import lazo_pairs
+from ..operators.sketch import collapse_exact_duplicates, sketch_stage, with_key_and_sha
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: LazoConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config or LazoConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics: dict[str, float] = {}
+
+    # -- checkpoint/resume ------------------------------------------------
+    def _stage_path(self, stage: str) -> str | None:
+        if not self.checkpoint_dir:
+            return None
+        return os.path.join(self.checkpoint_dir, self.config.fingerprint(), stage)
+
+    def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
+        """Write-through parquet checkpoint; skip recompute on resume."""
+        path = self._stage_path(stage)
+        if not path:
+            return df
+        marker = os.path.join(path, "_MANIFEST.json")
+        if not os.path.exists(marker):
+            t0 = time.time()
+            df.write.mode("overwrite").parquet(path)
+            rows = self.spark.read.parquet(path).count()
+            with open(marker, "w") as f:
+                json.dump(
+                    {
+                        "stage": stage,
+                        "rows": rows,
+                        "seconds": round(time.time() - t0, 3),
+                        "config": self.config.fingerprint(),
+                    },
+                    f,
+                )
+        return self.spark.read.parquet(path)
+
+    # -- stages -----------------------------------------------------------
+    def run(self, source: DataFrame) -> dict[str, DataFrame]:
+        """source: (repo, path, commit, lang, content).  Returns dict of
+        stage DataFrames: membership, sketches, pairs, clusters."""
+        t0 = time.time()
+        keyed = with_key_and_sha(source)
+        reps, membership = collapse_exact_duplicates(keyed)
+        membership = self._checkpoint(membership, "membership")
+
+        sketches = sketch_stage(reps, self.config)
+        sketches = self._checkpoint(sketches, "sketches")
+        self.metrics["sketch_seconds"] = time.time() - t0
+
+        t1 = time.time()
+        pairs = lazo_pairs(sketches, self.config, salt=True)
+        pairs = self._checkpoint(pairs, "pairs")
+        self.metrics["pairs_seconds"] = time.time() - t1
+
+        t2 = time.time()
+        clusters = cluster_assignments(pairs, membership)
+        clusters = self._checkpoint(clusters, "clusters")
+        self.metrics["cluster_seconds"] = time.time() - t2
+        self.metrics["total_seconds"] = time.time() - t0
+        return {
+            "membership": membership,
+            "sketches": sketches,
+            "pairs": pairs,
+            "clusters": clusters,
+        }
+
+
+def run_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    config: LazoConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    return DedupPipeline(spark, config, checkpoint_dir).run(source)
+
+
+def expand_pairs_with_duplicates(
+    pairs: DataFrame, membership: DataFrame
+) -> DataFrame:
+    """Reference parity view: near-dup pairs between representatives plus
+    exact-dup pairs within sha groups, expanded to ALL keys (canonical
+    unordered form).  Used by the recall evaluation vs the reference's
+    per-file output (LazoBenchmark.java:237-254 queries every file)."""
+    m = membership.select("key", "rep_key")
+    # expand both endpoints to group members
+    p = (
+        pairs.join(m.withColumnRenamed("rep_key", "key_x").withColumnRenamed("key", "mx"), "key_x")
+        .join(m.withColumnRenamed("rep_key", "key_y").withColumnRenamed("key", "my"), "key_y")
+        .select(F.col("mx").alias("a"), F.col("my").alias("b"))
+    )
+    # exact-duplicate pairs: member -> member within a group (via rep)
+    g = m.filter(F.col("key") != F.col("rep_key"))
+    intra = (
+        m.alias("l")
+        .join(m.alias("r"), F.col("l.rep_key") == F.col("r.rep_key"))
+        .filter(F.col("l.key") < F.col("r.key"))
+        .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
+    )
+    _ = g
+    allp = p.union(intra)
+    return (
+        allp.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("key_x"), F.greatest("a", "b").alias("key_y")
+        )
+        .distinct()
+    )

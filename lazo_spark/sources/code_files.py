@@ -1,0 +1,157 @@
+"""Deterministic synthetic source-code corpus (seed 42).
+
+Input table per BASELINE.json input_hint: (repo, path, commit, lang,
+content) — synthesized at small scale for tests/benchmarks, with planted
+ground truth per FIXTURES.md §1:
+
+  * exact duplicates (incl. one 200x-duplicated license header — the
+    hot-bucket skew case),
+  * near-duplicate tiers (line-edit fractions spanning both sides of the
+    default thresholds),
+  * containment pairs (B = A + extra lines -> JCX(A->B) = 1),
+  * >=55% independent negatives.
+
+Files are drawn from a shared pool of distinct synthetic code lines, so
+token-shingle overlap is controllable via line overlap.  A side table
+(truth) records the planted group of every file for recall diagnostics;
+the authoritative recall gate compares against the compiled reference
+(tools/ReferencePairs.java), not against this table.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+_LANGS = ["py", "java", "c", "go", "js", "md"]
+_LANG_NAMES = {"py": "python", "java": "java", "c": "c", "go": "go", "js": "js", "md": "md"}
+
+_KEYWORDS = (
+    "def return if else for while import class self None True False lambda "
+    "public static void int long String new try catch finally throw func "
+    "var const let function export struct interface map chan go defer "
+    "include printf malloc free sizeof typedef enum union switch case"
+).split()
+_IDENTS = [f"var_{i}" for i in range(60)] + [f"fn_{i}" for i in range(40)]
+
+
+def _line_pool(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Distinct synthetic code lines from a token pool."""
+    toks = np.array(_KEYWORDS + _IDENTS)
+    n_tok = rng.integers(3, 9, size=size)
+    lines = []
+    for i in range(size):
+        idx = rng.integers(0, len(toks), size=n_tok[i])
+        lines.append(" ".join(toks[idx]) + f" #{i}")
+    return np.array(lines, dtype=object)
+
+
+def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (files, truth): files has exactly the input_hint schema;
+    truth has (key, truth_group)."""
+    n = max(200, int(1_000_000 * sf))
+    rng = np.random.default_rng(seed)
+    pool = _line_pool(rng, max(2000, n // 5))
+
+    contents: list[str] = []
+    groups: list[int] = []
+    next_group = 0
+
+    def fresh_file() -> list[int]:
+        n_lines = int(rng.integers(10, 80))
+        return list(rng.integers(0, len(pool), size=n_lines))
+
+    def render(idx_list: list[int]) -> str:
+        return "\n".join(pool[i] for i in idx_list)
+
+    n_base = int(n * 0.55)
+    base_indices: list[list[int]] = []
+    for _ in range(n_base):
+        li = fresh_file()
+        base_indices.append(li)
+        contents.append(render(li))
+        groups.append(next_group)
+        next_group += 1
+
+    # hot content: identical license header duplicated many times
+    n_hot = min(200, max(4, n // 50))
+    license_text = "copyright (c) 2020 example corp\nall rights reserved\n" + pool[0]
+    hot_group = next_group
+    next_group += 1
+    for _ in range(n_hot):
+        contents.append(license_text)
+        groups.append(hot_group)
+
+    # exact duplicates of random base files
+    n_exact = int(n * 0.10)
+    for _ in range(n_exact):
+        b = int(rng.integers(0, n_base))
+        contents.append(render(base_indices[b]))
+        groups.append(b)
+
+    # near-duplicate tiers: replace a fraction of lines
+    tiers = [0.02, 0.07, 0.15, 0.30]
+    n_per_tier = int(n * 0.05)
+    for f in tiers:
+        for _ in range(n_per_tier):
+            b = int(rng.integers(0, n_base))
+            li = list(base_indices[b])
+            n_edit = max(1, int(len(li) * f))
+            pos = rng.choice(len(li), size=min(n_edit, len(li)), replace=False)
+            for p in pos:
+                li[p] = int(rng.integers(0, len(pool)))
+            contents.append(render(li))
+            groups.append(b)
+
+    # containment: B = A + 50% extra lines  (JCX(A->B) = 1)
+    n_contain = int(n * 0.05)
+    for _ in range(n_contain):
+        b = int(rng.integers(0, n_base))
+        li = list(base_indices[b]) + fresh_file()[: max(1, len(base_indices[b]) // 2)]
+        contents.append(render(li))
+        groups.append(b)
+
+    # pad with fresh negatives to exactly n
+    while len(contents) < n:
+        contents.append(render(fresh_file()))
+        groups.append(next_group)
+        next_group += 1
+    contents = contents[:n]
+    groups = groups[:n]
+
+    m = len(contents)
+    lang_idx = rng.integers(0, len(_LANGS), size=m)
+    # permute rows so related files land in different repos/partitions
+    perm = rng.permutation(m)
+    contents = [contents[i] for i in perm]
+    groups = [groups[i] for i in perm]
+    lang_idx = lang_idx[perm]
+
+    repo = [f"org{i % 7}/repo{i % 53}" for i in range(m)]
+    ext = [_LANGS[j] for j in lang_idx]
+    path = [f"src/d{i % 13}/f{i}.{e}" for i, e in enumerate(ext)]
+    commit = [hashlib.sha1(f"c{i}".encode()).hexdigest() for i in range(m)]
+    lang = [_LANG_NAMES[e] for e in ext]
+    files = pd.DataFrame(
+        {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": contents}
+    )
+    key = [f"{r}:{p}@{c}" for r, p, c in zip(repo, path, commit)]
+    truth = pd.DataFrame({"key": key, "truth_group": groups})
+    return files, truth
+
+
+def cached_code_files_path(sf: float, base_dir: str = "/root/repo/.cache/code_files") -> str:
+    """Generate-once parquet cache; returns the directory containing
+    files.parquet and truth.parquet."""
+    out = os.path.join(base_dir, f"sf{sf}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        files, truth = generate_code_files(sf)
+        files.to_parquet(os.path.join(out, "files.parquet"), index=False)
+        truth.to_parquet(os.path.join(out, "truth.parquet"), index=False)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

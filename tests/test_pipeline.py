@@ -1,0 +1,109 @@
+"""End-to-end: Spark flagship pipeline vs the in-process Lazo oracle on
+the deterministic synthetic code corpus (recall/precision gate)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.sketch import compute_sketches
+from lazo_spark.oracle import LazoIndexOracle
+from lazo_spark.plans.pipeline import run_dedup
+from lazo_spark.sources.code_files import generate_code_files
+
+CFG = LazoConfig(jcx_threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    files, truth = generate_code_files(sf=0.0002)  # 200 files
+    return files, truth
+
+
+def oracle_pairs(files: pd.DataFrame, cfg: LazoConfig) -> set[tuple[str, str]]:
+    """Reference-semantics dup pairs (undirected, rep-level) computed by
+    the in-process oracle over identical shingle sets."""
+    import hashlib
+
+    files = files.copy()
+    files["key"] = files.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}", axis=1
+    )
+    files["sha"] = files["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    reps = files.sort_values("key").groupby("sha", as_index=False).first()
+    sk = compute_sketches(
+        reps["key"].tolist(), reps["sha"].tolist(), reps["content"].tolist(), cfg
+    )
+    sk = sk[sk["cardinality"] > 0]
+    idx = LazoIndexOracle(cfg.k, cfg.d)
+    for _, row in sk.iterrows():
+        idx.insert(row["key"], np.asarray(row["signature"]), row["cardinality"])
+    out = set()
+    for _, row in sk.iterrows():
+        for key, js, jcx, jcy in idx.query(
+            np.asarray(row["signature"]),
+            row["cardinality"],
+            cfg.js_threshold,
+            cfg.jcx_threshold,
+        ):
+            if key != row["key"]:
+                a, b = sorted([row["key"], key])
+                out.add((a, b))
+    return out
+
+
+def test_pipeline_matches_oracle(spark, corpus):
+    files, _ = corpus
+    src = spark.createDataFrame(files)
+    result = run_dedup(spark, src, CFG)
+    got = {
+        tuple(sorted([r.key_x, r.key_y]))
+        for r in result["pairs"].select("key_x", "key_y").collect()
+    }
+    want = oracle_pairs(files, CFG)
+    assert want, "oracle produced no pairs — fixture broken"
+    missing = want - got
+    extra = got - want
+    recall = 1 - len(missing) / len(want)
+    precision = 1 - len(extra) / max(1, len(got))
+    assert recall >= 0.99, f"recall {recall}: missing {list(missing)[:5]}"
+    assert precision >= 0.99, f"precision {precision}: extra {list(extra)[:5]}"
+
+
+def test_pipeline_clusters_cover_exact_dups(spark, corpus):
+    files, truth = corpus
+    src = spark.createDataFrame(files)
+    result = run_dedup(spark, src, CFG)
+    clusters = result["clusters"].toPandas()
+    assert len(clusters) == len(files)
+    # exact duplicates (same sha) must share a cluster
+    merged = clusters.merge(
+        pd.DataFrame(
+            {
+                "key": files.apply(lambda r: f"{r.repo}:{r.path}@{r.commit}", axis=1),
+                "content": files["content"],
+            }
+        ),
+        on="key",
+    )
+    by_content = merged.groupby("content")["cluster"].nunique()
+    assert (by_content == 1).all()
+
+
+def test_sketch_stage_sha_invariance(spark, corpus):
+    """Per-row invariant: sha256(content) carried unchanged (input_hint)."""
+    files, _ = corpus
+    import hashlib
+
+    src = spark.createDataFrame(files.head(50))
+    from lazo_spark.operators.sketch import sketch_stage, with_key_and_sha
+
+    keyed = with_key_and_sha(src)
+    out = sketch_stage(keyed, CFG).select("key", "sha").toPandas()
+    want = {
+        f"{r.repo}:{r.path}@{r.commit}": hashlib.sha256(r.content.encode()).hexdigest()
+        for r in files.head(50).itertuples()
+    }
+    for r in out.itertuples():
+        assert want[r.key] == r.sha

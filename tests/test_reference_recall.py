@@ -1,0 +1,100 @@
+"""THE recall gate (BASELINE.json): dup-pair recall >= 0.99 of the Spark
+pipeline vs the compiled reference (authentic HLL cardinalities, literal
+LazoIndex) at identical shingle/signature/band config."""
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.shingles import shingle
+from lazo_spark.plans.pipeline import run_dedup
+from lazo_spark.sources.code_files import generate_code_files
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = LazoConfig(jcx_threshold=0.5)
+
+
+def _classes_dir():
+    d = os.path.join(REPO, ".golden", "classes")
+    if not os.path.exists(os.path.join(d, "ReferencePairs.class")):
+        subprocess.run(
+            [os.path.join(REPO, "tools", "gen_goldens.sh")],
+            check=True,
+            capture_output=True,
+        )
+    return d
+
+
+def _jars_cp():
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return ":".join(
+        os.path.join(jars, j)
+        for j in ("guava-33.4.8-jre.jar", "stream-2.9.8.jar")
+    )
+
+
+def run_reference(rep_files, cfg: LazoConfig) -> set[tuple[str, str]]:
+    """Run the compiled reference over OUR shingle sets; return undirected
+    passing pairs."""
+    classes = _classes_dir()
+    with tempfile.TemporaryDirectory() as tmp:
+        tsv = os.path.join(tmp, "in.tsv")
+        out = os.path.join(tmp, "out.tsv")
+        with open(tsv, "w") as f:
+            for key, content in rep_files:
+                for s in shingle(content, cfg.shingle_mode):
+                    f.write(f"{key}\t{s}\n")
+        subprocess.run(
+            [
+                "java", "-Dfile.encoding=UTF-8",
+                "-cp", f"{_jars_cp()}:{classes}",
+                "ReferencePairs", tsv, out,
+                str(cfg.k), str(cfg.js_threshold), str(cfg.jcx_threshold),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        pairs = set()
+        with open(out) as f:
+            for line in f:
+                q, c, *_ = line.rstrip("\n").split("\t")
+                a, b = sorted([q, c])
+                pairs.add((a, b))
+        return pairs
+
+
+@pytest.mark.slow
+def test_recall_vs_compiled_reference(spark):
+    files, _ = generate_code_files(sf=0.0003)  # 300 files
+    files = files.copy()
+    files["key"] = files.apply(lambda r: f"{r.repo}:{r.path}@{r.commit}", axis=1)
+    files["sha"] = files["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    reps = files.sort_values("key").groupby("sha", as_index=False).first()
+
+    want = run_reference(
+        list(zip(reps["key"], reps["content"])), CFG
+    )
+    assert len(want) > 50, f"reference found too few pairs ({len(want)})"
+
+    src = spark.createDataFrame(files[["repo", "path", "commit", "lang", "content"]])
+    result = run_dedup(spark, src, CFG)
+    got = {
+        tuple(sorted([r.key_x, r.key_y]))
+        for r in result["pairs"].select("key_x", "key_y").collect()
+    }
+    missing = want - got
+    recall = 1 - len(missing) / len(want)
+    extra = got - want
+    precision = 1 - len(extra) / max(1, len(got))
+    print(f"reference pairs={len(want)} ours={len(got)} recall={recall:.4f} precision={precision:.4f}")
+    assert recall >= 0.99, f"recall {recall:.4f}; missing e.g. {list(missing)[:5]}"
+    # HLL-vs-exact cardinality can flip borderline pairs either way;
+    # precision is reported but gated looser than the recall target.
+    assert precision >= 0.95, f"precision {precision:.4f}; extra e.g. {list(extra)[:5]}"

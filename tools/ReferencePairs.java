@@ -1,0 +1,58 @@
+// Runs the COMPILED REFERENCE (oracle) end-to-end over pre-shingled sets:
+// reads TSV lines "key<TAB>shingle", builds one LazoSketch per key
+// (MinHash k, HLL++ cardinality — the authentic reference path), inserts
+// all into a LazoIndex, queries every sketch, and writes
+// "qkey<TAB>ckey<TAB>js<TAB>jcx<TAB>jcy" for every passing candidate.
+// Usage: java ReferencePairs <in.tsv> <out.tsv> <k> <js_t> <jcx_t>
+import java.io.BufferedReader;
+import java.io.FileReader;
+import java.io.FileWriter;
+import java.io.PrintWriter;
+import java.util.LinkedHashMap;
+import java.util.List;
+import java.util.ArrayList;
+import java.util.Map;
+import java.util.Set;
+
+import lazo.index.LazoIndex;
+import lazo.index.LazoIndex.LazoCandidate;
+import lazo.sketch.LazoSketch;
+import lazo.sketch.SketchType;
+
+public class ReferencePairs {
+    public static void main(String[] args) throws Exception {
+        String in = args[0], out = args[1];
+        int k = Integer.parseInt(args[2]);
+        float jsT = Float.parseFloat(args[3]);
+        float jcxT = Float.parseFloat(args[4]);
+
+        Map<String, List<String>> sets = new LinkedHashMap<>();
+        try (BufferedReader r = new BufferedReader(new FileReader(in))) {
+            String line;
+            while ((line = r.readLine()) != null) {
+                int tab = line.indexOf('\t');
+                if (tab < 0) continue;
+                sets.computeIfAbsent(line.substring(0, tab), x -> new ArrayList<>())
+                        .add(line.substring(tab + 1));
+            }
+        }
+        LazoIndex index = new LazoIndex(k);
+        Map<String, LazoSketch> sketches = new LinkedHashMap<>();
+        for (Map.Entry<String, List<String>> e : sets.entrySet()) {
+            LazoSketch sk = new LazoSketch(k, SketchType.MINHASH);
+            for (String v : e.getValue()) sk.update(v);
+            sketches.put(e.getKey(), sk);
+            index.insert(e.getKey(), sk);
+        }
+        try (PrintWriter w = new PrintWriter(new FileWriter(out))) {
+            for (Map.Entry<String, LazoSketch> e : sketches.entrySet()) {
+                Set<LazoCandidate> cands = index.query(e.getValue(), jsT, jcxT);
+                for (LazoCandidate c : cands) {
+                    if (c.key.equals(e.getKey())) continue;
+                    w.println(e.getKey() + "\t" + c.key + "\t" + c.js + "\t" + c.jcx + "\t" + c.jcy);
+                }
+            }
+        }
+        System.out.println("keys=" + sets.size());
+    }
+}
