@@ -1,38 +1,392 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+entry(spark)   -> flagship Lazo near-dup pipeline on sf0.001 documents.
+queries()      -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   -> DuckDB-equivalent SQL for the SQL-expressible ones.
 
+Column names/aliases match between the Spark queries and the oracle SQL
+(the driver hashes values after sorting columns by name).
+"""
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lazo_spark.config import LazoConfig  # noqa: E402
+from lazo_spark.operators import text as T  # noqa: E402
+from lazo_spark.operators.cluster import connected_components  # noqa: E402
+from lazo_spark.operators.lazo import lazo_pairs  # noqa: E402
+from lazo_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs  # noqa: E402
+from lazo_spark.operators.sketch import sketch_stage  # noqa: E402
+from lazo_spark.operators.verify import (  # noqa: E402
+    canonicalize_pairs,
+    exact_pairs,
+    pr_evaluate,
+)
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("content"),
+    ).withColumn("sha", F.sha2("content", 256))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Lazo containment dedup pairs over sf0.001 documents."""
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    docs = _docs_keyed(spark, "/root/testdata/sf0.001")
+    sketches = sketch_stage(docs, cfg)
+    return lazo_pairs(sketches, cfg)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy(
+        F.sha2("text", 256).alias("sha")
+    ).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    out = T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    out = T.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
+def q_language_id(spark, sf_dir):
+    out = T.language_id(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("c_en").cast("long").alias("c_en"),
+        F.col("c_fr").cast("long").alias("c_fr"),
+        F.col("c_de").cast("long").alias("c_de"),
+        "pred_lang",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    out = T.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
+def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
+
+
+def q_exact_js_pairs(spark, sf_dir):
+    p = _bigram_pairs(spark, sf_dir, js_t=0.5)
+    return p.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.round("js", 6).alias("js"),
+    )
+
+
+def q_exact_containment_pairs(spark, sf_dir):
+    p = _bigram_pairs(spark, sf_dir, jcx_t=0.8)
+    return p.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.round("js", 6).alias("js"),
+        F.round("jcx", 6).alias("jcx"),
+        F.round("jcy", 6).alias("jcy"),
+    )
+
+
+def q_pair_canonicalize(spark, sf_dir):
+    p = _bigram_pairs(spark, sf_dir, js_t=0.5).select("key_x", "key_y")
+    directed = p.union(p.select(F.col("key_y"), F.col("key_x")))
+    out = canonicalize_pairs(
+        directed.withColumnRenamed("key_x", "x").withColumnRenamed("key_y", "y"),
+        "x",
+        "y",
+    )
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+    )
+
+
+def q_cluster_sizes(spark, sf_dir):
+    # keep keys numeric: min-label must agree with the SQL oracle's
+    # numeric least(), not string ordering
+    edges = _bigram_pairs(spark, sf_dir, js_t=0.5).select("key_x", "key_y")
+    comp = connected_components(edges)
+    return (
+        comp.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+
+
+def q_pr_evaluator(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    results = exact_pairs(docs, "doc_id", "content", "word", js_threshold=0.5)
+    truth = _bigram_pairs(spark, sf_dir, js_t=0.5)
+    return pr_evaluate(
+        results.select(F.col("key_x").cast("string"), F.col("key_y").cast("string")),
+        truth.select(F.col("key_x").cast("string"), F.col("key_y").cast("string")),
+    )
+
+
+def q_minhash_cardinality(spark, sf_dir):
+    cfg = LazoConfig(shingle_mode="word")
+    sk = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    return sk.select(
+        F.col("key").cast("long").alias("key"), F.col("cardinality").alias("cardinality")
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    out = cosine_topk(_emb(spark, sf_dir), 3, query_filter=F.col("vec_id") < 20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---- non-SQL-expressible (rows-only checks) ----
+
+def q_lazo_pairs(spark, sf_dir):
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    p = lazo_pairs(sketches, cfg)
+    return p.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        "js", "jcx", "jcy", "th",
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    cfg = LazoConfig(shingle_mode="token_ngram:2")
+    sk = sketch_stage(_docs_keyed(spark, sf_dir), cfg).select("key", "simhash")
+    byte = [
+        F.shiftrightunsigned(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias(f"b{i}")
+        for i in range(8)
+    ]
+    bands = sk.select("key", "simhash", F.posexplode(F.array(*byte)).alias("pos", "bh"))
+    x = bands.select(
+        "pos", "bh", F.col("key").alias("key_x"), F.col("simhash").alias("sim_x")
+    )
+    y = bands.select(
+        "pos", "bh", F.col("key").alias("key_y"), F.col("simhash").alias("sim_y")
+    )
+    pairs = (
+        x.join(y, ["pos", "bh"])
+        .filter(F.col("key_x") < F.col("key_y"))
+        .select("key_x", "key_y", "sim_x", "sim_y")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_x").bitwiseXOR(F.col("sim_y"))),
+        )
+        .filter(F.col("hamming") <= 10)
+    )
+    return pairs.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), cosine_threshold=0.3, n_planes=4
+    ).select(
+        "id_x", "id_y", F.round("cosine", 6).alias("cosine")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "exact_js_pairs": q_exact_js_pairs,
+        "exact_containment_pairs": q_exact_containment_pairs,
+        "pair_canonicalize": q_pair_canonicalize,
+        "cluster_sizes": q_cluster_sizes,
+        "pr_evaluator": q_pr_evaluator,
+        "minhash_cardinality": q_minhash_cardinality,
+        "embedding_topk": q_embedding_topk,
+        "lazo_pairs": q_lazo_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_BIGRAMS = f"""
+  SELECT doc_id, g FROM (
+    SELECT DISTINCT doc_id, CASE WHEN len(arr) < 2
+        THEN array_to_string(arr, ' ')
+        ELSE arr[i] || ' ' || arr[i+1] END AS g
+    FROM (SELECT doc_id, {_TOKS} AS arr FROM documents),
+         UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
+    WHERE i = 1 OR i <= len(arr) - 1)
+"""
+
+_BIGRAM_PAIR_SCORES = f"""
+  WITH bg AS ({_BIGRAMS}),
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+  ix AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
+         FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+  SELECT x, y,
+         c * 1.0 / (sa.n + sb.n - c) AS js,
+         c * 1.0 / sa.n AS jcx,
+         c * 1.0 / sb.n AS jcy
+  FROM ix JOIN sz sa ON ix.x = sa.doc_id JOIN sz sb ON ix.y = sb.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS group_size
+            FROM documents GROUP BY sha256(text)
+        """,
+        "token_stats": f"""
+            SELECT doc_id AS key, length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id AS key,
+              round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) ) * 1.0
+                    / greatest(length(text), 1), 4) AS punct_ratio,
+              round((length(text) - len({_TOKS}) + 1) * 1.0
+                    / greatest(len({_TOKS}), 1), 4) AS mean_token_len,
+              round(len(list_filter({_TOKS}, t -> lower(t) IN ({", ".join("'" + s + "'" for s in T.STOPWORDS)}))) * 1.0
+                    / greatest(len({_TOKS}), 1), 4) AS stopword_ratio
+            FROM documents
+        """,
+        "language_id": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','is','of'))) AS c_en,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','les'))) AS c_fr,
+                len(list_filter({_TOKS}, t -> lower(t) IN ('der','die','und','das'))) AS c_de
+              FROM documents)
+            SELECT doc_id AS key, c_en, c_fr, c_de,
+              CASE WHEN c_en >= c_fr AND c_en >= c_de THEN 'en'
+                   WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS pred_lang
+            FROM c
+        """,
+        "fingerprint": f"""
+            SELECT doc_id AS key, list_min(list_transform(grams, g -> md5(g))) AS fingerprint
+            FROM (
+              SELECT doc_id, CASE WHEN len(arr) < 3
+                  THEN [array_to_string(arr, ' ')]
+                  ELSE list_transform(range(1, len(arr) - 1),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+                  END AS grams
+              FROM (SELECT doc_id, {_TOKS} AS arr FROM documents))
+        """,
+        "exact_js_pairs": f"""
+            SELECT x AS key_x, y AS key_y, round(js, 6) AS js
+            FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "exact_containment_pairs": f"""
+            SELECT x AS key_x, y AS key_y, round(js, 6) AS js,
+                   round(jcx, 6) AS jcx, round(jcy, 6) AS jcy
+            FROM ({_BIGRAM_PAIR_SCORES}) WHERE jcx >= 0.8 OR jcy >= 0.8
+        """,
+        "pair_canonicalize": f"""
+            SELECT DISTINCT least(x, y) AS key_x, greatest(x, y) AS key_y
+            FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "cluster_sizes": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT x, y FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+            ),
+            edges AS (SELECT x AS a, y AS b FROM pairs
+                      UNION SELECT y AS a, x AS b FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT a AS node, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a
+            )
+            SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster
+        """,
+        "pr_evaluator": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t FROM (SELECT doc_id, {_TOKS} AS arr FROM documents),
+                   UNNEST(arr) AS u(t)
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            ixw AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
+                    FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+            results AS (
+              SELECT x, y FROM ixw JOIN sz sa ON ixw.x = sa.doc_id
+                               JOIN sz sb ON ixw.y = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+            truth AS (SELECT x, y FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5),
+            agg AS (
+              SELECT (SELECT COUNT(*) FROM results) AS n_results,
+                     (SELECT COUNT(*) FROM truth) AS n_truth,
+                     (SELECT COUNT(*) FROM results r JOIN truth t
+                        ON r.x = t.x AND r.y = t.y) AS hits)
+            SELECT n_results, n_truth, hits,
+                   round(CASE WHEN n_results > 0 THEN hits * 1.0 / n_results ELSE 0 END, 6) AS precision,
+                   round(CASE WHEN n_truth > 0 THEN hits * 1.0 / n_truth ELSE 0 END, 6) AS recall
+            FROM agg
+        """,
+        "minhash_cardinality": f"""
+            SELECT doc_id AS key,
+                   len(list_distinct({_TOKS})) AS cardinality
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "embedding_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id ASC) AS rank
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 20 AND a.vec_id != b.vec_id)
+            WHERE rank <= 3
+        """,
+    }

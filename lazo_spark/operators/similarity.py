@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k (exact baseline, built-ins only: zip_with dot
+products + window rank) and a random-hyperplane LSH-bucketed variant (the
+scale path: candidates only within matching sign-bucket, same bands-join
+shape as the MinHash LSH plan).  Not in the reference; required
+training-data-pipeline capability.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    Queries (optionally filtered) x full corpus: a broadcast-able cross
+    join when the query side is small; at scale, swap the corpus side to
+    the LSH-bucketed variant below.  Vectors are cast to double before
+    the dot product so both engines sum in float64 left-to-right.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature bucket per vector: bucket = sign bits
+    of <v, h_j> packed into an int.  Vectors in the same bucket are
+    near-duplicate candidates (cosine-LSH)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    v = F.col(vec_col).cast("array<double>")
+    for j in range(n_planes):
+        arr = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(v, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return embeddings.select(
+        F.col(id_col).alias("vec_id_out"), bucket.alias("bucket")
+    ).withColumnRenamed("vec_id_out", id_col)
+
+
+def lsh_cosine_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs sharing a hyperplane bucket (same self-join shape
+    as the MinHash band join; scales as sum of bucket sizes squared, not
+    n^2)."""
+    b = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
+    x = b.select(F.col(id_col).alias("id_x"), "bucket")
+    y = b.select(F.col(id_col).alias("id_y"), "bucket")
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("id_x") < F.col("id_y"))
+        .select("id_x", "id_y", "bucket")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidates verified by
+    exact cosine (candidate generation + verification, like the MinHash
+    path)."""
+    cands = lsh_cosine_candidates(embeddings, n_planes, dim, 42, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        cands.join(e.withColumnRenamed("id", "id_x").withColumnRenamed("v", "vx"), "id_x")
+        .join(e.withColumnRenamed("id", "id_y").withColumnRenamed("v", "vy"), "id_y")
+        .select(
+            "id_x",
+            "id_y",
+            (_dot(F.col("vx"), F.col("vy")) / (_norm(F.col("vx")) * _norm(F.col("vy")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

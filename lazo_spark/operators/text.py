@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines (built-ins only).
+
+Not present in the reference (its text handling stops at per-word n-grams,
+StringUtils.java:14-29); these are the standard corpus-quality operators a
+large-scale training-data pipeline needs.  Every operator is a pure
+Column-expression transform — codegen'd, scan-fused, shuffle-free.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with "
+    "for on as at by from"
+).split()
+
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "of"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+}
+
+
+def _tokens(content: Column) -> Column:
+    return F.split(F.trim(content), r"\s+")
+
+
+def token_stats(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """(key, n_chars, n_tokens, n_distinct_tokens)."""
+    toks = _tokens(F.col(content_col))
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.length(content_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """Heuristic quality features: punctuation ratio, mean token length,
+    stopword ratio (rounded for engine-portable comparison)."""
+    c = F.col(content_col)
+    toks = _tokens(c)
+    n_chars = F.length(c)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(
+            (n_chars - F.size(toks) + 1) / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("mean_token_len"),
+        F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """Marker-token language heuristic with a fixed deterministic
+    tie-break order (en > fr > de)."""
+    toks = _tokens(F.lower(F.col(content_col)))
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when(
+            (counts["en"] >= counts["fr"]) & (counts["en"] >= counts["de"]), "en"
+        )
+        .when(counts["fr"] >= counts["de"], "fr")
+        .otherwise("de")
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        counts["en"].alias("c_en"),
+        counts["fr"].alias("c_fr"),
+        counts["de"].alias("c_de"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, key_col: str, content_col: str, n: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum md5 over token
+    n-gram windows (deterministic, engine-portable)."""
+    toks = _tokens(F.col(content_col))
+    grams = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+    )

@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness check: runs every
+__spark_entry__.queries() entry at a given sf and compares against
+oracle_sql() via DuckDB (row count + order-insensitive value hash,
+columns sorted by name).  Usage: python tools/check_contract.py [sf_dir]
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    def norm(v):
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+    rows = sorted(
+        ",".join(norm(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main(sf_dir: str) -> int:
+    import __spark_entry__ as entrymod
+    from lazo_spark.session import get_spark
+
+    spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s) [no oracle]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {e}")
+            failures += 1
+            continue
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(odf)
+        status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
+        if status.startswith("FAIL"):
+            failures += 1
+        print(
+            f"{status}{name}: spark={len(sdf)} duck={len(odf)} cols_ok={ok_cols} "
+            f"hash_ok={ok_hash} ({el:.1f}s)"
+        )
+        if not ok_hash and ok_rows and ok_cols and len(sdf) < 10000:
+            s = sdf[sorted(sdf.columns)].astype(str).apply("|".join, axis=1)
+            o = odf[sorted(odf.columns)].astype(str).apply("|".join, axis=1)
+            only_s = set(s) - set(o)
+            only_o = set(o) - set(s)
+            for row in list(only_s)[:3]:
+                print(f"      spark-only: {row}")
+            for row in list(only_o)[:3]:
+                print(f"      duck-only:  {row}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf_dir) else 0)
