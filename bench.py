@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the flagship sketch+LSH throughput (files/sec) on the
+synthetic code corpus and — when SPARK_GRAFT_SCALING=1 — repeats it at
+local[8] vs local[32] to evidence the N->4N scaling-efficiency target
+(BASELINE.md; no real cluster in this sandbox).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    return timings
+
+
+def flagship_throughput(cpus: int, sf: float) -> dict:
+    """Flagship dedup pipeline (code corpus) wall time + files/sec on a
+    fresh local[cpus] session."""
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.plans.pipeline import run_dedup
+    from lazo_spark.session import get_spark
+    from lazo_spark.sources.code_files import cached_code_files_path
+
+    path = cached_code_files_path(sf)
+    spark = get_spark(
+        f"bench-local{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        src = spark.read.parquet(os.path.join(path, "files.parquet"))
+        n_files = src.count()
+        t0 = time.time()
+        # containment threshold 0.8: a realistic dedup setting (the
+        # reference CLI takes this as an argument).  At 0.5 the reference
+        # semantics pass every extreme-cardinality-ratio pair (clamped
+        # bounds average to exactly 0.5), which is a pathology, not dedup.
+        result = run_dedup(spark, src, LazoConfig(jcx_threshold=0.8))
+        n_pairs = result["pairs"].count()
+        n_clusters = result["clusters"].select("cluster").distinct().count()
+        elapsed = time.time() - t0
+    finally:
+        spark.stop()
+    return {
+        "cpus": cpus,
+        "files": n_files,
+        "pairs": n_pairs,
+        "clusters": n_clusters,
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round(n_files / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from lazo_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings = run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    # flagship throughput on the code corpus at a bench-friendly scale
+    code_sf = min(sf, 0.03)
+    flag = flagship_throughput(cpus, code_sf)
+    timings["flagship_code_dedup"] = flag["seconds"]
+
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship": flag,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo = flagship_throughput(8, code_sf)
+        hi = flagship_throughput(32, code_sf)
+        eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+        out["scaling"] = {
+            "local8": lo,
+            "local32": hi,
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

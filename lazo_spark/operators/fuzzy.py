@@ -1,0 +1,78 @@
+"""Fuzzy (n-gram signature) similarity path.
+
+Re-expresses the reference fuzzy layer (NGramSignature.java:29-59,
+SignatureUtils.java:33-66, BaseIndex.java:24-100): one MinHash sketch per
+character n-gram size 2..n (plus one over whole words), per-n Lazo
+containment estimation, and the theta aggregation
+    theta = jcx * ln(card / aggrJC) / ln(card)
+averaged over n-gram sizes (BaseIndex.java:54-58, 70-100).
+
+Deliberate deviations (SURVEY §7, documented): the reference's
+calculateContainment divides int/int and long/long, truncating both the
+match fraction and the containment to 0 (SignatureUtils.java:52,60); we
+compute correct float math.  Candidate generation per n reuses the
+flagship lazo plan, so 'card' in theta is the per-n candidate-set size
+exactly as BaseIndex.query uses it.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import LazoConfig
+from ..operators.lazo import lazo_pairs
+from ..operators.sketch import sketch_stage
+
+
+def ngram_signature_stage(
+    df: DataFrame, config: LazoConfig, n: int = 4
+) -> dict[int, DataFrame]:
+    """One sketch DataFrame per n-gram size 2..n plus 0 = whole words.
+    df: (key, sha, content)."""
+    out: dict[int, DataFrame] = {}
+    for size in range(2, n + 1):
+        cfg = LazoConfig(
+            k=config.k, d=config.d, seed=config.seed,
+            sketch_type=config.sketch_type,
+            shingle_mode=f"char_ngram:{size}",
+        )
+        out[size] = sketch_stage(df, cfg)
+    cfg0 = LazoConfig(
+        k=config.k, d=config.d, seed=config.seed,
+        sketch_type=config.sketch_type, shingle_mode="word",
+    )
+    out[0] = sketch_stage(df, cfg0)
+    return out
+
+
+def fuzzy_candidates(
+    df: DataFrame, config: LazoConfig, n: int = 4, jcx_floor: float = 0.1
+) -> DataFrame:
+    """(key_x, key_y, m): theta-aggregated fuzzy similarity, the Spark
+    re-expression of BaseIndex.query (per-n candidates -> theta ->
+    average over sizes)."""
+    sigs = ngram_signature_stage(df, config, n)
+    per_n = []
+    for size in range(2, n + 1):
+        cands = lazo_pairs(
+            sigs[size], config, js_threshold=0.0, jcx_threshold=jcx_floor
+        ).select("key_x", "key_y", "jcx")
+        # card = |candidate set|, aggrJC = sum of jcx over it (global per n,
+        # mirroring BaseIndex.query's per-query aggregation at corpus level)
+        agg = cands.agg(
+            F.count(F.lit(1)).alias("card"), F.sum("jcx").alias("aggr_jc")
+        )
+        scored = cands.crossJoin(F.broadcast(agg)).select(
+            "key_x",
+            "key_y",
+            (
+                F.col("jcx")
+                * F.log(F.col("card") / F.col("aggr_jc"))
+                / F.log(F.col("card"))
+            ).alias("theta"),
+        )
+        per_n.append(scored)
+    un = per_n[0]
+    for other in per_n[1:]:
+        un = un.union(other)
+    return un.groupBy("key_x", "key_y").agg(F.avg("theta").alias("m"))

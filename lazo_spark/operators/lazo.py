@@ -21,6 +21,7 @@ structural skew.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -32,13 +33,65 @@ from ..functions.estimation import estimate_pairs
 EST_SCHEMA = "js float, jcx float, jcy float, keep boolean"
 
 
-def band_explode(sketches: DataFrame) -> DataFrame:
-    """(key, cardinality, band_hashes) -> (key, card, pos, bh).  Narrow."""
+def band_explode(sketches: DataFrame, max_pos: int | None = None) -> DataFrame:
+    """(key, cardinality, band_hashes) -> (key, card, pos, bh).  Narrow.
+    max_pos truncates to the useful band prefix (see max_useful_band)."""
+    hashes = F.col("band_hashes")
+    if max_pos is not None:
+        hashes = F.slice(hashes, 1, max_pos)
     return sketches.select(
         "key",
         F.col("cardinality").alias("card"),
-        F.posexplode("band_hashes").alias("pos", "bh"),
+        F.posexplode(hashes).alias("pos", "bh"),
     )
+
+
+def _cardinality_grid() -> tuple[np.ndarray, np.ndarray]:
+    """(minC, maxC) grid covering the extreme regimes of the estimation
+    formulas: all small pairs (where (long) truncation dominates), large
+    equal pairs (asymptotic js = th), and large-ratio pairs (ECH clamp)."""
+    pairs = []
+    for mn in range(1, 65):
+        mx = mn
+        while mx <= mn * 4096 and mx <= 1 << 22:
+            pairs.append((mn, mx))
+            mx = max(mx + 1, int(mx * 1.5))
+    for exp in range(7, 23):
+        mn = 1 << exp
+        for ratio in (1, 2, 5, 20, 100, 1000):
+            pairs.append((mn, mn * ratio))
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    return a, b
+
+
+def max_useful_band(
+    config: LazoConfig, js_threshold: float, jcx_threshold: float
+) -> int:
+    """Largest band position that can contribute a PASSING pair — a
+    lossless pushdown: for each sweep threshold th, run the *actual*
+    estimation + filter (estimate_pairs, both directions) over a dense
+    cardinality grid; if no cardinality combination can pass, pairs whose
+    minimum matching position maps to th can never appear in the output,
+    so band positions beyond every passable config's band count are
+    pruned before the self-join.
+
+    E.g. at jcx_t = 0.8 (ECH on): th = 0 can reach avg jcx of at most
+    1/2, so positions >= 32 are pruned (64 -> 32 band rows).
+    """
+    from ..functions.banding import banding_table
+
+    table = banding_table(config.k, config.d, config.fp_rate, config.fn_rate)
+    n = int(1 / config.d)
+    mn, mx = _cardinality_grid()
+    max_band = 0
+    for i in range(n):
+        th = np.full(len(mn), np.float32(config.d) * np.float32(i), dtype=np.float32)
+        rx = estimate_pairs(th, mn, mx, config.d, js_threshold, jcx_threshold, config.ech)
+        ry = estimate_pairs(th, mx, mn, config.d, js_threshold, jcx_threshold, config.ech)
+        if (rx.keep | ry.keep).any():
+            max_band = max(max_band, table[i][0])
+    return max(1, min(config.k, max_band))
 
 
 def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
@@ -63,7 +116,10 @@ def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
 
 
 def candidate_pairs(
-    sketches: DataFrame, config: LazoConfig, salt: bool = False
+    sketches: DataFrame,
+    config: LazoConfig,
+    salt: bool = False,
+    max_pos: int | None = None,
 ) -> DataFrame:
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
@@ -72,7 +128,7 @@ def candidate_pairs(
     against the sketch table is needed afterwards; at extreme scale the
     same plan works with keys pre-hashed to longs (join back at the end).
     """
-    bands = band_explode(sketches)
+    bands = band_explode(sketches, max_pos)
     join_keys = ["pos", "bh"]
     if salt and config.bucket_cap:
         bands = salt_hot_buckets(bands, config.bucket_cap)
@@ -163,5 +219,8 @@ def lazo_pairs(
     salt: bool = False,
 ) -> DataFrame:
     """Full candidate pipeline: bands join -> min_pos -> estimate -> filter."""
-    pairs = candidate_pairs(sketches, config, salt=salt)
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    max_pos = max_useful_band(config, js_t, jcx_t)
+    pairs = candidate_pairs(sketches, config, salt=salt, max_pos=max_pos)
     return estimate_candidates(pairs, config, js_threshold, jcx_threshold)

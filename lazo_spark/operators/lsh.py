@@ -1,0 +1,79 @@
+"""Standard MinHash-LSH candidate generation with explicit (bands, rows).
+
+Re-expresses the plain MinHashLSH path (MinHashLSH.java:155-191,
+benchmark drivers MinHashLSHSimilarity.java:99-152 /
+OOPHLSHSimilarity.java:116-165): slice the k-length signature into
+`bands` disjoint segments of `rows` values, hash each segment
+(Arrays.hashCode), and pair keys whose segment hashes collide in the
+same band.
+
+Deliberate deviation (SURVEY §7): the reference's *query-side* segment
+extraction is misaligned for rows > 1 (end = (start+1)*rows,
+MinHashLSH.java:182, zero-padded by copyOfRange) so insert/query only
+agree at rows == 1.  We use the insert-side (standard) banding for both
+sides; at rows == 1 the two are identical and golden-tested.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.banding import optimal_parameters
+from ..functions.javacompat import arrays_hashcode_long
+
+
+def segment_hashes(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """[R, k] signatures -> [R, bands] Arrays.hashCode segment hashes."""
+    seg = sigs[:, : bands * rows].reshape(sigs.shape[0], bands, rows)
+    return arrays_hashcode_long(seg)
+
+
+def band_segments(
+    sketches: DataFrame, bands: int, rows: int
+) -> DataFrame:
+    """(key, signature) -> (key, band, seg_hash) via a vectorized UDF."""
+    schema = "key string, band int, seg_hash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = np.stack(pdf["signature"].to_numpy())
+            seg = segment_hashes(sigs, bands, rows)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "key": np.repeat(pdf["key"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "seg_hash": seg.reshape(-1),
+                }
+            )
+
+    return sketches.select("key", "signature").mapInPandas(run, schema)
+
+
+def minhash_lsh_pairs(
+    sketches: DataFrame,
+    threshold: float,
+    k: int,
+    bands: int | None = None,
+    rows: int | None = None,
+    fp_rate: float = 0.5,
+    fn_rate: float = 0.5,
+) -> DataFrame:
+    """Raw LSH candidate pairs at a single threshold config (no
+    estimation — the P3/P4 baseline pipelines).  (bands, rows) defaults
+    to the reference optimizer's choice for (threshold, k)."""
+    if bands is None or rows is None:
+        bands, rows = optimal_parameters(threshold, k, fp_rate, fn_rate)
+    segs = band_segments(sketches, bands, rows)
+    x = segs.select("band", "seg_hash", F.col("key").alias("key_x"))
+    y = segs.select("band", "seg_hash", F.col("key").alias("key_y"))
+    return (
+        x.join(y, ["band", "seg_hash"])
+        .filter(F.col("key_x") < F.col("key_y"))
+        .select("key_x", "key_y")
+        .distinct()
+    )

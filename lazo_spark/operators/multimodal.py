@@ -1,0 +1,104 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, batched UDF signatures) is
+real and tested; the actual media decode is STUBBED (codec libraries are
+not available in this container): ``decode_media`` either raises
+NotImplementedError (mode='real') or produces a deterministic fake
+feature vector derived from the payload bytes (mode='fake', used by
+tests to exercise the full distributed path).
+
+Media table schema:
+  (media_id string, media_type string, payload binary,
+   meta map<string,string>)
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, media_type string, payload binary, meta map<string,string>"
+)
+
+FEATURE_DIM = 16
+
+
+def decode_media(payload: bytes, media_type: str, mode: str = "fake") -> np.ndarray:
+    """Decode one media payload into a float32 feature vector.
+
+    mode='real' is the integration point for actual codecs (PIL/ffmpeg —
+    not installed here); mode='fake' derives a deterministic vector from
+    sha256(payload) so the distributed plumbing is fully testable.
+    """
+    if mode == "real":
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "plug a decoder here (PIL for image, ffmpeg for audio/video)"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw.astype(np.float32) / np.float32(2**32)).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, mode: str = "fake", batch_note: str = "sha-derived"
+) -> DataFrame:
+    """(media table) -> (media_id, media_type, n_bytes, features).
+
+    mapInPandas over Arrow batches: payloads arrive as one contiguous
+    binary column per batch; features leave as list<float>.  This stage
+    is narrow (no shuffle) and partition-parallel — exactly how a real
+    decoder would run.
+    """
+    schema = "media_id string, media_type string, n_bytes long, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, t, mode)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_index) rows
+    for frames 0, n, 2n, ... based on meta['n_frames'] — the real decoder
+    would attach pixels; the plan (explode + partition shape) is real."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), F.lit("n_frames")).cast("int"), F.lit(0)
+    )
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+            )
+        ).alias("frame_index"),
+    ).filter(n_frames > 0)
+
+
+def media_near_dup_pairs(df: DataFrame, mode: str = "fake") -> DataFrame:
+    """Exact-duplicate media by payload sha256 (works regardless of
+    decode availability) — the binary-column analog of the text sha
+    collapse."""
+    hashed = df.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("sha")
+    )
+    x = hashed.select(F.col("media_id").alias("id_x"), "sha")
+    y = hashed.select(F.col("media_id").alias("id_y"), "sha")
+    return x.join(y, "sha").filter(F.col("id_x") < F.col("id_y"))

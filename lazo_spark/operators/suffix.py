@@ -1,0 +1,200 @@
+"""Suffix/substring containment path (companion dedup path per the north
+rule; not present in the reference).
+
+Distributed design (Spark-first, not a port of any single-node trick):
+
+1. *Winnowed L-gram fingerprints*: every document emits the winnowing
+   selection (per-window minimum) of its rolling L-gram hashes.  The
+   winnowing guarantee: two documents sharing any substring of length
+   >= L + w - 1 share at least one selected gram.  Narrow stage
+   (mapInPandas, NumPy rolling hash).
+2. *Candidate join*: equi-join on the selected gram STRING (not its
+   hash) — exact, collision-free, same shuffle shape as the MinHash band
+   join; bucket counts are winnow-thinned by ~2/(w+1).
+3. *Per-partition suffix arrays* (prefix-doubling in NumPy) serve as the
+   exact verifier: for candidate pairs, the length of the longest common
+   substring is computed from the merged suffix array's LCP.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def winnow_grams(text: str, L: int = 32, w: int = 8) -> list[str]:
+    """Winnowing selection of L-grams: per window of w consecutive gram
+    hashes keep the (rightmost) minimum; return the distinct selected
+    gram strings."""
+    n = len(text)
+    if n < L:
+        return [text] if text else []
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < L:
+        return [text]
+    # polynomial rolling hash over bytes, vectorized via cumulative trick
+    base = np.uint64(1000003)
+    pows = np.concatenate(
+        ([np.uint64(1)], np.cumprod(np.full(L - 1, base, dtype=np.uint64)))
+    )  # base^0 .. base^(L-1), wraparound uint64
+    # hash of window i = sum_j b[i+j] * base^(L-1-j); L <= 64 so loop over j
+    m = len(b) - L + 1
+    H = np.zeros(m, dtype=np.uint64)
+    for j in range(L):
+        H += b[j : j + m].astype(np.uint64) * pows[L - 1 - j]
+    if m <= w:
+        picks = {int(np.argmin(H))}
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(H, w)
+        picks = set((np.argmin(sw[:, ::-1], axis=1) * -1 + w - 1 + np.arange(len(sw))).tolist())
+    # decode positions back to char-space: operate on bytes; return byte
+    # slices re-decoded (safe: we only join on equality)
+    out = set()
+    raw = text.encode("utf-8", "surrogatepass")
+    for p in picks:
+        out.add(raw[p : p + L].decode("utf-8", "replace"))
+    return list(out)
+
+
+def substring_fingerprints(
+    df: DataFrame, key_col: str = "key", content_col: str = "content",
+    L: int = 32, w: int = 8,
+) -> DataFrame:
+    """(key, gram) — winnowed L-gram fingerprints per document."""
+    schema = "key string, gram string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, grams = [], []
+            for k, c in zip(pdf[key_col], pdf[content_col]):
+                for g in winnow_grams(c or "", L, w):
+                    keys.append(k)
+                    grams.append(g)
+            yield pd.DataFrame({"key": keys, "gram": grams})
+
+    return df.select(key_col, content_col).mapInPandas(run, schema)
+
+
+def substring_candidates(
+    df: DataFrame, key_col: str = "key", content_col: str = "content",
+    L: int = 32, w: int = 8, min_shared: int = 1,
+) -> DataFrame:
+    """Pairs of documents sharing >= min_shared selected L-grams, i.e.
+    guaranteed to share a substring of length >= L (vendored files,
+    embedded subtrees, long clone fragments)."""
+    fp = substring_fingerprints(df, key_col, content_col, L, w)
+    x = fp.select(F.col("key").alias("key_x"), "gram")
+    y = fp.select(F.col("key").alias("key_y"), "gram")
+    return (
+        x.join(y, "gram")
+        .filter(F.col("key_x") < F.col("key_y"))
+        .groupBy("key_x", "key_y")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact verifier: suffix array + LCP (NumPy prefix doubling / Kasai)
+# ---------------------------------------------------------------------------
+
+def suffix_array(s: bytes) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log^2 n), vectorized)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    a = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    rank = a.copy()
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        new_rank = np.zeros(n, dtype=np.int64)
+        prev = order[:-1]
+        cur = order[1:]
+        diff = (rank[cur] != rank[prev]) | (second[cur] != second[prev])
+        new_rank[order] = np.concatenate(([0], np.cumsum(diff)))
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def lcp_array(s: bytes, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i])."""
+    n = len(s)
+    rank = np.zeros(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    b = np.frombuffer(s, dtype=np.uint8)
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and b[i + h] == b[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact LCS length of two strings via merged suffix array."""
+    ab = a.encode("utf-8", "surrogatepass")
+    bb = b.encode("utf-8", "surrogatepass")
+    sep = b"\x00"
+    s = ab + sep + bb
+    sa = suffix_array(s)
+    lcp = lcp_array(s, sa)
+    cut = len(ab)
+    best = 0
+    side = sa < cut  # True: suffix starts in a
+    for i in range(1, len(sa)):
+        if side[i] != side[i - 1]:
+            v = int(lcp[i])
+            # clamp so the match cannot cross the separator
+            lim_prev = (cut - sa[i - 1]) if side[i - 1] else (len(s) - sa[i - 1])
+            lim_cur = (cut - sa[i]) if side[i] else (len(s) - sa[i])
+            best = max(best, min(v, int(lim_prev), int(lim_cur)))
+    return best
+
+
+def verify_substring_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+    min_len: int = 32,
+) -> DataFrame:
+    """Exact LCS verification of candidate pairs (suffix-array based),
+    executed as a vectorized batch per partition."""
+    docs = df.select(F.col(key_col).alias("k"), F.col(content_col).alias("c"))
+    joined = (
+        candidates.join(docs.withColumnRenamed("k", "key_x").withColumnRenamed("c", "cx"), "key_x")
+        .join(docs.withColumnRenamed("k", "key_y").withColumnRenamed("c", "cy"), "key_y")
+    )
+    schema = "key_x string, key_y string, lcs_len long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = [
+                longest_common_substring_len(a or "", b or "")
+                for a, b in zip(pdf["cx"], pdf["cy"])
+            ]
+            out = pd.DataFrame(
+                {"key_x": pdf["key_x"], "key_y": pdf["key_y"], "lcs_len": lens}
+            )
+            yield out[out["lcs_len"] >= min_len]
+
+    return joined.mapInPandas(run, schema)

@@ -53,7 +53,19 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
     truth has (key, truth_group)."""
     n = max(200, int(1_000_000 * sf))
     rng = np.random.default_rng(seed)
-    pool = _line_pool(rng, max(2000, n // 5))
+    # small shared boilerplate pool (imports / common idioms) + per-file
+    # unique lines: unrelated files then have near-zero Jaccard, like a
+    # real source-code corpus, while planted duplicates overlap by design.
+    boilerplate = _line_pool(rng, 200)
+    pool_list: list[str] = list(boilerplate)
+
+    toks = np.array(_KEYWORDS + _IDENTS)
+    uid = [0]
+
+    def _unique_line() -> str:
+        idx = rng.integers(0, len(toks), size=int(rng.integers(3, 9)))
+        uid[0] += 1
+        return " ".join(toks[idx]) + f" ##u{uid[0]}"
 
     contents: list[str] = []
     groups: list[int] = []
@@ -61,10 +73,17 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
 
     def fresh_file() -> list[int]:
         n_lines = int(rng.integers(10, 80))
-        return list(rng.integers(0, len(pool), size=n_lines))
+        out = []
+        for _ in range(n_lines):
+            if rng.random() < 0.07:
+                out.append(int(rng.integers(0, len(boilerplate))))
+            else:
+                pool_list.append(_unique_line())
+                out.append(len(pool_list) - 1)
+        return out
 
     def render(idx_list: list[int]) -> str:
-        return "\n".join(pool[i] for i in idx_list)
+        return "\n".join(pool_list[i] for i in idx_list)
 
     n_base = int(n * 0.55)
     base_indices: list[list[int]] = []
@@ -77,7 +96,9 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
 
     # hot content: identical license header duplicated many times
     n_hot = min(200, max(4, n // 50))
-    license_text = "copyright (c) 2020 example corp\nall rights reserved\n" + pool[0]
+    license_text = (
+        "copyright (c) 2020 example corp\nall rights reserved\n" + str(boilerplate[0])
+    )
     hot_group = next_group
     next_group += 1
     for _ in range(n_hot):
@@ -101,7 +122,8 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
             n_edit = max(1, int(len(li) * f))
             pos = rng.choice(len(li), size=min(n_edit, len(li)), replace=False)
             for p in pos:
-                li[p] = int(rng.integers(0, len(pool)))
+                pool_list.append(_unique_line())
+                li[p] = len(pool_list) - 1
             contents.append(render(li))
             groups.append(b)
 

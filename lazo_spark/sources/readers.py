@@ -1,0 +1,104 @@
+"""Sources: table I/O abstraction + reference-parity CSV readers.
+
+* ``read_table`` — Iceberg catalog table when available (production:
+  ``spark.table('cat.db.code_files')`` with partition spec
+  ``bucket(N, repo)``), plain Parquet directory fallback with identical
+  schema in this sandbox (no Iceberg runtime jar).  All code above the
+  reader is identical in both cases.
+* CSV -> column value-sets melt: the reference benchmark input shape
+  (obtainColumns, LazoBenchmark.java:125-155): header row names columns,
+  each column's values form a set; column id = fileName+columnName.
+* Column-file reader (one value per line -> set,
+  OOPHLSHSimilarity.java:99-114).
+* Pair/error sinks (LazoBenchmark.java:317-350).
+"""
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Iceberg table name (contains no '/') or parquet path."""
+    if "/" not in name_or_path:
+        return spark.table(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> None:
+    if "/" not in name_or_path:
+        df.writeTo(name_or_path).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(name_or_path)
+
+
+def csv_column_sets(
+    spark: SparkSession, path: str, table_name: str | None = None
+) -> DataFrame:
+    """CSV file(s) -> (col_id, table_name, column_name, value) melted rows.
+
+    Reference parity: header = column names; null/empty values dropped
+    (validSet semantics, LazoBenchmark.java:187-196, 222-228).  col_id is
+    `table_name + column_name` (we keep the readable form; the Java
+    int hashCode of it is available via
+    functions.javacompat.java_string_hashcode for strict parity).
+    """
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    tname = table_name or os.path.basename(path)
+    cols = df.columns
+    stack_expr = ", ".join(
+        f"'{c}', `{c}`" for c in cols
+    )
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column_name, value)"
+    )
+    return (
+        melted.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        .withColumn("table_name", F.lit(tname))
+        .withColumn(
+            "col_id", F.concat(F.col("table_name"), F.col("column_name"))
+        )
+        .select("col_id", "table_name", "column_name", "value")
+        .distinct()
+    )
+
+
+def column_sets_to_documents(column_sets: DataFrame) -> DataFrame:
+    """Melted column sets -> one 'document' per column, whose content is
+    the newline-joined value set (so the standard sketch stage with
+    shingle_mode='line' reproduces per-column set sketching exactly)."""
+    return column_sets.groupBy("col_id").agg(
+        F.concat_ws("\n", F.collect_set("value")).alias("content")
+    ).withColumnRenamed("col_id", "key").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+
+
+def read_column_file(spark: SparkSession, path: str, key: str | None = None) -> DataFrame:
+    """One value per line -> (key, value) distinct rows
+    (OOPHLSHSimilarity.java:99-114)."""
+    k = key or os.path.basename(path)
+    return (
+        spark.read.text(path)
+        .select(F.lit(k).alias("key"), F.col("value"))
+        .filter(F.col("value") != "")
+        .distinct()
+    )
+
+
+def write_pairs(pairs: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Pair sink (LazoBenchmark.java:317-335): x,y[,scores]."""
+    w = pairs.write.mode("overwrite")
+    if fmt == "csv":
+        w.csv(path, header=True)
+    else:
+        w.parquet(path)
+
+
+def read_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """Result loader for P/R evaluation (JSResultEvaluator.java:21-48)."""
+    if path.endswith(".csv") or "csv" in path:
+        return spark.read.csv(path, header=True, inferSchema=True)
+    return spark.read.parquet(path)

@@ -1,0 +1,114 @@
+"""Incremental index maintenance (insert / remove / update) as batch
+dataflow, plus a Structured Streaming wrapper.
+
+The reference mutates in-memory hash tables (LazoIndex.java:186-248);
+with immutable DataFrames the same semantics become:
+  insert  -> union of sketch tables (new keys sketched once)
+  remove  -> anti-join on key
+  update  -> remove + insert (LazoIndex.java:245-248)
+Candidate generation for a delta batch joins NEW bands against ALL bands
+(old ∪ new), so only new-vs-all pairs are computed — the incremental
+analog of querying each inserted sketch.
+
+The streaming surface (reference has none) is a thin foreachBatch
+wrapper applying the same delta function per micro-batch.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import LazoConfig
+from ..operators.lazo import band_explode, estimate_candidates
+from ..operators.sketch import sketch_stage
+
+
+def insert_sketches(
+    existing: DataFrame | None, new_docs: DataFrame, config: LazoConfig
+) -> DataFrame:
+    """Sketch new documents and append to the sketch table."""
+    new_sk = sketch_stage(new_docs, config)
+    if existing is None:
+        return new_sk
+    return existing.unionByName(new_sk)
+
+
+def remove_keys(sketches: DataFrame, keys: DataFrame) -> DataFrame:
+    """LazoIndex.remove as an anti-join (LazoIndex.java:223-243)."""
+    return sketches.join(keys.select("key"), "key", "left_anti")
+
+
+def update_sketches(
+    sketches: DataFrame, new_docs_keyed: DataFrame, config: LazoConfig
+) -> DataFrame:
+    """LazoIndex.update = remove + insert (LazoIndex.java:245-248)."""
+    removed = remove_keys(sketches, new_docs_keyed.select("key"))
+    return insert_sketches(removed, new_docs_keyed, config)
+
+
+def delta_pairs(
+    all_sketches: DataFrame,
+    new_keys: DataFrame,
+    config: LazoConfig,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW key: new bands vs all
+    bands (the incremental query loop, LazoBenchmark.java:237-254, without
+    recomputing old-vs-old)."""
+    bands_all = band_explode(all_sketches)
+    bands_new = bands_all.join(new_keys.select("key"), "key")
+    x = bands_new.select(
+        "pos", "bh", F.col("key").alias("key_x"), F.col("card").alias("card_x")
+    )
+    y = bands_all.select(
+        "pos", "bh", F.col("key").alias("key_y"), F.col("card").alias("card_y")
+    )
+    pairs = (
+        x.join(y, ["pos", "bh"])
+        .filter(F.col("key_x") != F.col("key_y"))
+        .select(
+            F.least("key_x", "key_y").alias("kx"),
+            F.greatest("key_x", "key_y").alias("ky"),
+            F.when(F.col("key_x") < F.col("key_y"), F.col("card_x")).otherwise(F.col("card_y")).alias("cx"),
+            F.when(F.col("key_x") < F.col("key_y"), F.col("card_y")).otherwise(F.col("card_x")).alias("cy"),
+            "pos",
+        )
+        .groupBy(F.col("kx").alias("key_x"), F.col("ky").alias("key_y"))
+        .agg(
+            F.min("pos").alias("min_pos"),
+            F.first("cx").alias("card_x"),
+            F.first("cy").alias("card_y"),
+        )
+    )
+    return estimate_candidates(pairs, config, js_threshold, jcx_threshold)
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    config: LazoConfig,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Structured Streaming wrapper: micro-batches of new documents are
+    sketched, appended to the parquet sketch state, and delta pairs are
+    appended to `<state_dir>/pairs`.  (foreachBatch: the custom-stateful
+    path; watermarks are unnecessary because dedup state is keyed, not
+    windowed.)"""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        sk_path = os.path.join(state_dir, "sketches")
+        new_sk = sketch_stage(batch_df, config)
+        new_sk.write.mode("append").parquet(sk_path)
+        all_sk = spark.read.parquet(sk_path)
+        pairs = delta_pairs(all_sk, new_sk.select("key"), config)
+        pairs.write.mode("append").parquet(os.path.join(state_dir, "pairs"))
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1,0 +1,200 @@
+"""Operator-level tests: LSH banding, suffix/substring path, multimodal
+plumbing, incremental updates, shingle column/python parity, salting."""
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.shingles import shingle
+from lazo_spark.operators.lazo import lazo_pairs, max_useful_band, salt_hot_buckets, band_explode
+from lazo_spark.operators.lsh import minhash_lsh_pairs, segment_hashes
+from lazo_spark.operators.sketch import compute_sketches, sketch_stage
+from lazo_spark.operators.suffix import (
+    longest_common_substring_len,
+    substring_candidates,
+    suffix_array,
+    verify_substring_pairs,
+    winnow_grams,
+)
+from lazo_spark.operators.verify import shingles_col
+
+CFG = LazoConfig()
+
+
+# ---- shingle parity: Column expression vs python kernel ----
+
+@pytest.mark.parametrize(
+    "mode", ["word", "token_ngram:2", "token_ngram:3", "line"]
+)
+def test_shingles_col_matches_python(spark, mode):
+    texts = [
+        "a b c d e f",
+        "single",
+        "x",
+        "  spaced   out\ttabs\nnewlines here  ",
+        "def f(x):\n    return x\n\ndef g(y):\n    return y",
+        "dup dup dup dup",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    got = df.select(shingles_col(F.col("content"), mode).alias("s")).collect()
+    for t, row in zip(texts, got):
+        want = set(shingle(t, mode))
+        assert set(row.s) == want, (mode, t)
+
+
+# ---- standard-banding LSH ----
+
+def test_segment_hashes_single_row_matches_band_hashes():
+    from lazo_spark.operators.sketch import band_hashes_r1
+
+    sigs = np.array([[1, -5, 2**62, -(2**61)]], dtype=np.int64)
+    assert np.array_equal(
+        segment_hashes(sigs, 4, 1).ravel(), band_hashes_r1(sigs).ravel().astype(np.int64)
+    )
+
+
+def test_minhash_lsh_pairs_identical_and_disjoint(spark):
+    rows = []
+    for i in range(6):
+        lo = 0 if i < 3 else 1000 + i * 100
+        rows.append((f"k{i}", " ".join(str(v) for v in range(lo, lo + 50))))
+    df = spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+    sk = sketch_stage(df, LazoConfig(shingle_mode="word"))
+    pairs = {
+        (r.key_x, r.key_y)
+        for r in minhash_lsh_pairs(sk, 0.8, 64).collect()
+    }
+    assert ("k0", "k1") in pairs and ("k0", "k2") in pairs and ("k1", "k2") in pairs
+    assert all(x in ("k0", "k1", "k2") and y in ("k0", "k1", "k2") for x, y in pairs)
+
+
+# ---- suffix / substring path ----
+
+def test_suffix_array_banana():
+    sa = suffix_array(b"banana")
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+
+
+def test_lcs_exact():
+    assert longest_common_substring_len("hello world", "say hello there") == len(" hello ") - 1
+    assert longest_common_substring_len("abcdef", "zzz") == 0
+    assert longest_common_substring_len("same text", "same text") == 9
+
+
+def test_winnow_guarantee():
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(300))
+    shared = "THIS-IS-A-LONG-SHARED-SUBSTRING-FRAGMENT-0123456789"
+    a = base[:100] + shared + base[100:200]
+    b = base[200:] + shared
+    L, w = 16, 4
+    ga, gb = set(winnow_grams(a, L, w)), set(winnow_grams(b, L, w))
+    assert ga & gb, "winnowing must select a shared gram for shared substring"
+
+
+def test_substring_candidates_and_verify(spark):
+    base = "".join(chr(97 + (i * 11) % 26) for i in range(400))
+    shared = "SHARED-VENDORED-BLOCK-" + "x" * 40
+    docs = [
+        ("a", base[:150] + shared + base[150:300]),
+        ("b", shared + base[300:]),
+        ("c", base[:140][::-1] + "unique content here entirely"),
+    ]
+    df = spark.createDataFrame(docs, "key string, content string")
+    cands = substring_candidates(df, L=16, w=4)
+    got = {(r.key_x, r.key_y) for r in cands.collect()}
+    assert ("a", "b") in got
+    verified = verify_substring_pairs(cands, df, min_len=32).collect()
+    vpairs = {(r.key_x, r.key_y): r.lcs_len for r in verified}
+    assert vpairs.get(("a", "b"), 0) >= len(shared)
+
+
+# ---- multimodal plumbing ----
+
+def test_multimodal_features_and_frame_plan(spark):
+    from lazo_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        media_near_dup_pairs,
+    )
+
+    rows = [
+        ("m1", "image", bytearray(b"payload-1"), {"w": "64"}),
+        ("m2", "image", bytearray(b"payload-1"), {"w": "64"}),
+        ("m3", "video", bytearray(b"other"), {"n_frames": "25"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, media_type string, payload binary, meta map<string,string>"
+    )
+    feats = extract_features(df).collect()
+    by_id = {r.media_id: r.features for r in feats}
+    assert by_id["m1"] == by_id["m2"] != by_id["m3"]
+    assert len(by_id["m1"]) == 16
+
+    frames = frame_sample_plan(df, every_n=10).collect()
+    assert {(r.media_id, r.frame_index) for r in frames} == {("m3", 0), ("m3", 10), ("m3", 20)}
+
+    dups = {(r.id_x, r.id_y) for r in media_near_dup_pairs(df).collect()}
+    assert dups == {("m1", "m2")}
+
+
+def test_multimodal_real_mode_raises():
+    from lazo_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image", mode="real")
+
+
+# ---- incremental updates ----
+
+def test_incremental_insert_update_remove(spark):
+    from lazo_spark.streaming.incremental import (
+        delta_pairs,
+        insert_sketches,
+        remove_keys,
+        update_sketches,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "key string, content string"
+        ).withColumn("sha", F.sha2("content", 256))
+
+    c1 = " ".join(str(i) for i in range(60))
+    sk = insert_sketches(None, docs([("a", c1), ("b", c1)]), CFG)
+    sk = sk.localCheckpoint()
+    p = delta_pairs(sk, sk.select("key"), CFG, jcx_threshold=0.5)
+    assert {(r.key_x, r.key_y) for r in p.collect()} == {("a", "b")}
+
+    # update b to be disjoint -> no pairs
+    c2 = " ".join(str(i) for i in range(1000, 1060))
+    sk2 = update_sketches(sk, docs([("b", c2)]), CFG).localCheckpoint()
+    assert sk2.count() == 2
+    p2 = delta_pairs(sk2, sk2.select("key"), CFG, jcx_threshold=0.5)
+    assert p2.count() == 0
+
+    sk3 = remove_keys(sk2, spark.createDataFrame([("b",)], "key string"))
+    assert [r.key for r in sk3.collect()] == ["a"]
+
+
+# ---- salting ----
+
+def test_salt_hot_buckets_splits_only_hot(spark):
+    rows = [(f"k{i}", 100, [7] * 4) for i in range(50)] + [("kx", 100, [9] * 4)]
+    sk = spark.createDataFrame(
+        rows, "key string, cardinality long, band_hashes array<int>"
+    )
+    bands = band_explode(sk)
+    salted = salt_hot_buckets(bands, cap=10)
+    out = salted.groupBy("bh").agg(F.countDistinct("salt").alias("n")).collect()
+    by_bh = {r.bh: r.n for r in out}
+    assert by_bh[9] == 1          # cold bucket untouched
+    assert by_bh[7] > 1           # hot bucket split
+
+
+def test_max_useful_band_values():
+    assert max_useful_band(CFG, 0.0, 0.8) == 32
+    assert max_useful_band(CFG, 0.0, 0.5) == 64
+    assert max_useful_band(CFG, 0.0, 0.0) == 64
