@@ -55,8 +55,11 @@ def flagship_throughput(cpus: int, sf: float) -> dict:
         # reference CLI takes this as an argument).  At 0.5 the reference
         # semantics pass every extreme-cardinality-ratio pair (clamped
         # bounds average to exactly 0.5), which is a pathology, not dedup.
-        result = run_dedup(spark, src, LazoConfig(jcx_threshold=0.8))
+        result = run_dedup(
+            spark, src, LazoConfig(jcx_threshold=0.8), verify_threshold=0.8
+        )
         n_pairs = result["pairs"].count()
+        n_verified = result["verified_pairs"].count()
         n_clusters = result["clusters"].select("cluster").distinct().count()
         elapsed = time.time() - t0
     finally:
@@ -65,6 +68,7 @@ def flagship_throughput(cpus: int, sf: float) -> dict:
         "cpus": cpus,
         "files": n_files,
         "pairs": n_pairs,
+        "verified_pairs": n_verified,
         "clusters": n_clusters,
         "seconds": round(elapsed, 3),
         "files_per_sec": round(n_files / elapsed, 1),

@@ -110,16 +110,48 @@ def verify_candidates(
     key_col: str,
     content_col: str,
     mode: str = "token_ngram:3",
-    js_threshold: float = 0.0,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
 ) -> DataFrame:
-    """LSH post-verification: re-score candidate pairs exactly and drop
-    those below threshold (LazoBenchmark.java:167-185 semantics)."""
-    exact = exact_pairs(df, key_col, content_col, mode)
-    return (
-        candidates.select("key_x", "key_y")
-        .join(exact, ["key_x", "key_y"])
-        .filter(F.col("js") >= js_threshold)
+    """LSH post-verification (LazoBenchmark.java:167-185 semantics),
+    candidate-restricted: exact scores are computed ONLY for candidate
+    pairs — the shingle join is driven by the (small) candidate set, not
+    the full corpus cross product, so verification cost scales with
+    candidates, preserving the LSH pruning win."""
+    sh = explode_shingles(df, key_col, content_col, mode)
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    cands = candidates.select("key_x", "key_y")
+    # shingles of the x side, restricted to candidate pairs
+    cx = cands.join(
+        sh.withColumnRenamed("key", "key_x"), "key_x"
     )
+    ix = (
+        cx.join(
+            sh.withColumnRenamed("key", "key_y"), ["key_y", "shingle"]
+        )
+        .groupBy("key_x", "key_y")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    out = (
+        cands.join(ix, ["key_x", "key_y"], "left")
+        .na.fill({"ix": 0})
+        .join(sizes.withColumnRenamed("key", "key_x").withColumnRenamed("n", "nx"), "key_x")
+        .join(sizes.withColumnRenamed("key", "key_y").withColumnRenamed("n", "ny"), "key_y")
+        .select(
+            "key_x",
+            "key_y",
+            (F.col("ix") / (F.col("nx") + F.col("ny") - F.col("ix"))).alias("js"),
+            (F.col("ix") / F.col("nx")).alias("jcx"),
+            (F.col("ix") / F.col("ny")).alias("jcy"),
+        )
+    )
+    if js_threshold is not None:
+        out = out.filter(F.col("js") >= js_threshold)
+    if jcx_threshold is not None:
+        out = out.filter(
+            (F.col("jcx") >= jcx_threshold) | (F.col("jcy") >= jcx_threshold)
+        )
+    return out
 
 
 def canonicalize_pairs(df: DataFrame, x: str = "key_x", y: str = "key_y") -> DataFrame:

@@ -65,9 +65,14 @@ class DedupPipeline:
         return self.spark.read.parquet(path)
 
     # -- stages -----------------------------------------------------------
-    def run(self, source: DataFrame) -> dict[str, DataFrame]:
+    def run(
+        self, source: DataFrame, verify_threshold: float | None = None
+    ) -> dict[str, DataFrame]:
         """source: (repo, path, commit, lang, content).  Returns dict of
-        stage DataFrames: membership, sketches, pairs, clusters."""
+        stage DataFrames: membership, sketches, pairs, clusters (plus
+        verified_pairs when verify_threshold is set — candidate-restricted
+        exact containment re-check, the reference's post-verification
+        P8)."""
         t0 = time.time()
         keyed = with_key_and_sha(source)
         reps, membership = collapse_exact_duplicates(keyed)
@@ -82,17 +87,28 @@ class DedupPipeline:
         pairs = self._checkpoint(pairs, "pairs")
         self.metrics["pairs_seconds"] = time.time() - t1
 
+        out = {"membership": membership, "sketches": sketches, "pairs": pairs}
+        cluster_input = pairs
+        if verify_threshold is not None:
+            from ..operators.verify import verify_candidates
+
+            tv = time.time()
+            verified = verify_candidates(
+                pairs, reps, "key", "content", self.config.shingle_mode,
+                jcx_threshold=verify_threshold,
+            )
+            verified = self._checkpoint(verified, "verified_pairs")
+            out["verified_pairs"] = verified
+            cluster_input = verified
+            self.metrics["verify_seconds"] = time.time() - tv
+
         t2 = time.time()
-        clusters = cluster_assignments(pairs, membership)
+        clusters = cluster_assignments(cluster_input, membership)
         clusters = self._checkpoint(clusters, "clusters")
+        out["clusters"] = clusters
         self.metrics["cluster_seconds"] = time.time() - t2
         self.metrics["total_seconds"] = time.time() - t0
-        return {
-            "membership": membership,
-            "sketches": sketches,
-            "pairs": pairs,
-            "clusters": clusters,
-        }
+        return out
 
 
 def run_dedup(
@@ -100,8 +116,11 @@ def run_dedup(
     source: DataFrame,
     config: LazoConfig | None = None,
     checkpoint_dir: str | None = None,
+    verify_threshold: float | None = None,
 ) -> dict[str, DataFrame]:
-    return DedupPipeline(spark, config, checkpoint_dir).run(source)
+    return DedupPipeline(spark, config, checkpoint_dir).run(
+        source, verify_threshold
+    )
 
 
 def expand_pairs_with_duplicates(

@@ -1,0 +1,74 @@
+"""Verified pipeline: candidate-restricted exact post-verification (P8)
+and cluster quality against the planted ground truth."""
+import pandas as pd
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.plans.pipeline import run_dedup
+from lazo_spark.sources.code_files import generate_code_files
+
+
+def test_verified_pipeline_cluster_quality(spark):
+    files, truth = generate_code_files(sf=0.0003)
+    src = spark.createDataFrame(files)
+    result = run_dedup(
+        spark, src, LazoConfig(jcx_threshold=0.8), verify_threshold=0.8
+    )
+
+    raw = result["pairs"].count()
+    verified = result["verified_pairs"]
+    n_verified = verified.count()
+    assert 0 < n_verified <= raw
+
+    # every verified pair truly passes the exact containment threshold
+    bad = verified.filter((F.col("jcx") < 0.8) & (F.col("jcy") < 0.8)).count()
+    assert bad == 0
+
+    clusters = result["clusters"].toPandas()
+    merged = clusters.merge(truth, on="key")
+
+    # (a) same-truth-group near-identical files must co-cluster: check the
+    # exact duplicates and low-edit tiers via pair recall within clusters
+    by_group = merged.groupby("truth_group")
+    sizes = by_group.size()
+    multi = sizes[sizes > 1]
+    same_cluster = 0
+    for g in multi.index:
+        rows = by_group.get_group(g)
+        if rows["cluster"].nunique() == 1:
+            same_cluster += 1
+    # near-dup tiers at 30% edits sit below jcx=0.8 by design, so not all
+    # groups collapse; but a solid majority (exact dups + low tiers) must
+    assert same_cluster / len(multi) > 0.5, (same_cluster, len(multi))
+
+    # (b) verified clustering must not glue unrelated groups into giant
+    # components: largest cluster stays small relative to the corpus
+    top = merged.groupby("cluster").size().max()
+    assert top <= 30, f"giant cluster of size {top}"
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    files, _ = generate_code_files(sf=0.0002)
+    src = spark.createDataFrame(files)
+    cfg = LazoConfig(jcx_threshold=0.8)
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run_dedup(spark, src, cfg, checkpoint_dir=ckpt)
+    pairs1 = sorted(
+        (r.key_x, r.key_y) for r in r1["pairs"].select("key_x", "key_y").collect()
+    )
+    # resume: same config -> stages load from parquet (manifests exist)
+    import json
+    import os
+
+    fp = cfg.fingerprint()
+    for stage in ("membership", "sketches", "pairs", "clusters"):
+        manifest = os.path.join(ckpt, fp, stage, "_MANIFEST.json")
+        assert os.path.exists(manifest)
+        assert json.load(open(manifest))["rows"] >= 0
+
+    r2 = run_dedup(spark, src.limit(0), cfg, checkpoint_dir=ckpt)
+    pairs2 = sorted(
+        (r.key_x, r.key_y) for r in r2["pairs"].select("key_x", "key_y").collect()
+    )
+    # empty source but identical config -> results served from checkpoint
+    assert pairs1 == pairs2
