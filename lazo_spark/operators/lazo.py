@@ -166,49 +166,46 @@ def estimate_candidates(
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
     mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
-    th_array = F.array(*[F.lit(float(v)) for v in mapping])
-    with_th = pairs.withColumn(
-        "th", F.element_at(th_array, F.col("min_pos") + 1).cast("float")
-    )
 
     d, ech = config.d, config.ech
-
-    @F.pandas_udf(EST_SCHEMA)
-    def est_udf(th: pd.Series, card_x: pd.Series, card_y: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        thv = th.to_numpy("float32")
-        cx = card_x.to_numpy("int64")
-        cy = card_y.to_numpy("int64")
-        # x as query direction
-        rx = estimate_pairs(thv, cx, cy, d, js_t, jcx_t, ech)
-        if direction == "either":
-            ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
-            keep = rx.keep | ry.keep
-        elif direction == "y":
-            ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
-            rx, keep = ry, ry.keep
-        else:
-            keep = rx.keep
-        return pd.DataFrame(
-            {"js": rx.js, "jcx": rx.jcx, "jcy": rx.jcy, "keep": keep}
-        )
-
-    out = with_th.withColumn(
-        "est", est_udf(F.col("th"), F.col("card_x"), F.col("card_y"))
+    schema = (
+        "key_x string, key_y string, js float, jcx float, jcy float, "
+        "th float, min_pos int"
     )
-    return (
-        out.filter(F.col("est.keep"))
-        .select(
-            "key_x",
-            "key_y",
-            F.col("est.js").alias("js"),
-            F.col("est.jcx").alias("jcx"),
-            F.col("est.jcy").alias("jcy"),
-            "th",
-            "min_pos",
-        )
-    )
+
+    # mapInPandas estimates AND filters in one vectorized pass — a scalar
+    # pandas_udf + filter would evaluate the UDF twice (once for the
+    # predicate, once for the projection).
+    def run(batches):
+        for pdf in batches:
+            thv = mapping[pdf["min_pos"].to_numpy("int64")]
+            cx = pdf["card_x"].to_numpy("int64")
+            cy = pdf["card_y"].to_numpy("int64")
+            rx = estimate_pairs(thv, cx, cy, d, js_t, jcx_t, ech)
+            if direction == "either":
+                ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
+                keep = rx.keep | ry.keep
+            elif direction == "y":
+                ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
+                rx, keep = ry, ry.keep
+            else:
+                keep = rx.keep
+            out = pd.DataFrame(
+                {
+                    "key_x": pdf["key_x"],
+                    "key_y": pdf["key_y"],
+                    "js": rx.js,
+                    "jcx": rx.jcx,
+                    "jcy": rx.jcy,
+                    "th": thv,
+                    "min_pos": pdf["min_pos"],
+                }
+            )
+            yield out[keep]
+
+    return pairs.select(
+        "key_x", "key_y", "min_pos", "card_x", "card_y"
+    ).mapInPandas(run, schema)
 
 
 def lazo_pairs(

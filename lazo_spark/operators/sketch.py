@@ -132,9 +132,12 @@ def collapse_exact_duplicates(
         .withColumn("rep_key", F.min(key_col).over(w))
         .withColumn("group_size", F.count(F.lit(1)).over(w))
     )
+    # min_by keeps the aggregation hash-based (first() would force a
+    # sort-aggregate over the full content) and makes the representative
+    # content deterministic (it belongs to the min key)
     reps = df.groupBy("sha").agg(
         F.min(key_col).alias(key_col),
-        F.first(content_col).alias(content_col),
+        F.min_by(content_col, key_col).alias(content_col),
         F.count(F.lit(1)).alias("group_size"),
     )
     return reps, membership

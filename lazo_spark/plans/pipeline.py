@@ -80,6 +80,13 @@ class DedupPipeline:
 
         sketches = sketch_stage(reps, self.config)
         sketches = self._checkpoint(sketches, "sketches")
+        if not self.checkpoint_dir:
+            # the bands self-join references sketches on both sides (plus
+            # the salt bucket counts): persist so the scan+sha+sketch
+            # subtree runs once, not 4x
+            from pyspark import StorageLevel
+
+            sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
         self.metrics["sketch_seconds"] = time.time() - t0
 
         t1 = time.time()
