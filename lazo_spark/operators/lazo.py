@@ -153,6 +153,7 @@ def estimate_candidates(
     js_threshold: float | None = None,
     jcx_threshold: float | None = None,
     direction: str = "either",
+    corrections_acc=None,
 ) -> DataFrame:
     """Assign sweep thresholds from min_pos, run the float32 estimation +
     ECH correction (vectorized pandas UDF — exact reference float
@@ -190,6 +191,8 @@ def estimate_candidates(
                 rx, keep = ry, ry.keep
             else:
                 keep = rx.keep
+            if corrections_acc is not None:
+                corrections_acc.add(int(rx.corrections))
             out = pd.DataFrame(
                 {
                     "key_x": pdf["key_x"],
@@ -214,10 +217,14 @@ def lazo_pairs(
     js_threshold: float | None = None,
     jcx_threshold: float | None = None,
     salt: bool = False,
+    corrections_acc=None,
 ) -> DataFrame:
     """Full candidate pipeline: bands join -> min_pos -> estimate -> filter."""
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
     max_pos = max_useful_band(config, js_t, jcx_t)
     pairs = candidate_pairs(sketches, config, salt=salt, max_pos=max_pos)
-    return estimate_candidates(pairs, config, js_threshold, jcx_threshold)
+    return estimate_candidates(
+        pairs, config, js_threshold, jcx_threshold,
+        corrections_acc=corrections_acc,
+    )

@@ -1,0 +1,80 @@
+"""Per-partition lineage + throughput metrics (north-rule requirement).
+
+All collection is plain Spark aggregation — no side channels beyond one
+accumulator for the ECH correction counters (mirroring the reference's
+`corrections` fields, LazoIndex.java:17-23,439-461).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def partition_lineage(df: DataFrame, stage: str) -> list[dict[str, Any]]:
+    """Per-partition row counts for a stage: the lineage record of which
+    partition produced how many rows."""
+    rows = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [
+        {"stage": stage, "partition": r.pid, "rows": r.rows} for r in rows
+    ]
+
+
+def bucket_histogram(bands: DataFrame) -> dict[str, float]:
+    """Band-bucket size distribution (skew diagnostic): percentiles of
+    the (pos, band_hash) bucket sizes."""
+    stats = (
+        bands.groupBy("pos", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("n").alias("max"),
+            F.expr("percentile_approx(n, array(0.5, 0.9, 0.99))").alias("p"),
+            F.avg("n").alias("mean"),
+        )
+        .collect()[0]
+    )
+    return {
+        "buckets": stats.buckets,
+        "max": stats.max,
+        "p50": float(stats.p[0]),
+        "p90": float(stats.p[1]),
+        "p99": float(stats.p[2]),
+        "mean": round(float(stats.mean), 2),
+    }
+
+
+class MetricsRecorder:
+    def __init__(self, out_dir: str | None = None):
+        self.out_dir = out_dir
+        self.records: dict[str, Any] = {"stages": {}, "lineage": []}
+        self._t0 = time.time()
+
+    def stage(self, name: str, df: DataFrame, lineage: bool = False) -> None:
+        entry: dict[str, Any] = {"at_seconds": round(time.time() - self._t0, 3)}
+        if lineage:
+            lin = partition_lineage(df, name)
+            entry["rows"] = sum(x["rows"] for x in lin)
+            entry["partitions"] = len(lin)
+            self.records["lineage"].extend(lin)
+        self.records["stages"][name] = entry
+
+    def set(self, key: str, value: Any) -> None:
+        self.records[key] = value
+
+    def flush(self) -> dict[str, Any]:
+        self.records["total_seconds"] = round(time.time() - self._t0, 3)
+        if self.out_dir:
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
+                json.dump(self.records, f, indent=1)
+        return self.records

@@ -66,7 +66,10 @@ class DedupPipeline:
 
     # -- stages -----------------------------------------------------------
     def run(
-        self, source: DataFrame, verify_threshold: float | None = None
+        self,
+        source: DataFrame,
+        verify_threshold: float | None = None,
+        collect_lineage: bool = False,
     ) -> dict[str, DataFrame]:
         """source: (repo, path, commit, lang, content).  Returns dict of
         stage DataFrames: membership, sketches, pairs, clusters (plus
@@ -89,8 +92,11 @@ class DedupPipeline:
             sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
         self.metrics["sketch_seconds"] = time.time() - t0
 
+        corrections_acc = self.spark.sparkContext.accumulator(0)
         t1 = time.time()
-        pairs = lazo_pairs(sketches, self.config, salt=True)
+        pairs = lazo_pairs(
+            sketches, self.config, salt=True, corrections_acc=corrections_acc
+        )
         pairs = self._checkpoint(pairs, "pairs")
         self.metrics["pairs_seconds"] = time.time() - t1
 
@@ -114,6 +120,25 @@ class DedupPipeline:
         clusters = self._checkpoint(clusters, "clusters")
         out["clusters"] = clusters
         self.metrics["cluster_seconds"] = time.time() - t2
+
+        if collect_lineage:
+            from ..operators.lazo import band_explode, max_useful_band
+            from .metrics import MetricsRecorder, bucket_histogram
+
+            rec = MetricsRecorder(
+                self._stage_path("metrics") if self.checkpoint_dir else None
+            )
+            rec.stage("membership", membership, lineage=True)
+            rec.stage("sketches", sketches, lineage=True)
+            rec.stage("pairs", pairs, lineage=True)
+            rec.stage("clusters", clusters, lineage=True)
+            mp = max_useful_band(
+                self.config, self.config.js_threshold, self.config.jcx_threshold
+            )
+            rec.set("bucket_histogram", bucket_histogram(band_explode(sketches, mp)))
+            rec.set("timings", dict(self.metrics))
+            self.metrics["lineage"] = rec.flush()
+        self.metrics["ech_corrections"] = corrections_acc.value
         self.metrics["total_seconds"] = time.time() - t0
         return out
 

@@ -1,0 +1,33 @@
+"""Lineage/metrics collection and ECH correction accumulator."""
+from lazo_spark.config import LazoConfig
+from lazo_spark.plans.pipeline import DedupPipeline
+from lazo_spark.sources.code_files import generate_code_files
+
+
+def test_pipeline_metrics_and_lineage(spark, tmp_path):
+    files, _ = generate_code_files(sf=0.0002)
+    src = spark.createDataFrame(files)
+    pipe = DedupPipeline(
+        spark, LazoConfig(jcx_threshold=0.5), checkpoint_dir=str(tmp_path)
+    )
+    result = pipe.run(src, collect_lineage=True)
+    result["pairs"].count()
+
+    m = pipe.metrics
+    assert m["ech_corrections"] > 0  # reference-style correction counter
+    lin = m["lineage"]
+    assert set(lin["stages"]) == {"membership", "sketches", "pairs", "clusters"}
+    assert lin["stages"]["sketches"]["rows"] > 0
+    hist = lin["bucket_histogram"]
+    assert hist["buckets"] > 0 and hist["max"] >= hist["p50"]
+    # lineage rows are per partition
+    assert all({"stage", "partition", "rows"} <= set(x) for x in lin["lineage"])
+
+    import json
+    import os
+
+    mpath = os.path.join(
+        str(tmp_path), pipe.config.fingerprint(), "metrics", "metrics.json"
+    )
+    assert os.path.exists(mpath)
+    assert json.load(open(mpath))["stages"]

@@ -1,0 +1,78 @@
+"""Sources: CSV column-sets melt (reference benchmark input shape) and
+column-file reader; reference-parity column-mode sketching."""
+import numpy as np
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.lazo import lazo_pairs
+from lazo_spark.operators.sketch import sketch_stage
+from lazo_spark.sources.readers import (
+    column_sets_to_documents,
+    csv_column_sets,
+    read_column_file,
+)
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    # two tables; t1.a == t2.x (identical sets), t1.b disjoint
+    (tmp_path / "t1.csv").write_text(
+        "a,b\n" + "\n".join(f"{i},{i+100}" for i in range(50)) + "\n"
+    )
+    (tmp_path / "t2.csv").write_text(
+        "x\n" + "\n".join(str(i) for i in range(50)) + "\n"
+    )
+    return tmp_path
+
+
+def test_csv_column_sets_melt(spark, csv_dir):
+    cs = csv_column_sets(spark, str(csv_dir / "t1.csv"), "t1.csv")
+    rows = cs.collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.column_name, set()).add(r.value)
+    assert by_col["a"] == {str(i) for i in range(50)}
+    assert by_col["b"] == {str(i + 100) for i in range(50)}
+    assert {r.col_id for r in rows} == {"t1.csva", "t1.csvb"}
+
+
+def test_column_mode_pipeline_finds_identical_columns(spark, csv_dir):
+    """Reference-parity mode: CSV columns as sets -> line-shingle sketch ->
+    lazo containment — identical columns must pair up
+    (LazoBenchmark.java all-pairs over column sets)."""
+    cs1 = csv_column_sets(spark, str(csv_dir / "t1.csv"), "t1.csv")
+    cs2 = csv_column_sets(spark, str(csv_dir / "t2.csv"), "t2.csv")
+    docs = column_sets_to_documents(cs1.union(cs2))
+    cfg = LazoConfig(shingle_mode="line", jcx_threshold=0.5)
+    sk = sketch_stage(docs.withColumnRenamed("content", "content"), cfg)
+    pairs = {
+        tuple(sorted([r.key_x, r.key_y]))
+        for r in lazo_pairs(sk, cfg).collect()
+    }
+    assert ("t1.csva", "t2.csvx") in pairs
+    assert not any("t1.csvb" in p for p in pairs)
+
+
+def test_read_column_file(spark, tmp_path):
+    p = tmp_path / "col.txt"
+    p.write_text("v1\nv2\nv2\n\nv3\n")
+    df = read_column_file(spark, str(p), "c1")
+    assert {r.value for r in df.collect()} == {"v1", "v2", "v3"}
+
+
+def test_fuzzy_candidates_smoke(spark):
+    from lazo_spark.operators.fuzzy import fuzzy_candidates
+
+    rows = [
+        ("a", "hello world foo bar baz"),
+        ("b", "hello world foo bar qux"),
+        ("c", "totally different content here"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+    out = fuzzy_candidates(df, LazoConfig(), n=3)
+    got = {tuple(sorted([r.key_x, r.key_y])): r.m for r in out.collect()}
+    assert ("a", "b") in got
