@@ -173,7 +173,119 @@ def q_embedding_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Most frequent token bigrams (sort/limit path, deterministic
+    tie-break)."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    from lazo_spark.operators.verify import explode_shingles
+
+    sh = explode_shingles(docs, "doc_id", "content", "token_ngram:2")
+    return (
+        sh.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization over the events stream table: new session when the
+    gap to the previous event of the same user exceeds 30 minutes
+    (window functions: lag + running sum)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; epoch seconds via timestamp cast (constant tz
+    # offset cancels in the gap difference)
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    with_s = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("session_idx", F.sum("new_session").over(w))
+    return (
+        with_s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 # ---- non-SQL-expressible (rows-only checks) ----
+
+
+def q_oph_lazo_pairs(spark, sf_dir):
+    """Flagship path with the OPH (one-permutation + densify) sketch."""
+    cfg = LazoConfig(
+        jcx_threshold=0.5, shingle_mode="token_ngram:2", sketch_type="oph"
+    )
+    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    return lazo_pairs(sketches, cfg).select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        "js", "jcx", "jcy",
+    )
+
+
+def q_lsh_raw_pairs(spark, sf_dir):
+    """Plain MinHash-LSH candidates at threshold 0.7 (no estimation) —
+    the P3 baseline pipeline."""
+    from lazo_spark.operators.lsh import minhash_lsh_pairs
+
+    cfg = LazoConfig(shingle_mode="token_ngram:2")
+    sk = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    out = minhash_lsh_pairs(sk, 0.7, cfg.k)
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+    )
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Winnowed-fingerprint substring candidates + exact LCS verify."""
+    from lazo_spark.operators.suffix import substring_candidates, verify_substring_pairs
+
+    docs = _docs_keyed(spark, sf_dir)
+    cands = substring_candidates(docs, L=24, w=6)
+    out = verify_substring_pairs(cands, docs, min_len=24)
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        "lcs_len",
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Full flagship pipeline incl. exact-dup collapse + clustering on the
+    documents table."""
+    from lazo_spark.plans.pipeline import run_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.col("source").alias("path"),
+        F.col("lang").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = LazoConfig(jcx_threshold=0.8, shingle_mode="token_ngram:2")
+    result = run_dedup(spark, docs, cfg)
+    return result["clusters"].select("key", "cluster")
 
 def q_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
@@ -240,9 +352,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_evaluator": q_pr_evaluator,
         "minhash_cardinality": q_minhash_cardinality,
         "embedding_topk": q_embedding_topk,
+        "top_ngrams": q_top_ngrams,
+        "event_sessions": q_event_sessions,
+        "doc_length_histogram": q_doc_length_histogram,
         "lazo_pairs": q_lazo_pairs,
+        "oph_lazo_pairs": q_oph_lazo_pairs,
+        "lsh_raw_pairs": q_lsh_raw_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -377,6 +496,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS key,
                    len(list_distinct({_TOKS})) AS cardinality
             FROM documents WHERE length(trim(text)) > 0
+        """,
+        "top_ngrams": f"""
+            WITH bg AS ({_BIGRAMS})
+            SELECT g AS gram, COUNT(*) AS n_docs FROM bg
+            GROUP BY g ORDER BY n_docs DESC, gram ASC LIMIT 20
+        """,
+        "event_sessions": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN prev IS NULL
+                               OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e),
+            t AS (
+              SELECT user_id, event_id,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM s)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event
+            FROM t GROUP BY 1, 2
+        """,
+        "doc_length_histogram": """
+            SELECT floor(n_chars / 100)::BIGINT AS bucket, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (

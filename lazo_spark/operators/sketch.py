@@ -94,6 +94,62 @@ def sketch_stage(
     return df.select(key_col, sha_col, content_col).mapInPandas(run, SKETCH_SCHEMA)
 
 
+def sketch_stage_with_errors(
+    df: DataFrame,
+    config: LazoConfig,
+    key_col: str = "key",
+    content_col: str = "content",
+    sha_col: str = "sha",
+) -> tuple[DataFrame, DataFrame]:
+    """Fault-tolerant sketch stage: rows that fail to shingle/sketch are
+    captured instead of failing the job (the reference's .ERRORS.TXT sink,
+    LazoBenchmark.java:337-350).  Returns (sketches, errors); errors is
+    (key, error).  A failing Arrow batch falls back to per-row processing
+    so one poison row cannot take down its whole batch."""
+    schema = SKETCH_SCHEMA + ", error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            try:
+                out = compute_sketches(
+                    pdf[key_col].tolist(), pdf[sha_col].tolist(),
+                    pdf[content_col].tolist(), config,
+                )
+                out["error"] = None
+                yield out[out["cardinality"] > 0]
+            except Exception:
+                frames = []
+                for _, row in pdf.iterrows():
+                    try:
+                        one = compute_sketches(
+                            [row[key_col]], [row[sha_col]],
+                            [row[content_col]], config,
+                        )
+                        one["error"] = None
+                        frames.append(one[one["cardinality"] > 0])
+                    except Exception as e:  # poison row -> error record
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "key": [row[key_col]],
+                                    "sha": [row[sha_col]],
+                                    "cardinality": [0],
+                                    "signature": [[]],
+                                    "band_hashes": [[]],
+                                    "simhash": [0],
+                                    "error": [f"{type(e).__name__}: {e}"[:500]],
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    out = df.select(key_col, sha_col, content_col).mapInPandas(run, schema)
+    sketches = out.filter(F.col("error").isNull()).drop("error")
+    errors = out.filter(F.col("error").isNotNull()).select("key", "error")
+    return sketches, errors
+
+
 def with_key_and_sha(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),

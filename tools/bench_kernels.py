@@ -1,0 +1,118 @@
+"""Kernel-level throughput comparison vs the compiled reference
+(SketchSpeed.java analogue): N sketches of a setCardinality-value set at
+permutation count k, MinHash vs OPH, single process.
+
+Usage: python tools/bench_kernels.py [card] [sketches] [k] [--java]
+Writes one JSON line; with --java also runs the reference harness (same
+workload via a small driver) for a side-by-side number.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+from lazo_spark.functions.javacompat import murmur3_str  # noqa: E402
+from lazo_spark.functions.sketch_kernels import (  # noqa: E402
+    minhash_sigs,
+    oph_densify,
+    oph_raw_sigs,
+)
+
+
+def run_python(card: int, sketches: int, k: int) -> dict:
+    values = [str(i) for i in range(card)]
+    t0 = time.time()
+    h = murmur3_str(values)
+    hash_s = time.time() - t0
+
+    # the reference re-hashes per sketch; our engine hashes once per
+    # distinct shingle set — measure both framings
+    offsets = np.array([0, card], dtype=np.int64)
+    t1 = time.time()
+    for _ in range(sketches):
+        minhash_sigs(h, offsets, k)
+    mh_s = time.time() - t1
+    t2 = time.time()
+    for _ in range(sketches):
+        oph_densify(oph_raw_sigs(h, offsets, k), k)
+    oph_s = time.time() - t2
+    return {
+        "hash_seconds": round(hash_s, 3),
+        "minhash_seconds": round(mh_s, 3),
+        "oph_seconds": round(oph_s, 3),
+        "minhash_sketches_per_sec": round(sketches / mh_s, 1),
+        "oph_sketches_per_sec": round(sketches / oph_s, 1),
+    }
+
+
+JAVA_DRIVER = """
+import lazo.sketch.MinHash;
+import lazo.sketch.MinHashOptimal;
+public class SpeedDriver {
+  public static void main(String[] a) {
+    int card = Integer.parseInt(a[0]), n = Integer.parseInt(a[1]), k = Integer.parseInt(a[2]);
+    String[] vals = new String[card];
+    for (int i = 0; i < card; i++) vals[i] = Integer.toString(i);
+    long s1 = System.currentTimeMillis();
+    for (int i = 0; i < n; i++) { MinHash mh = new MinHash(k); for (String v : vals) mh.update(v); }
+    long e1 = System.currentTimeMillis();
+    long s2 = System.currentTimeMillis();
+    for (int i = 0; i < n; i++) { MinHashOptimal mh = new MinHashOptimal(k); for (String v : vals) mh.update(v); mh.densify(); }
+    long e2 = System.currentTimeMillis();
+    System.out.println((e1 - s1) + "," + (e2 - s2));
+  }
+}
+"""
+
+
+def run_java(card: int, sketches: int, k: int) -> dict:
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    cp = ":".join(
+        os.path.join(jars, j) for j in ("guava-33.4.8-jre.jar", "stream-2.9.8.jar")
+    )
+    build = os.path.join(REPO, ".golden")
+    classes = os.path.join(build, "classes")
+    src = os.path.join(build, "SpeedDriver.java")
+    if not os.path.exists(os.path.join(classes, "lazo")):
+        subprocess.run([os.path.join(REPO, "tools", "gen_goldens.sh")], check=True, capture_output=True)
+    with open(src, "w") as f:
+        f.write(JAVA_DRIVER)
+    subprocess.run(
+        ["javac", "-cp", f"{cp}:{classes}", "-d", classes, src],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run(
+        ["java", "-cp", f"{cp}:{classes}", "SpeedDriver", str(card), str(sketches), str(k)],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    mh_ms, oph_ms = (int(x) for x in out.split(","))
+    return {
+        "minhash_seconds": mh_ms / 1000,
+        "oph_seconds": oph_ms / 1000,
+        "minhash_sketches_per_sec": round(sketches / (mh_ms / 1000), 1),
+        "oph_sketches_per_sec": round(sketches / (oph_ms / 1000), 1),
+    }
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    card = int(args[0]) if len(args) > 0 else 10000
+    sketches = int(args[1]) if len(args) > 1 else 200
+    k = int(args[2]) if len(args) > 2 else 512
+    result = {
+        "config": {"setCardinality": card, "numSketches": sketches, "k": k},
+        "python": run_python(card, sketches, k),
+    }
+    if "--java" in sys.argv:
+        result["java_reference"] = run_java(card, sketches, k)
+    print(json.dumps(result))
