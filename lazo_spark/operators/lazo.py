@@ -30,9 +30,6 @@ from ..config import LazoConfig
 from ..functions.banding import minpos_to_threshold
 from ..functions.estimation import estimate_pairs
 
-EST_SCHEMA = "js float, jcx float, jcy float, keep boolean"
-
-
 def band_explode(sketches: DataFrame, max_pos: int | None = None) -> DataFrame:
     """(key, cardinality, band_hashes) -> (key, card, pos, bh).  Narrow.
     max_pos truncates to the useful band prefix (see max_useful_band)."""

@@ -100,6 +100,7 @@ def sketch_stage_with_errors(
     key_col: str = "key",
     content_col: str = "content",
     sha_col: str = "sha",
+    compute=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fault-tolerant sketch stage: rows that fail to shingle/sketch are
     captured instead of failing the job (the reference's .ERRORS.TXT sink,
@@ -107,11 +108,12 @@ def sketch_stage_with_errors(
     (key, error).  A failing Arrow batch falls back to per-row processing
     so one poison row cannot take down its whole batch."""
     schema = SKETCH_SCHEMA + ", error string"
+    compute = compute or compute_sketches
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             try:
-                out = compute_sketches(
+                out = compute(
                     pdf[key_col].tolist(), pdf[sha_col].tolist(),
                     pdf[content_col].tolist(), config,
                 )
@@ -121,7 +123,7 @@ def sketch_stage_with_errors(
                 frames = []
                 for _, row in pdf.iterrows():
                     try:
-                        one = compute_sketches(
+                        one = compute(
                             [row[key_col]], [row[sha_col]],
                             [row[content_col]], config,
                         )

@@ -149,9 +149,10 @@ def run_dedup(
     config: LazoConfig | None = None,
     checkpoint_dir: str | None = None,
     verify_threshold: float | None = None,
+    collect_lineage: bool = False,
 ) -> dict[str, DataFrame]:
     return DedupPipeline(spark, config, checkpoint_dir).run(
-        source, verify_threshold
+        source, verify_threshold, collect_lineage
     )
 
 
@@ -170,14 +171,12 @@ def expand_pairs_with_duplicates(
         .select(F.col("mx").alias("a"), F.col("my").alias("b"))
     )
     # exact-duplicate pairs: member -> member within a group (via rep)
-    g = m.filter(F.col("key") != F.col("rep_key"))
     intra = (
         m.alias("l")
         .join(m.alias("r"), F.col("l.rep_key") == F.col("r.rep_key"))
         .filter(F.col("l.key") < F.col("r.key"))
         .select(F.col("l.key").alias("a"), F.col("r.key").alias("b"))
     )
-    _ = g
     allp = p.union(intra)
     return (
         allp.filter(F.col("a") != F.col("b"))

@@ -1,0 +1,42 @@
+"""Error-tolerant sketch stage (the reference's .ERRORS.TXT sink)."""
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.sketch import sketch_stage_with_errors
+
+
+def test_sketch_stage_with_errors_captures_poison_rows(spark):
+    rows = [
+        ("good1", "hello world foo"),
+        ("poison", "BOOM"),
+        ("good2", "spark dedup engine"),
+    ]
+    df = spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+
+    # inject a failure for the poison content (compute is serialized into
+    # the workers by value, so this exercises the distributed fallback)
+    from lazo_spark.operators.sketch import compute_sketches
+
+    def flaky(keys, shas, contents, config):
+        if any(c == "BOOM" for c in contents):
+            raise ValueError("decode failure")
+        return compute_sketches(keys, shas, contents, config)
+
+    sketches, errors = sketch_stage_with_errors(df, LazoConfig(), compute=flaky)
+    got = {r.key for r in sketches.collect()}
+    errs = {r.key: r.error for r in errors.collect()}
+    assert got == {"good1", "good2"}
+    assert set(errs) == {"poison"}
+    assert "ValueError" in errs["poison"]
+
+
+def test_sketch_stage_with_errors_clean_path(spark):
+    rows = [("a", "x y z"), ("b", "p q r")]
+    df = spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+    sketches, errors = sketch_stage_with_errors(df, LazoConfig(shingle_mode="word"))
+    assert sketches.count() == 2
+    assert errors.count() == 0
