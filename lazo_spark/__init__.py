@@ -1,0 +1,19 @@
+"""lazo_spark: PySpark-native near-duplicate detection & clustering engine.
+
+Public surface:
+
+    from lazo_spark import LazoConfig, get_spark, run_dedup
+    from lazo_spark.operators import lazo, sketch, cluster, verify, ...
+
+See README.md for architecture and SURVEY.md for the reference mapping.
+"""
+from .config import DEFAULT_CONFIG, LazoConfig
+from .session import get_spark
+
+__all__ = ["LazoConfig", "DEFAULT_CONFIG", "get_spark", "run_dedup"]
+
+
+def run_dedup(*args, **kwargs):
+    from .plans.pipeline import run_dedup as _run
+
+    return _run(*args, **kwargs)

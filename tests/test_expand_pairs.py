@@ -1,0 +1,19 @@
+"""expand_pairs_with_duplicates: rep-level pairs + sha-group membership ->
+all-keys canonical pair view (reference per-file output parity)."""
+import pyspark.sql.functions as F
+
+from lazo_spark.plans.pipeline import expand_pairs_with_duplicates
+
+
+def test_expand_pairs(spark):
+    # groups: {a1, a2} identical (rep a1), {b} single; rep-level pair a1-b
+    membership = spark.createDataFrame(
+        [("a1", "s1", "a1"), ("a2", "s1", "a1"), ("b", "s2", "b")],
+        "key string, sha string, rep_key string",
+    )
+    pairs = spark.createDataFrame([("a1", "b")], "key_x string, key_y string")
+    out = {
+        (r.key_x, r.key_y)
+        for r in expand_pairs_with_duplicates(pairs, membership).collect()
+    }
+    assert out == {("a1", "a2"), ("a1", "b"), ("a2", "b")}
