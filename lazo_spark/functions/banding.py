@@ -108,6 +108,30 @@ def gcd_slice_size(table: dict[int, tuple[int, int]]) -> int:
     return int(g)
 
 
+def index_size_table(
+    ks: tuple[int, ...] = (64, 128, 256, 512), ds: tuple[float, ...] = (0.05, 0.1)
+) -> list[dict]:
+    """Hash-table-count comparison of the GCD-shared Lazo index vs the
+    naive per-threshold baseline (reference VariousTest.java:8-30,
+    LazoIndex.__getNumHashTables / LazoIndexBase): the memory-proxy
+    metric.  Lazo index = k/gcd tables; Base = sum of per-threshold band
+    counts across 1/d independent LSH indexes."""
+    out = []
+    for k in ks:
+        for d in ds:
+            table = banding_table(k, d)
+            gcd = gcd_slice_size(table)
+            out.append(
+                {
+                    "k": k,
+                    "d": d,
+                    "lazo_tables": k // gcd,
+                    "base_tables": sum(br[0] for br in table.values()),
+                }
+            )
+    return out
+
+
 @lru_cache(maxsize=8)
 def minpos_to_threshold(
     k: int = 64, d: float = 0.05, fp_rate: float = 0.5, fn_rate: float = 0.5

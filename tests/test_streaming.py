@@ -1,0 +1,57 @@
+"""Structured Streaming dedup wrapper: micro-batches append sketch state
+and emit delta pairs."""
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.banding import index_size_table
+from lazo_spark.streaming.incremental import streaming_dedup
+
+
+def test_streaming_dedup_foreachbatch(spark, tmp_path):
+    src_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    c1 = " ".join(str(i) for i in range(60))
+    batch1 = spark.createDataFrame(
+        [("a", c1), ("b", c1)], "key string, content string"
+    ).withColumn("sha", F.sha2("content", 256))
+    batch1.write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("key string, content string, sha string")
+        .parquet(src_dir)
+    )
+    q = streaming_dedup(
+        stream, LazoConfig(jcx_threshold=0.5), state_dir, ckpt_dir
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    pairs = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    got = {(r.key_x, r.key_y) for r in pairs.collect()}
+    assert got == {("a", "b")}
+
+    # second micro-batch: c joins the same near-dup group
+    batch2 = spark.createDataFrame(
+        [("c", c1 + " 60")], "key string, content string"
+    ).withColumn("sha", F.sha2("content", 256))
+    batch2.write.mode("append").parquet(src_dir)
+    q2 = streaming_dedup(
+        stream, LazoConfig(jcx_threshold=0.5), state_dir, ckpt_dir
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    pairs2 = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    got2 = {(r.key_x, r.key_y) for r in pairs2.collect()}
+    # delta batch adds only pairs touching the NEW key c
+    assert got2 == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_index_size_table():
+    rows = index_size_table((64,), (0.05,))
+    assert rows[0]["lazo_tables"] == 64  # GCD slice 1 -> 64 tables
+    assert rows[0]["base_tables"] > 300  # sum of 20 per-threshold bands
