@@ -29,7 +29,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        _ = n
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
     return timings
 
 
@@ -90,7 +90,9 @@ def main() -> None:
     spark.stop()
 
     # flagship throughput on the code corpus at a bench-friendly scale
-    code_sf = min(sf, 0.03)
+    # (candidate volume grows ~quadratically with corpus size at fixed
+    # cross-file collision rate, so the per-round bench pins 10k files)
+    code_sf = min(sf, 0.01)
     flag = flagship_throughput(cpus, code_sf)
     timings["flagship_code_dedup"] = flag["seconds"]
 

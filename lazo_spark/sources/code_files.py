@@ -56,7 +56,7 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
     # small shared boilerplate pool (imports / common idioms) + per-file
     # unique lines: unrelated files then have near-zero Jaccard, like a
     # real source-code corpus, while planted duplicates overlap by design.
-    boilerplate = _line_pool(rng, 200)
+    boilerplate = _line_pool(rng, 1000)
     pool_list: list[str] = list(boilerplate)
 
     toks = np.array(_KEYWORDS + _IDENTS)
@@ -75,7 +75,7 @@ def generate_code_files(sf: float = 0.001, seed: int = 42) -> tuple[pd.DataFrame
         n_lines = int(rng.integers(10, 80))
         out = []
         for _ in range(n_lines):
-            if rng.random() < 0.07:
+            if rng.random() < 0.02:
                 out.append(int(rng.integers(0, len(boilerplate))))
             else:
                 pool_list.append(_unique_line())
