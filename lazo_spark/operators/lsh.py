@@ -54,6 +54,114 @@ def band_segments(
     return sketches.select("key", "signature").mapInPandas(run, schema)
 
 
+def merge_sketch_groups(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Union-merge MinHash signatures per group: elementwise min
+    (MinHash.merge semantics, MinHash.java:85-99 / LazoSketch.java:116-140)
+    as a grouped vectorized aggregation.  minhash(U sets) == elementwise
+    min of member signatures, exactly.  Cardinality of the union is NOT
+    derivable from member cardinalities (the reference merges HLLs); we
+    emit the sum as an upper bound — callers needing the exact union
+    cardinality re-aggregate from the shingle sets."""
+    schema = f"{group_col} string, signature array<long>, cardinality_ub long, n_members long"
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(pdf["signature"].to_numpy())
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "signature": [np.minimum.reduce(sigs, axis=0)],
+                "cardinality_ub": [int(pdf["cardinality"].sum())],
+                "n_members": [len(pdf)],
+            }
+        )
+
+    return sketches.groupBy(group_col).applyInPandas(merge, schema)
+
+
+def multi_threshold_base_pairs(
+    sketches: DataFrame, config, js_threshold=None, jcx_threshold=None
+) -> DataFrame:
+    """LazoIndexBase path (reference LazoIndexBase.java:28-245): one
+    independent standard-banding LSH index per threshold, descending
+    sweep assigns each pair the highest threshold whose index found it,
+    then the shared estimation/ECH filter.
+
+    Spark shape: ONE UDF pass emits segment hashes for every threshold
+    config, one join, groupBy pair max(threshold index) — versus the
+    flagship's GCD-shared single-position bands.  Exists as the
+    benchmark baseline demonstrating the GCD-sharing win (the reference's
+    IndexBenchmark/VariousTest comparison): ~Σ bands (≈370 rows/key at
+    k=64, d=0.05) versus 64 (or fewer, pruned) band rows per key.
+    """
+    from ..functions.banding import banding_table, minpos_to_threshold
+    from ..operators.lazo import estimate_candidates
+
+    table = banding_table(config.k, config.d, config.fp_rate, config.fn_rate)
+    n_th = int(1 / config.d)
+    configs = [(i, *table[i]) for i in range(n_th)]
+    schema = "key string, card long, th_idx int, band int, seg_hash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = np.stack(pdf["signature"].to_numpy())
+            keys = pdf["key"].to_numpy()
+            cards = pdf["cardinality"].to_numpy()
+            frames = []
+            for i, bands, rows in configs:
+                seg = segment_hashes(sigs, bands, rows)
+                n = len(pdf)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": np.repeat(keys, bands),
+                            "card": np.repeat(cards, bands),
+                            "th_idx": np.int32(i),
+                            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                            "seg_hash": seg.reshape(-1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    segs = sketches.select("key", "cardinality", "signature").mapInPandas(run, schema)
+    x = segs.select(
+        "th_idx", "band", "seg_hash",
+        F.col("key").alias("key_x"), F.col("card").alias("card_x"),
+    )
+    y = segs.select(
+        "th_idx", "band", "seg_hash",
+        F.col("key").alias("key_y"), F.col("card").alias("card_y"),
+    )
+    pairs = (
+        x.join(y, ["th_idx", "band", "seg_hash"])
+        .filter(F.col("key_x") < F.col("key_y"))
+        .groupBy("key_x", "key_y")
+        .agg(
+            F.max("th_idx").alias("max_th_idx"),
+            F.first("card_x").alias("card_x"),
+            F.first("card_y").alias("card_y"),
+        )
+    )
+    # reuse the flagship estimation by translating max matched threshold
+    # index into an equivalent min_pos (the mapping is th-value driven)
+    mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
+    # min_pos m has threshold mapping[m]; choose the smallest m whose
+    # threshold equals th_idx * d (exists for every produced th value)
+    import numpy as _np
+
+    th_values = [float(_np.float32(config.d) * _np.float32(i)) for i in range(n_th)]
+    idx_to_minpos = {}
+    for i, tv in enumerate(th_values):
+        hits = _np.flatnonzero(_np.isclose(mapping, _np.float32(tv)))
+        idx_to_minpos[i] = int(hits[0]) if len(hits) else int(config.k - 1)
+    minpos_expr = F.element_at(
+        F.array(*[F.lit(idx_to_minpos[i]) for i in range(n_th)]),
+        F.col("max_th_idx") + 1,
+    )
+    pairs = pairs.withColumn("min_pos", minpos_expr).drop("max_th_idx")
+    return estimate_candidates(pairs, config, js_threshold, jcx_threshold)
+
+
 def minhash_lsh_pairs(
     sketches: DataFrame,
     threshold: float,

@@ -1,0 +1,52 @@
+"""Merge aggregation and the LazoIndexBase multi-index baseline."""
+import numpy as np
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.javacompat import murmur3_str
+from lazo_spark.functions.sketch_kernels import minhash_sigs
+from lazo_spark.operators.lsh import merge_sketch_groups, multi_threshold_base_pairs
+from lazo_spark.operators.sketch import sketch_stage
+
+CFG = LazoConfig(shingle_mode="word")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+
+
+def test_merge_sketch_groups_equals_union_sketch(spark):
+    a = [str(i) for i in range(0, 40)]
+    b = [str(i) for i in range(20, 60)]
+    df = _docs(spark, [("a", " ".join(a)), ("b", " ".join(b))]).withColumn(
+        "grp", F.lit("g1")
+    )
+    sk = sketch_stage(df, CFG).join(
+        spark.createDataFrame([("a", "g1"), ("b", "g1")], "key string, grp string"),
+        "key",
+    )
+    merged = merge_sketch_groups(sk, "grp").collect()[0]
+    union_vals = sorted(set(a) | set(b))
+    h = murmur3_str(union_vals)
+    want = minhash_sigs(h, np.array([0, len(union_vals)]), CFG.k)[0]
+    assert np.array_equal(np.array(merged.signature), want)
+    assert merged.n_members == 2
+    assert merged.cardinality_ub == 80  # sum upper bound (union is 60)
+
+
+def test_base_index_finds_near_dups(spark):
+    c1 = " ".join(str(i) for i in range(100))
+    c2 = " ".join(str(i) for i in range(5, 105))  # js ~ 0.9
+    c3 = " ".join(str(i) for i in range(1000, 1100))
+    df = _docs(spark, [("x", c1), ("y", c2), ("z", c3)])
+    sk = sketch_stage(df, CFG)
+    pairs = {
+        (r.key_x, r.key_y): r.th
+        for r in multi_threshold_base_pairs(
+            sk, CFG, js_threshold=0.5, jcx_threshold=0.0
+        ).collect()
+    }
+    assert ("x", "y") in pairs
+    assert not any("z" in p for p in pairs)
