@@ -1,0 +1,126 @@
+"""spark-submit entrypoint for the flagship dedup pipeline.
+
+The north rule requires the pipeline to run via
+``spark-submit --py-files lazo_spark.zip`` on a multi-executor cluster.
+Usage (see tools/submit.sh, which also builds the zip):
+
+    spark-submit --master local[8] \
+        --py-files dist/lazo_spark.zip \
+        tools/run_dedup.py \
+        --input  /path/to/files.parquet \
+        --output /path/to/out \
+        --jcx-threshold 0.8 --verify \
+        --checkpoint-dir /path/to/ckpt
+
+Unlike :func:`lazo_spark.session.get_spark` (used by tests/bench, which
+own their session), this entrypoint does NOT set a master: spark-submit
+controls cluster size (``--master`` / ``--num-executors``), which is how
+the N vs 4N scaling evidence is produced.  Engine-required confs that
+are safe to set per-session are applied here; cluster-level ones belong
+in spark-submit ``--conf`` flags.
+
+Reference dataflow being run: LazoBenchmark.java:198-263 (all-pairs
+containment query over every input set), re-expressed as the Spark plan
+in lazo_spark/plans/pipeline.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lazo-spark dedup",
+        description="Near-duplicate detection + clustering over a "
+        "(repo, path, commit, lang, content) table.",
+    )
+    p.add_argument("--input", required=True, help="Iceberg table name or parquet path")
+    p.add_argument("--output", required=True, help="output directory (parquet)")
+    p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume dir")
+    p.add_argument("--k", type=int, default=64, help="permutations (reference default 64)")
+    p.add_argument("--sketch-type", choices=["minhash", "oph"], default="minhash")
+    p.add_argument("--shingle-mode", default="token_ngram:3")
+    p.add_argument("--js-threshold", type=float, default=0.0)
+    p.add_argument(
+        "--jcx-threshold", type=float, default=0.5,
+        help="containment threshold (reference CLI arg, LazoBenchmark.java:271)",
+    )
+    p.add_argument(
+        "--verify", action="store_true",
+        help="candidate-restricted exact verification before clustering (P8)",
+    )
+    p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
+    p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
+    p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_arg_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("lazo-spark-dedup")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.plans.pipeline import DedupPipeline
+    from lazo_spark.sources.readers import read_table
+
+    config = LazoConfig(
+        k=args.k,
+        sketch_type=args.sketch_type,
+        shingle_mode=args.shingle_mode,
+        js_threshold=args.js_threshold,
+        jcx_threshold=args.jcx_threshold,
+        bucket_cap=args.bucket_cap,
+    )
+    source = read_table(spark, args.input)
+    n_files = source.count()
+
+    t0 = time.time()
+    pipe = DedupPipeline(spark, config, checkpoint_dir=args.checkpoint_dir)
+    out = pipe.run(
+        source,
+        verify_threshold=args.jcx_threshold if args.verify else None,
+        collect_lineage=args.lineage,
+    )
+
+    pairs_name = "verified_pairs" if args.verify else "pairs"
+    out[pairs_name].write.mode("overwrite").parquet(f"{args.output}/pairs")
+    out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters")
+    elapsed = time.time() - t0
+
+    metrics = {
+        "files": n_files,
+        "pairs": spark.read.parquet(f"{args.output}/pairs").count(),
+        "clusters": spark.read.parquet(f"{args.output}/clusters")
+        .select("cluster").distinct().count(),
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round(n_files / elapsed, 1),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "config_fingerprint": config.fingerprint(),
+        "stage_metrics": {
+            k: v for k, v in pipe.metrics.items() if isinstance(v, (int, float))
+        },
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

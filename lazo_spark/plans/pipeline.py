@@ -43,10 +43,15 @@ class DedupPipeline:
         return os.path.join(self.checkpoint_dir, self.config.fingerprint(), stage)
 
     def _checkpoint(self, df: DataFrame, stage: str) -> DataFrame:
-        """Write-through parquet checkpoint; skip recompute on resume."""
+        """Write-through parquet checkpoint; skip recompute on resume.
+        Without a checkpoint dir, persist in memory/disk instead — every
+        stage feeds multiple downstream actions (band join sides, the
+        clustering loop, final writes), so each must materialize once."""
         path = self._stage_path(stage)
         if not path:
-            return df
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
         marker = os.path.join(path, "_MANIFEST.json")
         if not os.path.exists(marker):
             t0 = time.time()
@@ -79,17 +84,17 @@ class DedupPipeline:
         t0 = time.time()
         keyed = with_key_and_sha(source)
         reps, membership = collapse_exact_duplicates(keyed)
+        if verify_threshold is not None:
+            # reps feeds both the sketch stage and the verification join;
+            # cache so the sha-collapse shuffle runs once.  (Parquet
+            # checkpointing reps would duplicate the corpus on disk.)
+            from pyspark import StorageLevel
+
+            reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
         membership = self._checkpoint(membership, "membership")
 
         sketches = sketch_stage(reps, self.config)
         sketches = self._checkpoint(sketches, "sketches")
-        if not self.checkpoint_dir:
-            # the bands self-join references sketches on both sides (plus
-            # the salt bucket counts): persist so the scan+sha+sketch
-            # subtree runs once, not 4x
-            from pyspark import StorageLevel
-
-            sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
         self.metrics["sketch_seconds"] = time.time() - t0
 
         corrections_acc = self.spark.sparkContext.accumulator(0)

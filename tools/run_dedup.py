@@ -1,0 +1,13 @@
+#!/usr/bin/env python3
+"""spark-submit driver script (ships with --py-files dist/lazo_spark.zip).
+
+    spark-submit --master local[8] --py-files dist/lazo_spark.zip \
+        tools/run_dedup.py --input ... --output ...
+
+Kept to a bare import so executors/driver resolve lazo_spark from the
+zip, not from the repo checkout.
+"""
+from lazo_spark.cli import main
+
+if __name__ == "__main__":
+    main()

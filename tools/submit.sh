@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Build dist/lazo_spark.zip and run the flagship dedup via spark-submit
+# --py-files (north-rule run mode).  Extra args pass through to
+# tools/run_dedup.py.
+#
+#   tools/submit.sh local[8]  --input .../files.parquet --output /tmp/out8
+#   tools/submit.sh local[32] --input .../files.parquet --output /tmp/out32
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${1:?usage: submit.sh <master> [run_dedup args...]}"
+shift
+
+mkdir -p "$REPO/dist"
+(cd "$REPO" && rm -f dist/lazo_spark.zip \
+  && zip -qr dist/lazo_spark.zip lazo_spark -x '*__pycache__*')
+
+exec spark-submit \
+  --master "$MASTER" \
+  --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-48g}" \
+  --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_SHUFFLE:-32}" \
+  --conf spark.ui.enabled=false \
+  --py-files "$REPO/dist/lazo_spark.zip" \
+  "$REPO/tools/run_dedup.py" "$@"
