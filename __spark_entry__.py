@@ -311,7 +311,7 @@ def q_lazo_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    cfg = LazoConfig(shingle_mode="token_ngram:2")
+    cfg = LazoConfig(shingle_mode="token_ngram:2", simhash=True)
     sk = sketch_stage(_docs_keyed(spark, sf_dir), cfg).select("key", "simhash")
     byte = [
         F.shiftrightunsigned(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias(f"b{i}")

@@ -55,6 +55,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
     p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
+    p.add_argument(
+        "--phase", choices=["full", "sketch-lsh"], default="full",
+        help="sketch-lsh: stop after candidate generation (the BASELINE "
+        "throughput metric is files/sec of the sketch+LSH phase)",
+    )
     return p
 
 
@@ -89,6 +94,37 @@ def main(argv: list[str] | None = None) -> dict:
     n_files = source.count()
 
     t0 = time.time()
+    if args.phase == "sketch-lsh":
+        # scan -> sha collapse -> sketch -> band join -> estimate+filter,
+        # written but not verified/clustered: the BASELINE throughput unit
+        from lazo_spark.operators.lazo import lazo_pairs
+        from lazo_spark.operators.sketch import sketch_and_collapse, with_key_and_sha
+
+        from pyspark import StorageLevel
+
+        rep_sketches, _ = sketch_and_collapse(with_key_and_sha(source), config)
+        # narrow (~600 B/row) sketch relation feeds the salt-count pass and
+        # both self-join sides: persist it (content itself is never cached)
+        rep_sketches = rep_sketches.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = lazo_pairs(rep_sketches, config, salt=True)
+        pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+        elapsed = time.time() - t0
+        metrics = {
+            "phase": "sketch-lsh",
+            "files": n_files,
+            "pairs": spark.read.parquet(f"{args.output}/pairs").count(),
+            "seconds": round(elapsed, 3),
+            "files_per_sec": round(n_files / elapsed, 1),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "master": spark.sparkContext.master,
+            "config_fingerprint": config.fingerprint(),
+        }
+        if args.metrics_out:
+            with open(args.metrics_out, "w") as f:
+                json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+        return metrics
+
     pipe = DedupPipeline(spark, config, checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(
         source,
@@ -102,6 +138,7 @@ def main(argv: list[str] | None = None) -> dict:
     elapsed = time.time() - t0
 
     metrics = {
+        "phase": "full",
         "files": n_files,
         "pairs": spark.read.parquet(f"{args.output}/pairs").count(),
         "clusters": spark.read.parquet(f"{args.output}/clusters")

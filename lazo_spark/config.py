@@ -25,6 +25,10 @@ class LazoConfig:
     js_threshold: float = 0.0
     jcx_threshold: float = 0.5  # flagship queries containment (LazoBenchmark.java:242)
     ech: bool = True
+    # compute the SimHash companion signature in the sketch pass (the
+    # flagship Lazo path never reads it, and it costs ~half the kernel
+    # time; the simhash operators turn it on explicitly)
+    simhash: bool = False
     # scale knobs (no effect on results)
     bucket_cap: int = 2000  # salt band buckets larger than this
     shuffle_partitions: int | None = None

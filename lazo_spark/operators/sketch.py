@@ -58,7 +58,10 @@ def compute_sketches(
         raise ValueError(f"unknown sketch_type {config.sketch_type}")
     cards = np.diff(offsets)  # shingle() already dedups -> exact distinct
     bands = band_hashes_r1(sigs)
-    sims = simhash64(h, offsets)
+    if config.simhash:
+        sims = simhash64(h, offsets)
+    else:
+        sims = np.zeros(len(cards), dtype=np.int64)
     return pd.DataFrame(
         {
             "key": list(keys),
@@ -166,6 +169,51 @@ def with_key_and_sha(
     return df.withColumn("key", key).withColumn(
         "sha", F.sha2(F.col(content_col), 256)
     )
+
+
+def sketch_and_collapse(
+    df: DataFrame,
+    config: LazoConfig,
+    key_col: str = "key",
+    content_col: str = "content",
+    sha_col: str = "sha",
+) -> tuple[DataFrame, DataFrame]:
+    """Sketch ALL rows map-side, then collapse exact duplicates on the
+    narrow sketch relation: returns (rep_sketches, membership).
+
+    This is the scale-correct ordering: `content` flows scan -> sketch
+    UDF inside one narrow stage and is NEVER shuffled or cached (at
+    10^12-file scale, shuffling or caching the corpus to pick
+    representatives costs more than the corpus scan itself — and
+    measured locally, re-reading cached content rows is ~3x slower than
+    the zstd parquet scan).  Exact-duplicate rows redundantly re-sketch
+    identical content (bounded, map-side, skew-free CPU); in exchange
+    the only shuffled relations are ~600-byte sketch rows and (key, sha)
+    pairs.  Collapse-before-sketch (collapse_exact_duplicates below) is
+    kept for content-reuse flows like verification tests.
+    """
+    sk = sketch_stage(df, config, key_col, content_col, sha_col)
+    w = Window.partitionBy(sha_col)
+    membership = (
+        df.select(key_col, sha_col)
+        .withColumn("rep_key", F.min(key_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+    )
+    # rows within a sha group carry identical content, hence identical
+    # sketches: min(key) picks the representative, first() the (shared)
+    # sketch columns — hash-aggregable, map-side combinable
+    rep_sketches = sk.groupBy(sha_col).agg(
+        F.min(key_col).alias(key_col),
+        F.first("cardinality").alias("cardinality"),
+        F.first("signature").alias("signature"),
+        F.first("band_hashes").alias("band_hashes"),
+        F.first("simhash").alias("simhash"),
+        F.count(F.lit(1)).alias("group_size"),
+    ).select(
+        key_col, sha_col, "cardinality", "signature", "band_hashes",
+        "simhash", "group_size",
+    )
+    return rep_sketches, membership
 
 
 def collapse_exact_duplicates(

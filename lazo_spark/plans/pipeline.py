@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import LazoConfig
 from ..operators.cluster import cluster_assignments
 from ..operators.lazo import lazo_pairs
-from ..operators.sketch import collapse_exact_duplicates, sketch_stage, with_key_and_sha
+from ..operators.sketch import sketch_and_collapse, with_key_and_sha
 
 
 class DedupPipeline:
@@ -83,17 +83,10 @@ class DedupPipeline:
         P8)."""
         t0 = time.time()
         keyed = with_key_and_sha(source)
-        reps, membership = collapse_exact_duplicates(keyed)
-        if verify_threshold is not None:
-            # reps feeds both the sketch stage and the verification join;
-            # cache so the sha-collapse shuffle runs once.  (Parquet
-            # checkpointing reps would duplicate the corpus on disk.)
-            from pyspark import StorageLevel
-
-            reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+        # sketch map-side over ALL rows, collapse exact dups on the narrow
+        # sketch relation — content is never shuffled or cached
+        sketches, membership = sketch_and_collapse(keyed, self.config)
         membership = self._checkpoint(membership, "membership")
-
-        sketches = sketch_stage(reps, self.config)
         sketches = self._checkpoint(sketches, "sketches")
         self.metrics["sketch_seconds"] = time.time() - t0
 
@@ -111,8 +104,10 @@ class DedupPipeline:
             from ..operators.verify import verify_candidates
 
             tv = time.time()
+            # candidate keys are rep keys: the semi-join inside pulls just
+            # those rows from a fresh (column-pruned) source scan
             verified = verify_candidates(
-                pairs, reps, "key", "content", self.config.shingle_mode,
+                pairs, keyed, "key", "content", self.config.shingle_mode,
                 jcx_threshold=verify_threshold,
             )
             verified = self._checkpoint(verified, "verified_pairs")

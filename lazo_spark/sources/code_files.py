@@ -172,8 +172,15 @@ def cached_code_files_path(sf: float, base_dir: str = "/root/repo/.cache/code_fi
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         files, truth = generate_code_files(sf)
-        files.to_parquet(os.path.join(out, "files.parquet"), index=False)
-        truth.to_parquet(os.path.join(out, "truth.parquet"), index=False)
+        # small row groups: Spark's parquet splits are bounded by row-group
+        # boundaries, so one default-sized group would serialize the scan
+        # (one task) regardless of core count
+        files.to_parquet(
+            os.path.join(out, "files.parquet"), index=False, row_group_size=1000
+        )
+        truth.to_parquet(
+            os.path.join(out, "truth.parquet"), index=False, row_group_size=10000
+        )
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -18,6 +18,7 @@ exec spark-submit \
   --master "$MASTER" \
   --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-48g}" \
   --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_SHUFFLE:-32}" \
+  --conf spark.sql.files.maxPartitionBytes="${SPARK_GRAFT_MAX_PART_BYTES:-4m}" \
   --conf spark.ui.enabled=false \
   --py-files "$REPO/dist/lazo_spark.zip" \
   "$REPO/tools/run_dedup.py" "$@"
