@@ -33,6 +33,46 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
+    """Sketch+LSH phase (the BASELINE.json throughput unit: scan -> sha
+    collapse -> sketch -> band self-join -> estimate+filter) files/sec on
+    a fresh local[cpus] session.  Same dataflow as
+    `tools/submit.sh 'local[N]' --phase sketch-lsh`."""
+    from pyspark import StorageLevel
+
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.operators.lazo import lazo_pairs
+    from lazo_spark.operators.sketch import sketch_and_collapse, with_key_and_sha
+    from lazo_spark.session import get_spark
+    from lazo_spark.sources.code_files import cached_code_files_path
+
+    path = cached_code_files_path(sf)
+    spark = get_spark(
+        f"bench-sl-local{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        src = spark.read.parquet(os.path.join(path, "files.parquet"))
+        n_files = src.count()
+        t0 = time.time()
+        cfg = LazoConfig(jcx_threshold=0.8)
+        sketches, _ = sketch_and_collapse(with_key_and_sha(src), cfg)
+        sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
+        n_pairs = lazo_pairs(sketches, cfg, salt=True).count()
+        elapsed = time.time() - t0
+    finally:
+        spark.stop()
+    return {
+        "cpus": cpus,
+        "files": n_files,
+        "pairs": n_pairs,
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round(n_files / elapsed, 1),
+    }
+
+
 def flagship_throughput(cpus: int, sf: float) -> dict:
     """Flagship dedup pipeline (code corpus) wall time + files/sec on a
     fresh local[cpus] session."""
@@ -105,11 +145,17 @@ def main() -> None:
         "flagship": flag,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        lo = flagship_throughput(8, code_sf)
-        hi = flagship_throughput(32, code_sf)
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # N vs 4N scaling evidence (BASELINE.md): sketch+LSH files/sec at
+        # local[8] vs local[32] on the largest cached code corpus (compute
+        # must dominate fixed session/stage overheads for the ratio to
+        # reflect the partition-level scaling that a real cluster sees)
+        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.1"))
+        lo = sketch_lsh_throughput(8, scaling_sf)
+        hi = sketch_lsh_throughput(32, scaling_sf)
         eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
         out["scaling"] = {
+            "phase": "sketch-lsh",
             "local8": lo,
             "local32": hi,
             "efficiency": round(eff, 3),
