@@ -1,0 +1,173 @@
+"""Lazo JS/JCX/JCY estimation + ECH as pure Catalyst column expressions.
+
+Bit-identical float32 replica of functions/estimation.py (itself a
+replica of LazoIndex.java:349-469), expressed JVM-side so the candidate
+stage runs inside whole-stage codegen with no Python in the hot path.
+
+Float32 parity notes (verified empirically in tests/test_estimation_sql):
+  * Spark float+float / float-float / float*float stay FloatType and are
+    IEEE-identical to numpy float32.
+  * Spark division promotes to double; casting the result back to float
+    is bit-identical to native float32 division (double rounding is
+    innocuous for +,-,*,/ when p' >= 2p+2; 53 >= 2*24+2).
+  * CAST(float AS BIGINT) truncates toward zero = Java (long) = np.trunc.
+
+The exhaustive grid test compares every output column of these
+expressions against estimate_pairs over the full cardinality grid x all
+sweep thresholds, bit-for-bit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _f(x) -> Column:
+    """float32 literal (rounded through numpy so the literal itself is
+    the same float32 value the kernel uses)."""
+    return F.lit(float(np.float32(x))).cast("float")
+
+
+def _fdiv(num: Column, den: Column) -> Column:
+    """float32 division (Spark promotes to double; cast back = IEEE
+    float32 single-rounding equivalent)."""
+    return (num / den).cast("float")
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    """float32 num/den with 0 where den <= 0 (reference ternaries);
+    num/den are BIGINT columns."""
+    return F.when(
+        den > 0, _fdiv(num.cast("float"), den.cast("float"))
+    ).otherwise(_f(0.0))
+
+
+def _alpha(min_c: Column, max_c: Column, t: Column) -> Column:
+    """getAlpha (LazoIndex.java:477-480): (long)((minC - t*maxC)/(1+t)),
+    all float32."""
+    v = _fdiv(min_c.cast("float") - t * max_c.cast("float"), _f(1.0) + t)
+    return v.cast("bigint")
+
+
+@dataclass
+class EstimateCols:
+    js: Column
+    jcx: Column
+    jcy: Column
+    keep: Column
+    corrected: Column
+
+
+def estimate_cols(
+    th: Column,
+    query_card: Column,
+    candidate_card: Column,
+    d: float = 0.05,
+    js_threshold: float = 0.0,
+    jcx_threshold: float = 0.0,
+    ech: bool = True,
+) -> EstimateCols:
+    """Column-expression twin of estimation.estimate_pairs.
+
+    th: FloatType lower-bound threshold; cards: BIGINT.  Returns the
+    averaged js/jcx/jcy (float32), the final-filter boolean, and the
+    ECH-correction flag.
+    """
+    q = query_card.cast("bigint")
+    c = candidate_card.cast("bigint")
+    lower_t = th
+    upper_t = th + _f(d)
+    min_c = F.least(q, c)
+    max_c = F.greatest(q, c)
+
+    a_lo = _alpha(min_c, max_c, lower_t)
+    a_up = _alpha(min_c, max_c, upper_t)
+    ix_lo = min_c - a_lo
+    ix_up = min_c - a_up
+    un_lo = max_c + a_lo
+    un_up = max_c + a_up
+
+    js_lo = _safe_div(ix_lo, un_lo)
+    js_up = _safe_div(ix_up, un_up)
+    jcx_lo = _safe_div(ix_lo, q)
+    jcx_up = _safe_div(ix_up, q)
+    jcy_lo = _safe_div(ix_lo, c)
+    jcy_up = _safe_div(ix_up, c)
+
+    jcx_max = F.least(_safe_div(min_c, q), _f(1.0))
+    jcy_max = F.least(_safe_div(min_c, c), _f(1.0))
+
+    corrected = F.lit(False)
+    if ech:
+        # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
+        ca_x = (min_c.cast("float") - jcx_max * q.cast("float")).cast("bigint")
+        ca_y = (min_c.cast("float") - jcy_max * c.cast("float")).cast("bigint")
+        js_corr_x = _safe_div(min_c - ca_x, max_c + ca_x)
+        js_corr_y = _safe_div(min_c - ca_y, max_c + ca_y)
+
+        # upper bound corrections (LazoIndex.java:393-413)
+        cond_x_up = (jcx_up > jcx_max) & (jcx_max > 0)
+        cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
+        js_up2 = F.when(cond_x_up, js_corr_x).when(cond_y_up, js_corr_y).otherwise(js_up)
+        jcx_up2 = (
+            F.when(cond_x_up, jcx_max)
+            .when(cond_y_up, _safe_div(min_c - ca_y, q))
+            .otherwise(jcx_up)
+        )
+        jcy_up2 = (
+            F.when(cond_x_up, _safe_div(min_c - ca_x, c))
+            .when(cond_y_up, jcy_max)
+            .otherwise(jcy_up)
+        )
+
+        # lower bound corrections (LazoIndex.java:415-438)
+        cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
+        cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
+        js_lo2 = F.when(cond_x_lo, js_corr_x).when(cond_y_lo, js_corr_y).otherwise(js_lo)
+        jcx_lo2 = (
+            F.when(cond_x_lo, jcx_max)
+            .when(cond_y_lo, _safe_div(min_c - ca_y, q))
+            .otherwise(jcx_lo)
+        )
+        jcy_lo2 = (
+            F.when(cond_x_lo, _safe_div(min_c - ca_x, c))
+            .when(cond_y_lo, jcy_max)
+            .otherwise(jcy_lo)
+        )
+        corrected = cond_x_up | cond_y_up | cond_x_lo | cond_y_lo
+        js_lo, js_up = js_lo2, js_up2
+        jcx_lo, jcx_up = jcx_lo2, jcx_up2
+        jcy_lo, jcy_up = jcy_lo2, jcy_up2
+
+    avg_js = _fdiv(js_lo + js_up, _f(2.0))
+    avg_jcx = _fdiv(jcx_lo + jcx_up, _f(2.0))
+    avg_jcy = _fdiv(jcy_lo + jcy_up, _f(2.0))
+    keep = (avg_js >= _f(js_threshold)) & (avg_jcx >= _f(jcx_threshold))
+    return EstimateCols(avg_js, avg_jcx, avg_jcy, keep, corrected)
+
+
+def keep_either_col(
+    th: Column,
+    card_x: Column,
+    card_y: Column,
+    d: float,
+    js_threshold: float,
+    jcx_threshold: float,
+    ech: bool,
+) -> Column:
+    """Undirected keep predicate: pair passes if either containment
+    direction passes (mirrors the pandas path's rx.keep | ry.keep).
+
+    Monotone in th for fixed cardinalities (estimates are non-decreasing
+    in th; ECH clamps to th-independent bounds), which makes the per-row
+    pre-aggregation pushdown in operators/lazo.py lossless: a band row
+    failing at its own position's threshold implies failure at the
+    pair's min_pos threshold whenever that row IS the min, and all
+    larger positions fail too.
+    """
+    kx = estimate_cols(th, card_x, card_y, d, js_threshold, jcx_threshold, ech).keep
+    ky = estimate_cols(th, card_y, card_x, d, js_threshold, jcx_threshold, ech).keep
+    return kx | ky

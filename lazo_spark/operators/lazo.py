@@ -117,6 +117,7 @@ def candidate_pairs(
     config: LazoConfig,
     salt: bool = False,
     max_pos: int | None = None,
+    row_filter=None,
 ) -> DataFrame:
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
@@ -124,6 +125,10 @@ def candidate_pairs(
     Cardinality rides along in the bands rows (8 bytes) so no extra join
     against the sketch table is needed afterwards; at extreme scale the
     same plan works with keys pre-hashed to longs (join back at the end).
+
+    row_filter: optional callback applied to the raw join rows
+    (pos, key_x, card_x, key_y, card_y) BEFORE the pair aggregation —
+    used for the lossless threshold pushdown (see lazo_pairs).
     """
     bands = band_explode(sketches, max_pos)
     join_keys = ["pos", "bh"]
@@ -137,11 +142,20 @@ def candidate_pairs(
         *join_keys, F.col("key").alias("key_y"), F.col("card").alias("card_y")
     )
     joined = x.join(y, join_keys).filter(F.col("key_x") < F.col("key_y"))
+    if row_filter is not None:
+        joined = row_filter(joined)
     return joined.groupBy("key_x", "key_y").agg(
         F.min("pos").alias("min_pos"),
         F.first("card_x").alias("card_x"),
         F.first("card_y").alias("card_y"),
     )
+
+
+def _minpos_threshold_col(config: LazoConfig, pos_col) -> "F.Column":
+    """element_at over the (float32) min_pos -> sweep-threshold table."""
+    mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
+    arr = F.array(*[F.lit(float(v)).cast("float") for v in mapping])
+    return F.element_at(arr, pos_col + 1)
 
 
 def estimate_candidates(
@@ -151,10 +165,17 @@ def estimate_candidates(
     jcx_threshold: float | None = None,
     direction: str = "either",
     corrections_acc=None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Assign sweep thresholds from min_pos, run the float32 estimation +
-    ECH correction (vectorized pandas UDF — exact reference float
-    semantics), and apply the final filter.
+    ECH correction, and apply the final filter.
+
+    engine='sql' (default): pure Catalyst column expressions
+    (functions/estimation_sql.py, bit-identical to the kernel — tested) —
+    the whole estimate+filter fuses into the join stage's codegen, no
+    Python round-trip.  Output gains a `corrected` boolean column.
+    engine='pandas': the vectorized NumPy kernel via mapInPandas; used
+    when an ECH-corrections accumulator is requested and by parity tests.
 
     direction:
       'either'   keep pair if either containment direction passes
@@ -163,6 +184,35 @@ def estimate_candidates(
     """
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    if corrections_acc is not None:
+        engine = "pandas"
+
+    if engine == "sql":
+        from ..functions.estimation_sql import estimate_cols
+
+        th = _minpos_threshold_col(config, F.col("min_pos"))
+        cx, cy = F.col("card_x"), F.col("card_y")
+        if direction == "y":
+            rx = estimate_cols(th, cy, cx, config.d, js_t, jcx_t, config.ech)
+            keep = rx.keep
+        else:
+            rx = estimate_cols(th, cx, cy, config.d, js_t, jcx_t, config.ech)
+            keep = rx.keep
+            if direction == "either":
+                ry = estimate_cols(th, cy, cx, config.d, js_t, jcx_t, config.ech)
+                keep = keep | ry.keep
+        return (
+            pairs.select(
+                "key_x", "key_y",
+                rx.js.alias("js"), rx.jcx.alias("jcx"), rx.jcy.alias("jcy"),
+                th.alias("th"), F.col("min_pos"),
+                rx.corrected.alias("corrected"),
+                keep.alias("_keep"),
+            )
+            .filter(F.col("_keep"))
+            .drop("_keep")
+        )
+
     mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
 
     d, ech = config.d, config.ech
@@ -215,13 +265,37 @@ def lazo_pairs(
     jcx_threshold: float | None = None,
     salt: bool = False,
     corrections_acc=None,
+    engine: str = "sql",
 ) -> DataFrame:
-    """Full candidate pipeline: bands join -> min_pos -> estimate -> filter."""
+    """Full candidate pipeline: bands join -> min_pos -> estimate -> filter.
+
+    With engine='sql' the either-direction keep predicate is additionally
+    pushed BELOW the pair aggregation, onto the raw join rows: it is
+    monotone in the sweep threshold for fixed cardinalities (tested), so
+    a join row failing at its own position's threshold can never be part
+    of a passing pair — rows are dropped before the pair shuffle without
+    changing the result set or any reported estimate.
+    """
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
     max_pos = max_useful_band(config, js_t, jcx_t)
-    pairs = candidate_pairs(sketches, config, salt=salt, max_pos=max_pos)
+    prefilter = None
+    if engine == "sql" and corrections_acc is None:
+        from ..functions.estimation_sql import keep_either_col
+
+        def prefilter(joined: DataFrame) -> DataFrame:
+            th_row = _minpos_threshold_col(config, F.col("pos"))
+            return joined.filter(
+                keep_either_col(
+                    th_row, F.col("card_x"), F.col("card_y"),
+                    config.d, js_t, jcx_t, config.ech,
+                )
+            )
+
+    pairs = candidate_pairs(
+        sketches, config, salt=salt, max_pos=max_pos, row_filter=prefilter
+    )
     return estimate_candidates(
         pairs, config, js_threshold, jcx_threshold,
-        corrections_acc=corrections_acc,
+        corrections_acc=corrections_acc, engine=engine,
     )

@@ -90,11 +90,8 @@ class DedupPipeline:
         sketches = self._checkpoint(sketches, "sketches")
         self.metrics["sketch_seconds"] = time.time() - t0
 
-        corrections_acc = self.spark.sparkContext.accumulator(0)
         t1 = time.time()
-        pairs = lazo_pairs(
-            sketches, self.config, salt=True, corrections_acc=corrections_acc
-        )
+        pairs = lazo_pairs(sketches, self.config, salt=True)
         pairs = self._checkpoint(pairs, "pairs")
         self.metrics["pairs_seconds"] = time.time() - t1
 
@@ -138,7 +135,12 @@ class DedupPipeline:
             rec.set("bucket_histogram", bucket_histogram(band_explode(sketches, mp)))
             rec.set("timings", dict(self.metrics))
             self.metrics["lineage"] = rec.flush()
-        self.metrics["ech_corrections"] = corrections_acc.value
+        if "corrected" in pairs.columns:
+            # ECH-correction count, from the SQL estimation's flag column
+            # (cheap: pairs is checkpointed/persisted by now)
+            self.metrics["ech_corrections"] = (
+                pairs.agg(F.sum(F.col("corrected").cast("long"))).first()[0] or 0
+            )
         self.metrics["total_seconds"] = time.time() - t0
         return out
 

@@ -1,0 +1,31 @@
+"""SQL-expression estimation engine vs pandas-kernel engine: identical
+pairs, identical reported estimates, on a real corpus end-to-end —
+including the lossless per-row threshold pushdown (SQL engine only)."""
+import pandas as pd
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.lazo import lazo_pairs
+from lazo_spark.operators.sketch import sketch_and_collapse, with_key_and_sha
+from lazo_spark.sources.code_files import generate_code_files
+
+
+@pytest.mark.parametrize("jcx_t", [0.5, 0.8])
+def test_sql_and_pandas_engines_agree(spark, jcx_t):
+    files, _ = generate_code_files(sf=0.0005)
+    src = spark.createDataFrame(files)
+    cfg = LazoConfig(jcx_threshold=jcx_t)
+    sk, _ = sketch_and_collapse(with_key_and_sha(src), cfg)
+    sk = sk.cache()
+
+    cols = ["key_x", "key_y", "js", "jcx", "jcy", "th", "min_pos"]
+    a = (
+        lazo_pairs(sk, cfg, salt=True, engine="sql")
+        .select(*cols).toPandas().sort_values(["key_x", "key_y"]).reset_index(drop=True)
+    )
+    b = (
+        lazo_pairs(sk, cfg, salt=True, engine="pandas")
+        .select(*cols).toPandas().sort_values(["key_x", "key_y"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)

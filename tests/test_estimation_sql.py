@@ -1,0 +1,86 @@
+"""Bit-exact parity: Catalyst estimation expressions vs the float32
+NumPy kernel (itself golden-tested vs the compiled reference).
+
+Grid: every sweep threshold x the full cardinality grid (extreme ratios,
+small counts, truncation/ECH boundary regimes) x both argument orders.
+Comparison is exact float equality — both sides must produce the SAME
+float32 bit patterns, not approximately-equal doubles.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.functions.estimation import estimate_pairs
+from lazo_spark.functions.estimation_sql import estimate_cols, keep_either_col
+from lazo_spark.operators.lazo import _cardinality_grid
+
+
+def _grid_pdf() -> pd.DataFrame:
+    mn, mx = _cardinality_grid()
+    ths = [np.float32(0.05) * np.float32(i) for i in range(20)]
+    rows = []
+    for t in ths:
+        rows.append(pd.DataFrame({"th": np.full(len(mn), t, dtype=np.float32),
+                                  "q": mn, "c": mx}))
+        rows.append(pd.DataFrame({"th": np.full(len(mn), t, dtype=np.float32),
+                                  "q": mx, "c": mn}))
+    return pd.concat(rows, ignore_index=True)
+
+
+@pytest.mark.parametrize("ech", [True, False])
+@pytest.mark.parametrize("js_t,jcx_t", [(0.0, 0.5), (0.0, 0.8), (0.5, 0.0)])
+def test_sql_estimation_bit_parity(spark, ech, js_t, jcx_t):
+    pdf = _grid_pdf()
+    ref = estimate_pairs(
+        pdf["th"].to_numpy(), pdf["q"].to_numpy(), pdf["c"].to_numpy(),
+        0.05, js_t, jcx_t, ech,
+    )
+    df = spark.createDataFrame(pdf)
+    cols = estimate_cols(
+        F.col("th").cast("float"), F.col("q"), F.col("c"),
+        0.05, js_t, jcx_t, ech,
+    )
+    keep_e = keep_either_col(
+        F.col("th").cast("float"), F.col("q"), F.col("c"),
+        0.05, js_t, jcx_t, ech,
+    )
+    out = df.select(
+        cols.js.alias("js"), cols.jcx.alias("jcx"), cols.jcy.alias("jcy"),
+        cols.keep.alias("keep"), cols.corrected.alias("corrected"),
+        keep_e.alias("keep_either"),
+    ).toPandas()
+
+    got_js = out["js"].to_numpy(np.float32)
+    got_jcx = out["jcx"].to_numpy(np.float32)
+    got_jcy = out["jcy"].to_numpy(np.float32)
+    assert (got_js.view(np.int32) == ref.js.view(np.int32)).all()
+    assert (got_jcx.view(np.int32) == ref.jcx.view(np.int32)).all()
+    assert (got_jcy.view(np.int32) == ref.jcy.view(np.int32)).all()
+    assert (out["keep"].to_numpy(bool) == ref.keep).all()
+
+    ry = estimate_pairs(
+        pdf["th"].to_numpy(), pdf["c"].to_numpy(), pdf["q"].to_numpy(),
+        0.05, js_t, jcx_t, ech,
+    )
+    assert (out["keep_either"].to_numpy(bool) == (ref.keep | ry.keep)).all()
+
+
+def test_keep_monotone_in_threshold():
+    """The pushdown's correctness condition: for fixed cardinalities the
+    either-direction keep predicate, once true at some sweep threshold,
+    stays true at every higher threshold."""
+    mn, mx = _cardinality_grid()
+    ths = [np.float32(0.05) * np.float32(i) for i in range(20)]
+    keeps = []
+    for t in ths:
+        tv = np.full(len(mn), t, dtype=np.float32)
+        rx = estimate_pairs(tv, mn, mx, 0.05, 0.0, 0.8, True)
+        ry = estimate_pairs(tv, mx, mn, 0.05, 0.0, 0.8, True)
+        keeps.append(rx.keep | ry.keep)
+    k = np.stack(keeps)  # [th_index, grid]
+    # once true at index i, must be true at every j > i
+    cum = np.maximum.accumulate(k, axis=0)
+    assert (k == cum).all()
