@@ -342,6 +342,115 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _media(spark, sf_dir):
+    """Deterministic media table synthesized from documents (no media
+    parquet in the driver testdata): payload = UTF-8 bytes of text,
+    typed metadata carries a per-row frame count."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("doc_id") % 37).cast("string")
+        ).alias("meta"),
+    )
+
+
+def q_media_exact_dups(spark, sf_dir):
+    """Binary-column exact duplicates (payload sha256 self-join)."""
+    from lazo_spark.operators.multimodal import media_near_dup_pairs
+
+    p = media_near_dup_pairs(_media(spark, sf_dir))
+    x = F.col("id_x").cast("long")
+    y = F.col("id_y").cast("long")
+    return p.select(F.least(x, y).alias("id_x"), F.greatest(x, y).alias("id_y"))
+
+
+def q_media_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (decode
+    stubbed deterministically; schema/batch plumbing real)."""
+    from lazo_spark.operators.multimodal import extract_features
+
+    out = extract_features(_media(spark, sf_dir), mode="fake")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.size("features").cast("long").alias("feat_dim"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: explode every-10th frame index from
+    typed metadata."""
+    from lazo_spark.operators.multimodal import frame_sample_plan
+
+    out = frame_sample_plan(_media(spark, sf_dir), every_n=10)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+    )
+
+
+def q_nation_order_totals(spark, sf_dir):
+    """Relational coverage: broadcast dim joins + exact decimal agg."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k neighbors via multi-table hyperplane LSH (the
+    scale path for embedding_topk; approximate, rows-only check)."""
+    from lazo_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(
+        _emb(spark, sf_dir), k=3, query_filter=F.col("vec_id") < 20
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_fuzzy_theta(spark, sf_dir):
+    """Fuzzy n-gram-signature matching (reference BaseIndex theta
+    aggregation) over short strings — the reference applies its fuzzy
+    path to string values, not whole documents.  Input: the corpus's
+    most frequent distinct tokens.  Approximate; rows-only check."""
+    from lazo_spark.operators.fuzzy import fuzzy_candidates
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(300)
+        .select(
+            F.col("tok").alias("key"),
+            F.col("tok").alias("content"),
+            F.sha2(F.col("tok"), 256).alias("sha"),
+        )
+    )
+    out = fuzzy_candidates(toks, LazoConfig(), n=4, jcx_floor=0.5)
+    return out.select("key_x", "key_y", F.round("m", 6).alias("m"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir), cosine_threshold=0.3, n_planes=4
@@ -374,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "media_exact_dups": q_media_exact_dups,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "nation_order_totals": q_nation_order_totals,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "fuzzy_theta": q_fuzzy_theta,
     }
 
 
@@ -538,6 +653,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": """
             SELECT floor(n_chars / 100)::BIGINT AS bucket, COUNT(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "media_exact_dups": """
+            WITH h AS (SELECT doc_id, sha256(text) AS sha FROM documents)
+            SELECT a.doc_id AS id_x, b.doc_id AS id_y
+            FROM h a JOIN h b ON a.sha = b.sha AND a.doc_id < b.doc_id
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   16 AS feat_dim
+            FROM documents
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS media_id, i AS frame_index
+            FROM (SELECT doc_id, doc_id % 37 AS nf FROM documents),
+                 UNNEST(range(0, nf, 10)) AS u(i)
+            WHERE nf > 0
+        """,
+        "nation_order_totals": """
+            SELECT n_name,
+                   (SUM(o_totalprice::DECIMAL(18,2)))::DOUBLE AS total_spend,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -61,6 +61,103 @@ class EstimateCols:
     corrected: Column
 
 
+def _build_estimates(
+    th: Column,
+    query_card: Column,
+    candidate_card: Column,
+    d: float,
+    ech: bool,
+    need_js: bool,
+    need_jcx: bool,
+    need_jcy: bool,
+) -> tuple[Column | None, Column | None, Column | None, Column]:
+    """Shared expression builder: returns (avg_js, avg_jcx, avg_jcy,
+    corrected), materializing ONLY the requested averages.
+
+    Tree size matters operationally, not just aesthetically: these
+    expressions are inlined into whole-stage-codegen'd join/filter
+    stages, and janino hard-fails methods > 64 KB (the stage then runs
+    interpreted).  Each unneeded average drops its whole when/otherwise
+    correction chain; the ECH *conditions* are always built when ech is
+    on because every chain branches on them.
+    """
+    q = query_card.cast("bigint")
+    c = candidate_card.cast("bigint")
+    lower_t = th
+    upper_t = th + _f(d)
+    min_c = F.least(q, c)
+    max_c = F.greatest(q, c)
+
+    a_lo = _alpha(min_c, max_c, lower_t)
+    a_up = _alpha(min_c, max_c, upper_t)
+    ix_lo = min_c - a_lo
+    ix_up = min_c - a_up
+
+    js_lo = _safe_div(ix_lo, max_c + a_lo) if need_js else None
+    js_up = _safe_div(ix_up, max_c + a_up) if need_js else None
+    jcx_lo = _safe_div(ix_lo, q)
+    jcx_up = _safe_div(ix_up, q)
+    jcy_lo = _safe_div(ix_lo, c)
+    jcy_up = _safe_div(ix_up, c)
+
+    jcx_max = F.least(_safe_div(min_c, q), _f(1.0))
+    jcy_max = F.least(_safe_div(min_c, c), _f(1.0))
+
+    corrected = F.lit(False)
+    if ech:
+        # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
+        ca_x = (min_c.cast("float") - jcx_max * q.cast("float")).cast("bigint")
+        ca_y = (min_c.cast("float") - jcy_max * c.cast("float")).cast("bigint")
+
+        # upper bound corrections (LazoIndex.java:393-413)
+        cond_x_up = (jcx_up > jcx_max) & (jcx_max > 0)
+        cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
+        # lower bound corrections (LazoIndex.java:415-438)
+        cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
+        cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
+
+        if need_js:
+            js_corr_x = _safe_div(min_c - ca_x, max_c + ca_x)
+            js_corr_y = _safe_div(min_c - ca_y, max_c + ca_y)
+            js_up = (
+                F.when(cond_x_up, js_corr_x).when(cond_y_up, js_corr_y).otherwise(js_up)
+            )
+            js_lo = (
+                F.when(cond_x_lo, js_corr_x).when(cond_y_lo, js_corr_y).otherwise(js_lo)
+            )
+        if need_jcx:
+            jcx_up = (
+                F.when(cond_x_up, jcx_max)
+                .when(cond_y_up, _safe_div(min_c - ca_y, q))
+                .otherwise(jcx_up)
+            )
+            jcx_lo = (
+                F.when(cond_x_lo, jcx_max)
+                .when(cond_y_lo, _safe_div(min_c - ca_y, q))
+                .otherwise(jcx_lo)
+            )
+        if need_jcy:
+            jcy_up = (
+                F.when(cond_x_up, _safe_div(min_c - ca_x, c))
+                .when(cond_y_up, jcy_max)
+                .otherwise(jcy_up)
+            )
+            jcy_lo = (
+                F.when(cond_x_lo, _safe_div(min_c - ca_x, c))
+                .when(cond_y_lo, jcy_max)
+                .otherwise(jcy_lo)
+            )
+        corrected = cond_x_up | cond_y_up | cond_x_lo | cond_y_lo
+
+    avg = lambda lo, up: _fdiv(lo + up, _f(2.0))  # noqa: E731
+    return (
+        avg(js_lo, js_up) if need_js else None,
+        avg(jcx_lo, jcx_up) if need_jcx else None,
+        avg(jcy_lo, jcy_up) if need_jcy else None,
+        corrected,
+    )
+
+
 def estimate_cols(
     th: Column,
     query_card: Column,
@@ -76,77 +173,49 @@ def estimate_cols(
     averaged js/jcx/jcy (float32), the final-filter boolean, and the
     ECH-correction flag.
     """
-    q = query_card.cast("bigint")
-    c = candidate_card.cast("bigint")
-    lower_t = th
-    upper_t = th + _f(d)
-    min_c = F.least(q, c)
-    max_c = F.greatest(q, c)
-
-    a_lo = _alpha(min_c, max_c, lower_t)
-    a_up = _alpha(min_c, max_c, upper_t)
-    ix_lo = min_c - a_lo
-    ix_up = min_c - a_up
-    un_lo = max_c + a_lo
-    un_up = max_c + a_up
-
-    js_lo = _safe_div(ix_lo, un_lo)
-    js_up = _safe_div(ix_up, un_up)
-    jcx_lo = _safe_div(ix_lo, q)
-    jcx_up = _safe_div(ix_up, q)
-    jcy_lo = _safe_div(ix_lo, c)
-    jcy_up = _safe_div(ix_up, c)
-
-    jcx_max = F.least(_safe_div(min_c, q), _f(1.0))
-    jcy_max = F.least(_safe_div(min_c, c), _f(1.0))
-
-    corrected = F.lit(False)
-    if ech:
-        # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
-        ca_x = (min_c.cast("float") - jcx_max * q.cast("float")).cast("bigint")
-        ca_y = (min_c.cast("float") - jcy_max * c.cast("float")).cast("bigint")
-        js_corr_x = _safe_div(min_c - ca_x, max_c + ca_x)
-        js_corr_y = _safe_div(min_c - ca_y, max_c + ca_y)
-
-        # upper bound corrections (LazoIndex.java:393-413)
-        cond_x_up = (jcx_up > jcx_max) & (jcx_max > 0)
-        cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
-        js_up2 = F.when(cond_x_up, js_corr_x).when(cond_y_up, js_corr_y).otherwise(js_up)
-        jcx_up2 = (
-            F.when(cond_x_up, jcx_max)
-            .when(cond_y_up, _safe_div(min_c - ca_y, q))
-            .otherwise(jcx_up)
-        )
-        jcy_up2 = (
-            F.when(cond_x_up, _safe_div(min_c - ca_x, c))
-            .when(cond_y_up, jcy_max)
-            .otherwise(jcy_up)
-        )
-
-        # lower bound corrections (LazoIndex.java:415-438)
-        cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
-        cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
-        js_lo2 = F.when(cond_x_lo, js_corr_x).when(cond_y_lo, js_corr_y).otherwise(js_lo)
-        jcx_lo2 = (
-            F.when(cond_x_lo, jcx_max)
-            .when(cond_y_lo, _safe_div(min_c - ca_y, q))
-            .otherwise(jcx_lo)
-        )
-        jcy_lo2 = (
-            F.when(cond_x_lo, _safe_div(min_c - ca_x, c))
-            .when(cond_y_lo, jcy_max)
-            .otherwise(jcy_lo)
-        )
-        corrected = cond_x_up | cond_y_up | cond_x_lo | cond_y_lo
-        js_lo, js_up = js_lo2, js_up2
-        jcx_lo, jcx_up = jcx_lo2, jcx_up2
-        jcy_lo, jcy_up = jcy_lo2, jcy_up2
-
-    avg_js = _fdiv(js_lo + js_up, _f(2.0))
-    avg_jcx = _fdiv(jcx_lo + jcx_up, _f(2.0))
-    avg_jcy = _fdiv(jcy_lo + jcy_up, _f(2.0))
+    avg_js, avg_jcx, avg_jcy, corrected = _build_estimates(
+        th, query_card, candidate_card, d, ech,
+        need_js=True, need_jcx=True, need_jcy=True,
+    )
     keep = (avg_js >= _f(js_threshold)) & (avg_jcx >= _f(jcx_threshold))
     return EstimateCols(avg_js, avg_jcx, avg_jcy, keep, corrected)
+
+
+def _keep_one(
+    th: Column,
+    query_card: Column,
+    candidate_card: Column,
+    d: float,
+    js_threshold: float,
+    jcx_threshold: float,
+    ech: bool,
+) -> Column:
+    """Minimal-tree keep predicate for one direction.
+
+    Every estimate is non-negative (alpha <= minC always; ECH numerators
+    stay positive since the float32 bound*card overshoot is < 1 ulp of
+    minC), so a threshold of 0 is unconditionally satisfied and its whole
+    subtree — including the ECH js correction chain, the biggest one —
+    can be dropped.  The bit-parity grid test covers keep at js_t = 0 and
+    jcx_t = 0 against the kernel, which checks both conditions literally.
+    """
+    need_js = js_threshold > 0.0
+    need_jcx = jcx_threshold > 0.0
+    if not (need_js or need_jcx):
+        return F.lit(True)
+    avg_js, avg_jcx, _, _ = _build_estimates(
+        th, query_card, candidate_card, d, ech,
+        need_js=need_js, need_jcx=need_jcx, need_jcy=False,
+    )
+    conds = []
+    if need_js:
+        conds.append(avg_js >= _f(js_threshold))
+    if need_jcx:
+        conds.append(avg_jcx >= _f(jcx_threshold))
+    out = conds[0]
+    for extra in conds[1:]:
+        out = out & extra
+    return out
 
 
 def keep_either_col(
@@ -167,7 +236,11 @@ def keep_either_col(
     failing at its own position's threshold implies failure at the
     pair's min_pos threshold whenever that row IS the min, and all
     larger positions fail too.
+
+    Built from the minimal trees (_keep_one) so the predicate stays
+    small enough for the band-join stage to remain inside whole-stage
+    codegen (janino rejects methods > 64 KB).
     """
-    kx = estimate_cols(th, card_x, card_y, d, js_threshold, jcx_threshold, ech).keep
-    ky = estimate_cols(th, card_y, card_x, d, js_threshold, jcx_threshold, ech).keep
+    kx = _keep_one(th, card_x, card_y, d, js_threshold, jcx_threshold, ech)
+    ky = _keep_one(th, card_y, card_x, d, js_threshold, jcx_threshold, ech)
     return kx | ky

@@ -51,12 +51,26 @@ def fuzzy_candidates(
     """(key_x, key_y, m): theta-aggregated fuzzy similarity, the Spark
     re-expression of BaseIndex.query (per-n candidates -> theta ->
     average over sizes)."""
+    from pyspark import StorageLevel
+
     sigs = ngram_signature_stage(df, config, n)
     per_n = []
     for size in range(2, n + 1):
-        cands = lazo_pairs(
-            sigs[size], config, js_threshold=0.0, jcx_threshold=jcx_floor
-        ).select("key_x", "key_y", "jcx")
+        # persist: the per-n candidate plan (sketch UDF + band self-join)
+        # is consumed three times (count/sum agg, theta projection, final
+        # union) — without a persist each consumer re-runs the whole plan
+        # engine='pandas': the fuzzy path runs one lazo plan per n-gram
+        # size, so the SQL engine's big-expression codegen cost (paid per
+        # size x consumer) dominates at small scale; the vectorized kernel
+        # is identical math (tested) without that fixed cost
+        cands = (
+            lazo_pairs(
+                sigs[size], config, js_threshold=0.0, jcx_threshold=jcx_floor,
+                engine="pandas",
+            )
+            .select("key_x", "key_y", "jcx")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # card = |candidate set|, aggrJC = sum of jcx over it (global per n,
         # mirroring BaseIndex.query's per-query aggregation at corpus level)
         agg = cands.agg(

@@ -188,19 +188,23 @@ def estimate_candidates(
         engine = "pandas"
 
     if engine == "sql":
-        from ..functions.estimation_sql import estimate_cols
+        from ..functions.estimation_sql import _keep_one, estimate_cols
 
         th = _minpos_threshold_col(config, F.col("min_pos"))
         cx, cy = F.col("card_x"), F.col("card_y")
+        # keep predicates use the minimal trees (_keep_one) rather than
+        # the full estimate trees: the stage must stay under janino's
+        # 64 KB method limit or the whole fused stage loses codegen
         if direction == "y":
             rx = estimate_cols(th, cy, cx, config.d, js_t, jcx_t, config.ech)
-            keep = rx.keep
+            keep = _keep_one(th, cy, cx, config.d, js_t, jcx_t, config.ech)
         else:
             rx = estimate_cols(th, cx, cy, config.d, js_t, jcx_t, config.ech)
-            keep = rx.keep
+            keep = _keep_one(th, cx, cy, config.d, js_t, jcx_t, config.ech)
             if direction == "either":
-                ry = estimate_cols(th, cy, cx, config.d, js_t, jcx_t, config.ech)
-                keep = keep | ry.keep
+                keep = keep | _keep_one(
+                    th, cy, cx, config.d, js_t, jcx_t, config.ech
+                )
         return (
             pairs.select(
                 "key_x", "key_y",

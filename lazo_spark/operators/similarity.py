@@ -113,6 +113,63 @@ def lsh_cosine_candidates(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors — the scale path for
+    ``cosine_topk``.  Candidates come from ``n_tables`` independent
+    hyperplane-LSH tables (union of same-bucket pairs, multi-table
+    boosting recall exactly like MinHash bands OR-across-bands); exact
+    cosine is computed only within candidates, then ranked per query.
+    Cost is sum-of-bucket-sizes-squared per table, not |corpus|^2."""
+    cand = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(
+            embeddings, n_planes, dim, seed=42 + t, id_col=id_col, vec_col=vec_col
+        )
+        x = b.select(F.col(id_col).alias("query_id"), "bucket")
+        y = b.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        p = (
+            x.join(y, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = p if cand is None else cand.union(p)
+    cand = cand.distinct()
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = e.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    if query_filter is not None:
+        cand = cand.join(
+            embeddings.filter(query_filter).select(F.col(id_col).alias("query_id")),
+            "query_id",
+            "left_semi",
+        )
+    scored = (
+        cand.join(q, "query_id")
+        .join(e.withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,
