@@ -451,6 +451,57 @@ def q_fuzzy_theta(spark, sf_dir):
     return out.select("key_x", "key_y", F.round("m", 6).alias("m"))
 
 
+def q_column_sets(spark, sf_dir):
+    """Reference-parity CSV -> per-column value-sets melt (S2): the
+    nation table is round-tripped through a real CSV file so the actual
+    CSV reader + stack() melt path is exercised."""
+    import tempfile
+
+    from lazo_spark.sources.readers import csv_column_sets
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    csv_dir = os.path.join(
+        tempfile.gettempdir(), "lazo_spark_csv", os.path.basename(sf_dir.rstrip("/"))
+    )
+    nation.coalesce(1).write.mode("overwrite").csv(csv_dir, header=True)
+    return csv_column_sets(spark, csv_dir, table_name="nation")
+
+
+def q_merged_lang_sketches(spark, sf_dir):
+    """Grouped signature union-merge (MinHash.merge as applyInPandas):
+    per-language merged sketch; members + cardinality upper bound are
+    SQL-checkable."""
+    from lazo_spark.operators.lsh import merge_sketch_groups
+
+    cfg = LazoConfig(shingle_mode="word")
+    docs = _docs_keyed(spark, sf_dir)
+    sk = sketch_stage(docs, cfg)
+    langs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"), "lang"
+    )
+    merged = merge_sketch_groups(sk.join(langs, "key"), "lang")
+    return merged.select("lang", "cardinality_ub", "n_members")
+
+
+def q_incremental_delta_pairs(spark, sf_dir):
+    """Incremental insert: even doc_ids are the existing index, odd ones
+    the new batch; only new-vs-all candidate pairs are computed
+    (LazoIndex.insert/query without old-vs-old; rows-only check)."""
+    from lazo_spark.streaming.incremental import delta_pairs, insert_sketches
+
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    docs = _docs_keyed(spark, sf_dir)
+    old = docs.filter(F.col("key").cast("long") % 2 == 0)
+    new = docs.filter(F.col("key").cast("long") % 2 == 1)
+    all_sk = insert_sketches(sketch_stage(old, cfg), new, cfg)
+    out = delta_pairs(all_sk, new.select("key"), cfg)
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        "js", "jcx", "jcy",
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir), cosine_threshold=0.3, n_planes=4
@@ -489,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_totals": q_nation_order_totals,
         "ann_topk_lsh": q_ann_topk_lsh,
         "fuzzy_theta": q_fuzzy_theta,
+        "column_sets": q_column_sets,
+        "merged_lang_sketches": q_merged_lang_sketches,
+        "incremental_delta_pairs": q_incremental_delta_pairs,
     }
 
 
@@ -680,6 +734,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "column_sets": """
+            SELECT 'nation' || column_name AS col_id, 'nation' AS table_name,
+                   column_name, value
+            FROM (
+              SELECT DISTINCT 'n_nationkey' AS column_name,
+                     n_nationkey::VARCHAR AS value FROM nation
+              UNION
+              SELECT DISTINCT 'n_name', n_name FROM nation
+              UNION
+              SELECT DISTINCT 'n_regionkey', n_regionkey::VARCHAR FROM nation
+            )
+            WHERE value IS NOT NULL AND value != ''
+        """,
+        "merged_lang_sketches": f"""
+            SELECT lang,
+                   SUM(len(list_distinct({_TOKS})))::BIGINT AS cardinality_ub,
+                   COUNT(*) AS n_members
+            FROM documents WHERE length(trim(text)) > 0
+            GROUP BY lang
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -204,11 +204,23 @@ def pr_evaluate(results: DataFrame, truth: DataFrame) -> DataFrame:
     """Precision/recall of result pairs vs ground-truth pairs (both
     canonicalized): one row (n_results, n_truth, hits, precision, recall).
     JSResultEvaluator.java:50-54 semantics."""
-    r = canonicalize_pairs(results)
-    t = canonicalize_pairs(truth)
-    hits = r.join(t, ["key_x", "key_y"]).count()
-    n_r = r.count()
-    n_t = t.count()
+    r = canonicalize_pairs(results).withColumn("in_r", F.lit(1))
+    t = canonicalize_pairs(truth).withColumn("in_t", F.lit(1))
+    # one full-outer join + one aggregation = ONE evaluation of each
+    # (potentially expensive) input plan; separate count() actions would
+    # re-run the brute-force ground-truth plan once per metric
+    row = (
+        r.join(t, ["key_x", "key_y"], "full_outer")
+        .agg(
+            F.sum("in_r").alias("n_r"),
+            F.sum("in_t").alias("n_t"),
+            F.sum(F.col("in_r") * F.col("in_t")).alias("hits"),
+        )
+        .collect()[0]
+    )
+    n_r = int(row["n_r"] or 0)
+    n_t = int(row["n_t"] or 0)
+    hits = int(row["hits"] or 0)
     spark = results.sparkSession
     return spark.createDataFrame(
         [
