@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Lazo containment dedup pairs over sf0.001 documents."""
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
     docs = _docs_keyed(spark, "/root/testdata/sf0.001")
-    sketches = sketch_stage(docs, cfg)
+    sketches = sketch_stage(docs, cfg).persist()
     return lazo_pairs(sketches, cfg)
 
 
@@ -247,7 +247,7 @@ def q_oph_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(
         jcx_threshold=0.5, shingle_mode="token_ngram:2", sketch_type="oph"
     )
-    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg).persist()
     return lazo_pairs(sketches, cfg).select(
         F.col("key_x").cast("long").alias("key_x"),
         F.col("key_y").cast("long").alias("key_y"),
@@ -301,7 +301,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
-    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg).persist()
     p = lazo_pairs(sketches, cfg)
     return p.select(
         F.col("key_x").cast("long").alias("key_x"),

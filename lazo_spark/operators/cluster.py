@@ -5,11 +5,16 @@ new design work required by the north rule: iterative DataFrame min-label
 propagation with per-iteration localCheckpoint to truncate lineage, plus a
 deterministic representative per cluster.
 
-Algorithm: hash-to-min label propagation.  Each node starts with its own
-key as label; every iteration each node takes the min label over itself
-and its neighbors.  Converges in O(diameter) iterations — near-duplicate
-clusters are dense and shallow, so convergence is fast; each iteration is
-one shuffle (edges join labels) + one aggregation.
+Algorithm: hash-to-min label propagation WITH pointer jumping.  Each node
+starts with its own key as label; every iteration each node takes the min
+label over itself and its neighbors (1 hop), then replaces its label with
+its label's label (pointer jump — doubles the effective propagation
+distance).  Convergence is O(log n) iterations even on path graphs;
+plain neighbor-min alone is O(diameter), which on a chain of version-
+graduated files silently exceeds any fixed iteration cap (observed: a
+200-node chain left 151 clusters at max_iter=50).  Each iteration is two
+shuffle joins + one aggregation; the convergence check rides along as a
+`changed` flag on the materialized result (no extra join).
 """
 from __future__ import annotations
 
@@ -43,32 +48,41 @@ def connected_components(
         labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
-        # neighbor-min message pass
+        # neighbor-min message pass (1 hop)
         msgs = (
             sym.join(labels.withColumnRenamed("key", "b"), "b")
             .groupBy("a")
             .agg(F.min("cluster").alias("nbr_min"))
             .withColumnRenamed("a", "key")
         )
-        new_labels = (
-            labels.join(msgs, "key", "left")
-            .select(
-                "key",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
-            )
+        hop = labels.join(msgs, "key", "left").select(
+            "key",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+            ).alias("cluster"),
+            F.col("cluster").alias("prev"),
+        )
+        # pointer jump: cluster <- label(cluster); doubles propagation
+        # distance per iteration -> O(log n) total iterations
+        lmap = hop.select(
+            F.col("key").alias("jk"), F.col("cluster").alias("jc")
+        )
+        jumped = hop.join(lmap, hop["cluster"] == lmap["jk"], "left").select(
+            hop["key"].alias("key"),
+            F.least(
+                hop["cluster"], F.coalesce(F.col("jc"), hop["cluster"])
+            ).alias("cluster"),
+            hop["prev"].alias("prev"),
+        )
+        new_labels = jumped.select(
+            "key",
+            "cluster",
+            (F.col("cluster") != F.col("prev")).alias("changed"),
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("key", "cluster")
         if changed == 0:
             break
     return labels

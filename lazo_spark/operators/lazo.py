@@ -91,7 +91,7 @@ def max_useful_band(
     return max(1, min(config.k, max_band))
 
 
-def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+def salt_hot_buckets(bands: DataFrame, cap: int, key_col: str = "key") -> DataFrame:
     """Split band buckets larger than `cap` into sub-buckets by a salt on
     the key hash.  Pairs are then only formed within a sub-bucket —
     a bounded, explicit recall/scale tradeoff for pathological buckets
@@ -107,7 +107,7 @@ def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
         "salt",
         F.when(
             F.col("nsplits").isNotNull(),
-            F.pmod(F.xxhash64("key"), F.col("nsplits")).cast("int"),
+            F.pmod(F.xxhash64(F.col(key_col)), F.col("nsplits")).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("nsplits")
 
@@ -122,32 +122,64 @@ def candidate_pairs(
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
 
+    The shuffled band rows carry xxhash64(key) longs, NOT the key strings
+    (8 bytes vs ~30-50): THE join is the pipeline's bandwidth bottleneck,
+    and this roughly halves its shuffle volume.  String keys are joined
+    back AFTER the pair aggregation (|pairs| << |join rows|), then pairs
+    are re-canonicalized on string order so downstream output is
+    byte-identical to the direct-string plan.  A 64-bit key-hash
+    collision could merge two keys' band rows (spurious candidates, which
+    exact post-verification removes); at 10^12 keys the expected number
+    of colliding pairs is ~0.03.
+
     Cardinality rides along in the bands rows (8 bytes) so no extra join
-    against the sketch table is needed afterwards; at extreme scale the
-    same plan works with keys pre-hashed to longs (join back at the end).
+    against the sketch table is needed before estimation.
 
     row_filter: optional callback applied to the raw join rows
-    (pos, key_x, card_x, key_y, card_y) BEFORE the pair aggregation —
-    used for the lossless threshold pushdown (see lazo_pairs).
+    (pos, card_x, card_y, ...) BEFORE the pair aggregation — used for the
+    lossless threshold pushdown (see lazo_pairs).
     """
-    bands = band_explode(sketches, max_pos)
+    hashes = F.col("band_hashes")
+    if max_pos is not None:
+        hashes = F.slice(hashes, 1, max_pos)
+    bands = sketches.select(
+        F.xxhash64("key").alias("kh"),
+        F.col("cardinality").alias("card"),
+        F.posexplode(hashes).alias("pos", "bh"),
+    )
     join_keys = ["pos", "bh"]
     if salt and config.bucket_cap:
-        bands = salt_hot_buckets(bands, config.bucket_cap)
+        bands = salt_hot_buckets(bands, config.bucket_cap, key_col="kh")
         join_keys = ["pos", "bh", "salt"]
     x = bands.select(
-        *join_keys, F.col("key").alias("key_x"), F.col("card").alias("card_x")
+        *join_keys, F.col("kh").alias("kh_x"), F.col("card").alias("card_x")
     )
     y = bands.select(
-        *join_keys, F.col("key").alias("key_y"), F.col("card").alias("card_y")
+        *join_keys, F.col("kh").alias("kh_y"), F.col("card").alias("card_y")
     )
-    joined = x.join(y, join_keys).filter(F.col("key_x") < F.col("key_y"))
+    joined = x.join(y, join_keys).filter(F.col("kh_x") < F.col("kh_y"))
     if row_filter is not None:
         joined = row_filter(joined)
-    return joined.groupBy("key_x", "key_y").agg(
+    pairs = joined.groupBy("kh_x", "kh_y").agg(
         F.min("pos").alias("min_pos"),
         F.first("card_x").alias("card_x"),
         F.first("card_y").alias("card_y"),
+    )
+    lookup = sketches.select(F.xxhash64("key").alias("kh"), "key")
+    with_keys = pairs.join(
+        lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
+        "kh_x",
+    ).join(
+        lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky"),
+        "kh_y",
+    )
+    x_first = F.col("kx") < F.col("ky")
+    return with_keys.select(
+        F.least("kx", "ky").alias("key_x"),
+        F.greatest("kx", "ky").alias("key_y"),
+        "min_pos",
+        F.when(x_first, F.col("card_x")).otherwise(F.col("card_y")).alias("card_x"),
+        F.when(x_first, F.col("card_y")).otherwise(F.col("card_x")).alias("card_y"),
     )
 
 

@@ -1,0 +1,47 @@
+"""Connected components: correctness on adversarial graph shapes.
+
+The pointer-jumping variant must converge in O(log n) iterations; plain
+neighbor-min propagation is O(diameter) and silently returns unconverged
+labels on long chains (the regression this file pins down).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lazo_spark.operators.cluster import connected_components
+
+
+def _clusters(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "key_x long, key_y long")
+    return connected_components(edges).toPandas()
+
+
+def test_long_chain_single_component(spark):
+    """A 200-node path (version-graduated files) is ONE cluster with the
+    min key as label — requires O(log n) convergence, not O(n)."""
+    out = _clusters(spark, [(i, i + 1) for i in range(200)])
+    assert out["cluster"].nunique() == 1
+    assert set(out["cluster"]) == {0}
+    assert len(out) == 201
+
+
+def test_two_components_and_labels(spark):
+    out = _clusters(spark, [(1, 2), (2, 3), (10, 11)])
+    got = dict(zip(out["key"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_and_clique(spark):
+    star = [(0, i) for i in range(1, 30)]
+    clique = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+    out = _clusters(spark, star + clique)
+    got = out.groupby("cluster")["key"].count().to_dict()
+    assert got == {0: 30, 100: 8}
+
+
+def test_string_keys(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "key_x string, key_y string"
+    )
+    out = connected_components(edges).toPandas()
+    assert set(out["cluster"]) == {"a"}

@@ -1,0 +1,70 @@
+"""Similarity search: exact brute-force cosine top-k vs NumPy, and the
+multi-table hyperplane-LSH ANN path recovering cluster structure.
+
+Deterministic: seeded cluster centers + noise; LSH planes are seeded in
+operators/similarity.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lazo_spark.operators.similarity import cosine_topk, lsh_topk
+
+DIM = 64
+N_CLUSTERS = 4
+PER_CLUSTER = 10
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    rows = []
+    for i in range(N_CLUSTERS * PER_CLUSTER):
+        c = i % N_CLUSTERS
+        v = centers[c] + 0.01 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _exact_top1(emb_df):
+    pdf = emb_df.toPandas().sort_values("vec_id")
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    return {int(i): int(j) for i, j in enumerate(sims.argmax(axis=1))}
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb_df, k=1).collect()
+    }
+    assert got == _exact_top1(emb_df)
+
+
+def test_cosine_topk_ranks_dense(emb_df):
+    out = cosine_topk(emb_df, k=3).toPandas()
+    by_q = out.groupby("query_id")["rank"].apply(sorted)
+    assert all(list(r) == [1, 2, 3] for r in by_q)
+
+
+def test_lsh_topk_recovers_clusters(emb_df):
+    """With tight clusters, every ANN top-1 neighbor must land in the
+    query's own cluster (bucket collision probability ~1 at cosine~1)."""
+    out = lsh_topk(emb_df, k=1, n_planes=6, n_tables=2).collect()
+    n = emb_df.count()
+    assert len(out) == n  # every vector found at least one candidate
+    for r in out:
+        assert r["query_id"] % N_CLUSTERS == r["neighbor_id"] % N_CLUSTERS
+
+
+def test_lsh_topk_query_filter(emb_df):
+    import pyspark.sql.functions as F
+
+    out = lsh_topk(
+        emb_df, k=2, n_planes=6, n_tables=2, query_filter=F.col("vec_id") < 4
+    ).toPandas()
+    assert set(out["query_id"].unique()) == {0, 1, 2, 3}
