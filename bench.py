@@ -178,8 +178,16 @@ def main() -> None:
         import shutil
         import subprocess
 
-        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.05"))
+        # 20k files: long enough to dominate fixed costs after the codegen
+        # warmup, short enough that a co-tenant steal burst rarely covers
+        # a whole leg (legs are also best-of-reps)
+        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.02"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        # generate/cache the corpus BEFORE the probes so corpus synthesis
+        # doesn't run under a 2-core taskset budget
+        from lazo_spark.sources.code_files import cached_code_files_path
+
+        cached_code_files_path(scaling_sf)
         n_lo, n_hi = 2, 8
         have_taskset = shutil.which("taskset") is not None
 
@@ -196,20 +204,30 @@ def main() -> None:
 
         best: dict = {}
         for _ in range(reps):
-            for cpus in (n_lo, n_hi):
-                r = probe("spark", cpus)
-                k = ("spark", cpus)
-                if k not in best or r["files_per_sec"] > best[k]["files_per_sec"]:
-                    best[k] = r
-        for cpus in (n_lo, n_hi):
-            best[("kernel", cpus)] = probe("kernel", cpus)
+            for mode in ("spark", "kernel"):
+                for cpus in (n_lo, n_hi):
+                    r = probe(mode, cpus)
+                    k = (mode, cpus)
+                    if (
+                        k not in best
+                        or r["files_per_sec"] > best[k]["files_per_sec"]
+                    ):
+                        best[k] = r
         eff = best[("spark", n_hi)]["files_per_sec"] / (
             4 * best[("spark", n_lo)]["files_per_sec"]
         )
         hw = best[("kernel", n_hi)]["files_per_sec"] / (
             4 * best[("kernel", n_lo)]["files_per_sec"]
         )
+        # a leg that ran slower on MORE pinned cores, or visible steal,
+        # means a co-tenant contended the measurement window
+        contended = (
+            best[("kernel", n_hi)]["files_per_sec"]
+            < best[("kernel", n_lo)]["files_per_sec"]
+            or max(r.get("steal_pct", 0) for r in best.values()) > 2.0
+        )
         out["scaling"] = {
+            "contended": contended,
             "phase": "sketch-lsh",
             "pinned": have_taskset,
             "n": best[("spark", n_lo)],

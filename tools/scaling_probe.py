@@ -30,6 +30,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — lets each leg
+    report how much a co-tenant stole from it."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _with_steal(fn, *args) -> dict:
+    s0, t0 = _cpu_stat()
+    r = fn(*args)
+    s1, t1 = _cpu_stat()
+    r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return r
+
+
 def spark_leg(cpus: int, sf: float) -> dict:
     from bench import sketch_lsh_throughput
 
@@ -90,8 +111,8 @@ def kernel_leg(cpus: int, sf: float) -> dict:
 
 def main() -> None:
     mode, cpus, sf = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
-    r = spark_leg(cpus, sf) if mode == "spark" else kernel_leg(cpus, sf)
-    print(json.dumps(r))
+    fn = spark_leg if mode == "spark" else kernel_leg
+    print(json.dumps(_with_steal(fn, cpus, sf)))
 
 
 if __name__ == "__main__":
