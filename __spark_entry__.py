@@ -53,9 +53,17 @@ def _docs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger than 2000 rows.  Used by the BRUTE-FORCE ground-truth queries
     (the reference's in-memory all-pairs drivers, tiny-scale by design)
     so benchmark runs at sf0.1 stay bounded; the sf0.01 correctness runs
-    (500 docs) are below the cap and match the DuckDB oracles exactly."""
+    (500 docs) are below the cap and match the DuckDB oracles exactly.
+    The cap fires on the sf encoded in the path (sf > 0.01 ~ >500 docs);
+    deciding it from docs.count() cost a driver-side job per query BUILD
+    (VERDICT r1) — the path is known before any plan exists."""
     docs = _docs(spark, sf_dir)
-    if docs.count() > 2000:
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        capped = sf > 0.011
+    except ValueError:
+        capped = docs.count() > 2000
+    if capped:
         docs = docs.filter(F.col("doc_id") % 7 == 0)
     return docs
 
@@ -311,30 +319,13 @@ def q_lazo_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # 11 disjoint bands: pigeonhole-complete for the hamming <= 10 filter
+    # (round-1's 8 byte-bands only guaranteed <= 7; see operators/simhash.py)
+    from lazo_spark.operators.simhash import simhash_candidate_pairs
+
     cfg = LazoConfig(shingle_mode="token_ngram:2", simhash=True)
     sk = sketch_stage(_docs_keyed(spark, sf_dir), cfg).select("key", "simhash")
-    byte = [
-        F.shiftrightunsigned(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias(f"b{i}")
-        for i in range(8)
-    ]
-    bands = sk.select("key", "simhash", F.posexplode(F.array(*byte)).alias("pos", "bh"))
-    x = bands.select(
-        "pos", "bh", F.col("key").alias("key_x"), F.col("simhash").alias("sim_x")
-    )
-    y = bands.select(
-        "pos", "bh", F.col("key").alias("key_y"), F.col("simhash").alias("sim_y")
-    )
-    pairs = (
-        x.join(y, ["pos", "bh"])
-        .filter(F.col("key_x") < F.col("key_y"))
-        .select("key_x", "key_y", "sim_x", "sim_y")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_x").bitwiseXOR(F.col("sim_y"))),
-        )
-        .filter(F.col("hamming") <= 10)
-    )
+    pairs = simhash_candidate_pairs(sk, max_hamming=10)
     return pairs.select(
         F.col("key_x").cast("long").alias("key_x"),
         F.col("key_y").cast("long").alias("key_y"),
@@ -420,8 +411,17 @@ def q_ann_topk_lsh(spark, sf_dir):
     scale path for embedding_topk; approximate, rows-only check)."""
     from lazo_spark.operators.similarity import lsh_topk
 
+    try:  # vector count by sf (no driver-side count at query build)
+        n_vec = 2000 if float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) > 0.011 else 500
+    except ValueError:
+        n_vec = None
+    # design point: this table's true top-3 neighbors sit near cosine
+    # ~0.35 (weakly structured synthetic embeddings), so the derived
+    # params use that as the lowest similarity that must be recalled
     out = lsh_topk(
-        _emb(spark, sf_dir), k=3, query_filter=F.col("vec_id") < 20
+        _emb(spark, sf_dir), k=3, query_filter=F.col("vec_id") < 20,
+        n_vectors=n_vec, target_bucket_size=128, target_cosine=0.35,
+        recall_target=0.93,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -449,6 +449,59 @@ def q_fuzzy_theta(spark, sf_dir):
     )
     out = fuzzy_candidates(toks, LazoConfig(), n=4, jcx_floor=0.5)
     return out.select("key_x", "key_y", F.round("m", 6).alias("m"))
+
+
+def q_single_col_js(spark, sf_dir):
+    """P2 parity: column-file inputs -> single-column SIMILARITY mode
+    (LazoBenchmarkSingleCol.java:174-226): one value per line per file,
+    read back via read_column_file (S3), value-set sketches
+    (shingle_mode='line'), strict js-mode query (containment disabled,
+    direction='x').  Rows-only driver check; the js-mode estimation is
+    pinned against the NumPy LazoIndex replica in
+    tests/test_single_col.py."""
+    import tempfile
+
+    from lazo_spark.sources.readers import read_column_file
+
+    base = os.path.join(
+        tempfile.gettempdir(), "lazo_spark_cols",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    cols = [
+        ("nation", "n_nationkey"), ("nation", "n_regionkey"),
+        ("supplier", "s_nationkey"), ("customer", "c_nationkey"),
+        ("region", "r_regionkey"), ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+    ]
+    os.makedirs(base, exist_ok=True)
+    paths = []
+    for table, col in cols:
+        path = os.path.join(base, f"{table}.{col}.txt")
+        paths.append((f"{table}.{col}", path))
+        if not os.path.exists(path):
+            vals = sorted(
+                r[0]
+                for r in spark.read.parquet(
+                    os.path.join(sf_dir, f"{table}.parquet")
+                ).select(col).distinct().collect()
+            )
+            with open(path + ".tmp", "w") as f:
+                for v in vals:
+                    f.write(f"{v}\n")
+            os.replace(path + ".tmp", path)
+    un = None
+    for key, path in paths:
+        part = read_column_file(spark, path, key=key)
+        un = part if un is None else un.union(part)
+    content = un.groupBy("key").agg(
+        F.concat_ws("\n", F.collect_list("value")).alias("content")
+    ).withColumn("sha", F.sha2("content", 256))
+    cfg = LazoConfig(shingle_mode="line")
+    sk = sketch_stage(content, cfg)
+    out = lazo_pairs(
+        sk, cfg, js_threshold=0.5, jcx_threshold=0.0, direction="x"
+    )
+    return out.select("key_x", "key_y", F.round("js", 6).alias("js"))
 
 
 def q_column_sets(spark, sf_dir):
@@ -540,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_totals": q_nation_order_totals,
         "ann_topk_lsh": q_ann_topk_lsh,
         "fuzzy_theta": q_fuzzy_theta,
+        "single_col_js": q_single_col_js,
         "column_sets": q_column_sets,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
@@ -698,7 +752,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id,
                      SUM(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_idx
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
               FROM s)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event

@@ -4,88 +4,90 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Also measures the flagship sketch+LSH throughput (files/sec) on the
-synthetic code corpus and — when SPARK_GRAFT_SCALING=1 — repeats it at
-local[8] vs local[32] to evidence the N->4N scaling-efficiency target
-(BASELINE.md; no real cluster in this sandbox).
+Structure (round-2 rework — the round-1 full 31-query sweep + 8 scaling
+subprocesses blew the driver's wall budget, rc=124):
+  1. HEADLINE query subset (one per operator family), one shared session.
+  2. Flagship dedup throughput (10k-file code corpus) + the timed
+     Lazo-vs-Base index comparison (IndexBenchmark.java:38-83 parity)
+     on the same sketches.
+  3. N-vs-4N scaling evidence (2 vs 8 pinned cores, 1 rep + adaptive
+     retry only if the first rep looks contended and budget remains).
+A SIGTERM handler emits the partial JSON if an external timeout fires,
+so the driver always gets a parseable line.  SPARK_GRAFT_BENCH_BUDGET
+(sec, default 540) trims optional sections when exceeded.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+T0 = time.time()
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+
+# one per operator family; the full 31-query contract surface is
+# exercised by the driver's own correctness run, not re-timed here
+HEADLINE = [
+    "lazo_pairs",          # flagship candidate gen + estimation
+    "oph_lazo_pairs",      # OPH sketch family
+    "dedup_clusters",      # end-to-end dedup + connected components
+    "simhash_pairs",       # SimHash companion path
+    "substring_pairs",     # suffix/substring path
+    "fuzzy_theta",         # fuzzy n-gram bank
+    "embedding_topk",      # exact ANN baseline
+    "ann_topk_lsh",        # hyperplane-LSH ANN
+    "exact_dedup",         # sha256 collapse
+    "token_stats",         # text-analysis family
+]
+
+_partial: dict = {
+    "metric": "bench_total_wall",
+    "value": None,
+    "unit": "sec",
+    "queries": {},
+    "sf": None,
+    "incomplete": True,
+}
+
+
+def _emit(out: dict) -> None:
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # external timeout: still emit parseable JSON
+    _partial["value"] = round(time.time() - T0, 3)
+    _emit(_partial)
+    os._exit(0)
+
+
+def _left() -> float:
+    return BUDGET - (time.time() - T0)
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name in HEADLINE:
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        _partial["queries"] = dict(timings)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
     return timings
 
 
-def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
-    """Sketch+LSH phase (the BASELINE.json throughput unit: scan -> sha
-    collapse -> sketch -> band self-join -> estimate+filter) files/sec on
-    a fresh local[cpus] session.  Same dataflow as
-    `tools/submit.sh 'local[N]' --phase sketch-lsh`."""
-    from pyspark import StorageLevel
-
-    from lazo_spark.config import LazoConfig
-    from lazo_spark.operators.lazo import lazo_pairs
-    from lazo_spark.operators.sketch import sketch_and_collapse, with_key_and_sha
-    from lazo_spark.session import get_spark
-    from lazo_spark.sources.code_files import cached_code_files_path
-
-    path = cached_code_files_path(sf)
-    spark = get_spark(
-        f"bench-sl-local{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    try:
-        src = spark.read.parquet(os.path.join(path, "files.parquet"))
-        n_files = src.count()
-        cfg = LazoConfig(jcx_threshold=0.8)
-        # warmup: run the identical plan over a tiny slice so the ~10s of
-        # driver-side fixed cost (whole-stage codegen compilation, plan
-        # building) is paid BEFORE the timer — we measure steady-state
-        # distributed throughput, which is what amortizes at fleet scale;
-        # the generated-code cache is keyed by source, so the real run
-        # reuses every compiled stage
-        warm_sk, _ = sketch_and_collapse(with_key_and_sha(src.limit(256)), cfg)
-        warm_sk = warm_sk.persist(StorageLevel.MEMORY_AND_DISK)
-        lazo_pairs(warm_sk, cfg, salt=True).count()
-        warm_sk.unpersist()
-        t0 = time.time()
-        sketches, _ = sketch_and_collapse(with_key_and_sha(src), cfg)
-        sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
-        n_pairs = lazo_pairs(sketches, cfg, salt=True).count()
-        elapsed = time.time() - t0
-    finally:
-        spark.stop()
-    return {
-        "cpus": cpus,
-        "files": n_files,
-        "pairs": n_pairs,
-        "seconds": round(elapsed, 3),
-        "files_per_sec": round(n_files / elapsed, 1),
-    }
-
-
-def flagship_throughput(cpus: int, sf: float) -> dict:
-    """Flagship dedup pipeline (code corpus) wall time + files/sec on a
-    fresh local[cpus] session."""
+def flagship_and_index_bench(cpus: int, sf: float, with_index_bench: bool) -> dict:
+    """Flagship dedup pipeline wall time + files/sec, plus (budget
+    permitting) the timed Lazo-vs-Base index comparison on a sample of
+    the same sketches (reference IndexBenchmark.java:38-83: same sketch
+    set, GCD-shared flagship bands vs per-threshold standard banding)."""
     from lazo_spark.config import LazoConfig
     from lazo_spark.plans.pipeline import run_dedup
     from lazo_spark.session import get_spark
@@ -100,35 +102,152 @@ def flagship_throughput(cpus: int, sf: float) -> dict:
     try:
         src = spark.read.parquet(os.path.join(path, "files.parquet"))
         n_files = src.count()
+        cfg = LazoConfig(jcx_threshold=0.8)
         t0 = time.time()
         # containment threshold 0.8: a realistic dedup setting (the
         # reference CLI takes this as an argument).  At 0.5 the reference
         # semantics pass every extreme-cardinality-ratio pair (clamped
         # bounds average to exactly 0.5), which is a pathology, not dedup.
-        result = run_dedup(
-            spark, src, LazoConfig(jcx_threshold=0.8), verify_threshold=0.8
-        )
+        result = run_dedup(spark, src, cfg, verify_threshold=0.8)
         n_pairs = result["pairs"].count()
         n_verified = result["verified_pairs"].count()
         n_clusters = result["clusters"].select("cluster").distinct().count()
         elapsed = time.time() - t0
+        out = {
+            "cpus": cpus,
+            "files": n_files,
+            "pairs": n_pairs,
+            "verified_pairs": n_verified,
+            "clusters": n_clusters,
+            "seconds": round(elapsed, 3),
+            "files_per_sec": round(n_files / elapsed, 1),
+        }
+        if with_index_bench and _left() > 90:
+            from lazo_spark.operators.lazo import lazo_pairs
+            from lazo_spark.operators.lsh import multi_threshold_base_pairs
+
+            # 2k-sketch sample: the comparison point is per-key band-row
+            # volume (64 pruned vs ~370 per key), identical on a sample
+            sample = result["sketches"].limit(2000).persist()
+            sample.count()
+            t1 = time.time()
+            lazo_n = lazo_pairs(sample, cfg).count()
+            lazo_s = time.time() - t1
+            t2 = time.time()
+            base_n = multi_threshold_base_pairs(sample, cfg).count()
+            base_s = time.time() - t2
+            sample.unpersist()
+            out["lazo_vs_base"] = {
+                "sketches": 2000,
+                "lazo_pairs": lazo_n,
+                "lazo_seconds": round(lazo_s, 3),
+                "base_pairs": base_n,
+                "base_seconds": round(base_s, 3),
+                "speedup": round(base_s / lazo_s, 2) if lazo_s else None,
+            }
     finally:
         spark.stop()
-    return {
-        "cpus": cpus,
-        "files": n_files,
-        "pairs": n_pairs,
-        "verified_pairs": n_verified,
-        "clusters": n_clusters,
-        "seconds": round(elapsed, 3),
-        "files_per_sec": round(n_files / elapsed, 1),
+    return out
+
+
+def scaling_section(out: dict) -> None:
+    """N vs 4N scaling evidence (BASELINE.md): sketch+LSH files/sec at
+    2 vs 8 cores with the WHOLE process tree pinned via taskset.
+    Pinning matters: local[N] bounds JVM task slots only — Python UDF
+    workers run concurrently, so unpinned local[2] uses 4-6 physical
+    cores and the ratio is meaningless.  N=2 (not 8->32) because this
+    single VM's memory bandwidth saturates around 8 concurrent streams
+    (local[32] is reproducibly no faster than local[8] even idle); past
+    saturation added cores measure the memory bus, not the dataflow — a
+    real cluster scales across nodes with independent buses.  The bare
+    NumPy kernel probe is reported as that hardware envelope.  One rep
+    by default; a second interleaved rep runs only when the first looks
+    contended (co-tenant CPU steal, ±2-3x measured on this box) AND
+    budget remains."""
+    import shutil
+    import subprocess
+
+    from lazo_spark.sources.code_files import cached_code_files_path
+
+    scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.01"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    # generate/cache the corpus BEFORE the probes so corpus synthesis
+    # doesn't run under a 2-core taskset budget
+    cached_code_files_path(scaling_sf)
+    n_lo, n_hi = 2, 8
+    have_taskset = shutil.which("taskset") is not None
+
+    def probe(mode: str, cpus: int) -> dict:
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "scaling_probe.py"),
+            mode, str(cpus), str(scaling_sf),
+        ]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    best: dict = {}
+
+    def one_rep() -> None:
+        for mode in ("spark", "kernel"):
+            for cpus in (n_lo, n_hi):
+                r = probe(mode, cpus)
+                k = (mode, cpus)
+                if k not in best or r["files_per_sec"] > best[k]["files_per_sec"]:
+                    best[k] = r
+
+    def contended() -> bool:
+        # a kernel leg slower on MORE pinned cores, or visible steal,
+        # means a co-tenant contended the measurement window
+        return (
+            best[("kernel", n_hi)]["files_per_sec"]
+            < best[("kernel", n_lo)]["files_per_sec"]
+            or max(r.get("steal_pct", 0) for r in best.values()) > 2.0
+        )
+
+    rep_t0 = time.time()
+    one_rep()
+    rep_cost = time.time() - rep_t0
+    reps_run = 1
+    while reps_run < max_reps and contended() and _left() > rep_cost * 1.2:
+        one_rep()
+        reps_run += 1
+
+    eff = best[("spark", n_hi)]["files_per_sec"] / (
+        4 * best[("spark", n_lo)]["files_per_sec"]
+    )
+    hw = best[("kernel", n_hi)]["files_per_sec"] / (
+        4 * best[("kernel", n_lo)]["files_per_sec"]
+    )
+    out["scaling"] = {
+        "contended": contended(),
+        "reps": reps_run,
+        "phase": "sketch-lsh",
+        "pinned": have_taskset,
+        "n": best[("spark", n_lo)],
+        "n4": best[("spark", n_hi)],
+        "efficiency": round(eff, 3),
+        "kernel_n": best[("kernel", n_lo)],
+        "kernel_n4": best[("kernel", n_hi)],
+        "hardware_envelope_efficiency": round(hw, 3),
+        "normalized_efficiency": round(eff / hw, 3) if hw else None,
+        "note": (
+            "cores pinned with taskset (local[N] alone does not bound "
+            "Python workers); kernel = bare NumPy sketch under pinned "
+            "multiprocessing, the single-box hardware envelope"
+        ),
     }
+    _partial["scaling"] = out["scaling"]
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    _partial["sf"] = sf
 
     from lazo_spark.session import get_spark
 
@@ -148,8 +267,11 @@ def main() -> None:
     # input) — 32 numpy workers thrash the single memory bus.  8 is the
     # honest best single-box configuration (BASELINE.md "Measured").
     code_sf = min(sf, 0.01)
-    flag = flagship_throughput(min(cpus, 8), code_sf)
+    flag = flagship_and_index_bench(
+        min(cpus, 8), code_sf, with_index_bench=_left() > 150
+    )
     timings["flagship_code_dedup"] = flag["seconds"]
+    _partial["flagship"] = flag
 
     out = {
         "metric": "bench_total_wall",
@@ -161,90 +283,10 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # N vs 4N scaling evidence (BASELINE.md): sketch+LSH files/sec at
-        # 2 vs 8 cores with the WHOLE process tree pinned via taskset.
-        # Pinning matters: local[N] bounds JVM task slots only — Python
-        # UDF workers run concurrently, so unpinned local[2] uses 4-6
-        # physical cores and the ratio is meaningless.  N=2 (not 8->32)
-        # because this single VM's memory bandwidth saturates around 8
-        # concurrent streams (local[32] is reproducibly no faster than
-        # local[8] even idle); past saturation added cores measure the
-        # memory bus, not the dataflow — a real cluster scales across
-        # nodes with independent buses.  The bare-NumPy kernel probe is
-        # reported as that hardware envelope.  Legs are interleaved and
-        # take the best of SPARK_GRAFT_SCALING_REPS reps to shed
-        # co-tenant CPU-steal bursts (measured ±2-3x between identical
-        # runs on this box).
-        import shutil
-        import subprocess
+        scaling_section(out)
 
-        # 20k files: long enough to dominate fixed costs after the codegen
-        # warmup, short enough that a co-tenant steal burst rarely covers
-        # a whole leg (legs are also best-of-reps)
-        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.02"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-        # generate/cache the corpus BEFORE the probes so corpus synthesis
-        # doesn't run under a 2-core taskset budget
-        from lazo_spark.sources.code_files import cached_code_files_path
-
-        cached_code_files_path(scaling_sf)
-        n_lo, n_hi = 2, 8
-        have_taskset = shutil.which("taskset") is not None
-
-        def probe(mode: str, cpus: int) -> dict:
-            cmd = [
-                sys.executable,
-                os.path.join(REPO, "tools", "scaling_probe.py"),
-                mode, str(cpus), str(scaling_sf),
-            ]
-            if have_taskset:
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            res = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            return json.loads(res.stdout.strip().splitlines()[-1])
-
-        best: dict = {}
-        for _ in range(reps):
-            for mode in ("spark", "kernel"):
-                for cpus in (n_lo, n_hi):
-                    r = probe(mode, cpus)
-                    k = (mode, cpus)
-                    if (
-                        k not in best
-                        or r["files_per_sec"] > best[k]["files_per_sec"]
-                    ):
-                        best[k] = r
-        eff = best[("spark", n_hi)]["files_per_sec"] / (
-            4 * best[("spark", n_lo)]["files_per_sec"]
-        )
-        hw = best[("kernel", n_hi)]["files_per_sec"] / (
-            4 * best[("kernel", n_lo)]["files_per_sec"]
-        )
-        # a leg that ran slower on MORE pinned cores, or visible steal,
-        # means a co-tenant contended the measurement window
-        contended = (
-            best[("kernel", n_hi)]["files_per_sec"]
-            < best[("kernel", n_lo)]["files_per_sec"]
-            or max(r.get("steal_pct", 0) for r in best.values()) > 2.0
-        )
-        out["scaling"] = {
-            "contended": contended,
-            "phase": "sketch-lsh",
-            "pinned": have_taskset,
-            "n": best[("spark", n_lo)],
-            "n4": best[("spark", n_hi)],
-            "efficiency": round(eff, 3),
-            "kernel_n": best[("kernel", n_lo)],
-            "kernel_n4": best[("kernel", n_hi)],
-            "hardware_envelope_efficiency": round(hw, 3),
-            "normalized_efficiency": round(eff / hw, 3) if hw else None,
-            "note": (
-                "cores pinned with taskset (local[N] alone does not bound "
-                "Python workers); kernel = bare NumPy sketch under pinned "
-                "multiprocessing, the single-box hardware envelope"
-            ),
-        }
-
-    print(json.dumps(out))
+    out["bench_wall_seconds"] = round(time.time() - T0, 3)
+    _emit(out)
 
 
 if __name__ == "__main__":

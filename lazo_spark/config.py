@@ -25,6 +25,11 @@ class LazoConfig:
     js_threshold: float = 0.0
     jcx_threshold: float = 0.5  # flagship queries containment (LazoBenchmark.java:242)
     ech: bool = True
+    # 'exact' = true distinct-shingle count (strictly more accurate);
+    # 'hll' = bit-exact clearspring HyperLogLogPlus(18,25) emulation
+    # (LazoSketch.java:21) for strict reference parity — exact-vs-HLL
+    # flips borderline estimate pairs (functions/hll.py)
+    cardinality: str = "exact"
     # compute the SimHash companion signature in the sketch pass (the
     # flagship Lazo path never reads it, and it costs ~half the kernel
     # time; the simhash operators turn it on explicitly)

@@ -40,6 +40,13 @@ class EstimateResult:
     jcy: np.ndarray
     keep: np.ndarray
     corrections: int = 0
+    # reference diagnostic counters (LazoIndex.java:19-22, 439-461),
+    # quirks preserved: originals start at -1, so a correction that only
+    # touched one bound still compares the other bound's -1 sentinel in
+    # the impactful checks and the final magnitude add
+    js_impactful: int = 0
+    jcx_impactful: int = 0
+    magnitude: float = 0.0
 
 
 def estimate_pairs(
@@ -81,6 +88,9 @@ def estimate_pairs(
     jcy_max = np.minimum(_safe_div(min_c, c), F32(1.0)).astype(F32)
 
     corrections = 0
+    js_impactful = 0
+    jcx_impactful = 0
+    magnitude = 0.0
     if ech:
         # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
         def corr_alpha(card, bound):
@@ -95,6 +105,11 @@ def estimate_pairs(
         cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
         ca_x = corr_alpha(q, jcx_max)
         ca_y = corr_alpha(c, jcy_max)
+        # originals start at -1 (LazoIndex.java:390-393); only corrected
+        # bounds overwrite them — faithfully kept, quirks included
+        neg1 = np.full(len(min_c), F32(-1.0), dtype=F32)
+        orig_js_up = np.where(cond_x_up | cond_y_up, js_up, neg1).astype(F32)
+        orig_jcx_up = np.where(cond_x_up | cond_y_up, jcx_up, neg1).astype(F32)
         js_up = np.where(cond_x_up, corrected_js(ca_x), js_up)
         jcy_up = np.where(cond_x_up, _safe_div(min_c - ca_x, c), jcy_up)
         jcx_up2 = np.where(cond_x_up, jcx_max, jcx_up)
@@ -106,6 +121,8 @@ def estimate_pairs(
         # ---- lower bound corrections (LazoIndex.java:415-438) ----
         cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
         cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
+        orig_js_lo = np.where(cond_x_lo | cond_y_lo, js_lo, neg1).astype(F32)
+        orig_jcx_lo = np.where(cond_x_lo | cond_y_lo, jcx_lo, neg1).astype(F32)
         js_lo = np.where(cond_x_lo, corrected_js(ca_x), js_lo)
         jcy_lo = np.where(cond_x_lo, _safe_div(min_c - ca_x, c), jcy_lo)
         jcx_lo2 = np.where(cond_x_lo, jcx_max, jcx_lo)
@@ -114,7 +131,33 @@ def estimate_pairs(
         jcy_lo = np.where(cond_y_lo, jcy_max, jcy_lo)
         jcx_lo = jcx_lo2.astype(F32)
 
-        corrections = int((cond_x_up | cond_y_up | cond_x_lo | cond_y_lo).sum())
+        any_corr = cond_x_up | cond_y_up | cond_x_lo | cond_y_lo
+        corrections = int(any_corr.sum())
+        # magnitude_correction accumulation, branch-faithful: the y-upper
+        # and both lower branches add their |Δjs| inline (:408,:421,:433);
+        # the x-upper branch does NOT; every corrected candidate then adds
+        # |estJSUpper - originalJSUpper| once more (:459-460) — including
+        # the -1 sentinel when only a lower bound was corrected
+        js_up32 = js_up.astype(F32)
+        js_lo32 = js_lo.astype(F32)
+        mag = np.abs(js_up32 - orig_js_up)[cond_y_up].sum(dtype=np.float64)
+        mag += np.abs(js_lo32 - orig_js_lo)[cond_x_lo | cond_y_lo].sum(
+            dtype=np.float64
+        )
+        mag += np.abs(js_up32 - orig_js_up)[any_corr].sum(dtype=np.float64)
+        magnitude = float(mag)
+        # impactful = a correction moved an estimate across its threshold
+        # (sentinel comparisons included, as in the reference)
+        js_t32, jcx_t32 = F32(js_threshold), F32(jcx_threshold)
+        js_cross = (orig_js_up <= js_t32) != (js_up32 <= js_t32)
+        js_impactful = int((any_corr & js_cross).sum())
+        jcx_up32 = jcx_up.astype(F32)
+        jcx_lo32 = jcx_lo.astype(F32)
+        jcx_cross_up = (orig_jcx_up <= jcx_t32) != (jcx_up32 <= jcx_t32)
+        jcx_cross_lo = (orig_jcx_lo <= jcx_t32) != (jcx_lo32 <= jcx_t32)
+        jcx_impactful = int(
+            (any_corr & jcx_cross_up).sum() + (any_corr & jcx_cross_lo).sum()
+        )
 
     two = F32(2.0)
     avg_js = ((js_lo.astype(F32) + js_up.astype(F32)) / two).astype(F32)
@@ -122,4 +165,7 @@ def estimate_pairs(
     avg_jcy = ((jcy_lo.astype(F32) + jcy_up.astype(F32)) / two).astype(F32)
 
     keep = (avg_js >= F32(js_threshold)) & (avg_jcx >= F32(jcx_threshold))
-    return EstimateResult(avg_js, avg_jcx, avg_jcy, keep, corrections)
+    return EstimateResult(
+        avg_js, avg_jcx, avg_jcy, keep, corrections,
+        js_impactful, jcx_impactful, magnitude,
+    )

@@ -13,12 +13,22 @@ rule requires — shingling of file content at a configurable size):
 
 Every mode returns a *set* (the reference sketches sets of strings —
 LazoBenchmark.java:145-151 collects values into Set<String>).
+
+Token separators are the six ASCII whitespace bytes (space, \\t, \\n,
+\\r, \\v, \\f) — NOT full Unicode \\s.  This is deliberate: the hot path
+(`shingle_hashes`) tokenizes at byte level over the Arrow UTF-8 buffer
+(multi-byte UTF-8 code units are all >= 0x80, so they can never collide
+with an ASCII separator), and the scalar reference implementation here
+matches it exactly so golden-equality tests pin the two together.
 """
 from __future__ import annotations
 
 import re
 
-_WS = re.compile(r"\s+")
+import numpy as np
+
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_WS = re.compile(r"[ \t\n\r\x0b\x0c]+")
 
 
 def shingle(content: str, mode: str = "token_ngram:3") -> list[str]:
@@ -52,7 +62,9 @@ def shingle_batch(contents, mode: str = "token_ngram:3"):
     """Shingle a batch of documents -> (flat list of shingles, offsets).
 
     offsets[i]:offsets[i+1] delimit row i's shingles in the flat list —
-    the ragged-batch layout the sketch kernels consume.
+    the ragged-batch layout the sketch kernels consume.  Scalar reference
+    path; the hot path uses :func:`shingle_hashes` (vectorized, skips
+    string materialization entirely).
     """
     flat: list[str] = []
     offsets = [0]
@@ -61,3 +73,215 @@ def shingle_batch(contents, mode: str = "token_ngram:3"):
         flat.extend(s)
         offsets.append(len(flat))
     return flat, offsets
+
+
+# --------------------------------------------------------------------------
+# Vectorized byte-level tokenizer + n-gram hasher (the hot path).
+#
+# The round-1 hot path ran `shingle()` as a per-document Python loop —
+# the first half of the hottest narrow stage, and the one per-row-Python
+# violation of the input_hint.  This path goes content -> murmur3 h1
+# hashes without materializing a single Python shingle string: Arrow
+# UTF-8 buffer -> NumPy byte mask tokenization -> ragged gather into the
+# padded matrix murmur3_x64_128_h1 consumes.  Hash values are
+# bit-identical to murmur3_str(shingle(content)) (golden-pinned in
+# tests/test_shingles_vec.py); per-doc sets are deduped by 64-bit hash
+# instead of by string (a collision would alter a cardinality by 1 with
+# probability ~s^2/2^64 per doc — negligible, and the signature itself
+# is unaffected since min over a multiset ignores duplicates).
+# --------------------------------------------------------------------------
+
+_WS_LOOKUP = np.zeros(256, dtype=bool)
+for _b in _ASCII_WS.encode():
+    _WS_LOOKUP[_b] = True
+
+# chunk budget for the padded gram-byte matrix (cells = bytes)
+_GRAM_CHUNK_CELLS = 16_000_000
+
+
+def _utf8_arrow_buffer(contents) -> tuple[np.ndarray, np.ndarray]:
+    """contents (list/Series of str|None) -> (uint8 data, int64 doc
+    offsets) over one contiguous UTF-8 buffer (zero-copy from Arrow)."""
+    import pyarrow as pa
+
+    arr = pa.array(contents, type=pa.large_string())
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    doc_off = np.frombuffer(off_buf, dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, doc_off
+
+
+def _token_spans(
+    data: np.ndarray, doc_off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tok_start, tok_end, tok_doc): maximal non-whitespace byte runs,
+    never crossing a document boundary (virtual separators at doc edges).
+    """
+    nb = len(data)
+    if nb == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    is_sep = _WS_LOOKUP[data]
+    prev_sep = np.empty(nb, dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = is_sep[:-1]
+    starts = doc_off[:-1]
+    prev_sep[starts[starts < nb]] = True
+    next_sep = np.empty(nb, dtype=bool)
+    next_sep[-1] = True
+    next_sep[:-1] = is_sep[1:]
+    ends = doc_off[1:] - 1
+    next_sep[ends[(ends >= 0) & (ends < nb)]] = True
+    tok_start = np.flatnonzero(~is_sep & prev_sep).astype(np.int64)
+    tok_end = np.flatnonzero(~is_sep & next_sep).astype(np.int64) + 1
+    tok_doc = np.searchsorted(doc_off, tok_start, side="right") - 1
+    return tok_start, tok_end, tok_doc
+
+
+def _gram_table(
+    tok_doc: np.ndarray, n_docs: int, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_tok0, gram_ntok): each gram is gram_ntok consecutive tokens
+    starting at token index gram_tok0, all within one document.  Docs
+    with 0 < count < n contribute ONE gram of all their tokens (scalar
+    parity: shingle() joins them all)."""
+    t = len(tok_doc)
+    doc_counts = np.bincount(tok_doc, minlength=n_docs)
+    first_tok = np.concatenate(([0], np.cumsum(doc_counts)[:-1]))
+    if t >= n:
+        cand = np.arange(t - n + 1)
+        full = cand[tok_doc[cand] == tok_doc[cand + n - 1]]
+    else:
+        full = np.zeros(0, dtype=np.int64)
+    short_docs = np.flatnonzero((doc_counts > 0) & (doc_counts < n))
+    gram_tok0 = np.concatenate((full, first_tok[short_docs])).astype(np.int64)
+    gram_ntok = np.concatenate(
+        (np.full(len(full), n, dtype=np.int64), doc_counts[short_docs])
+    )
+    return gram_tok0, gram_ntok
+
+
+def _pack_grams(
+    data_ext: np.ndarray,
+    tok_start: np.ndarray,
+    tok_len: np.ndarray,
+    gram_tok0: np.ndarray,
+    gram_ntok: np.ndarray,
+    space_pos: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather gram bytes ("tok tok tok", single spaces) into the padded
+    [G, W] uint8 matrix + length vector murmur3_x64_128_h1 expects."""
+    g = len(gram_tok0)
+    cs = np.concatenate(([0], np.cumsum(tok_len)))
+    gram_len = cs[gram_tok0 + gram_ntok] - cs[gram_tok0] + gram_ntok - 1
+    width = 16 * (int(gram_len.max()) // 16 + 1) if g else 16
+    # segments: token, space, token, ..., token  (2*ntok - 1 per gram)
+    n_segs = 2 * gram_ntok - 1
+    seg_gram = np.repeat(np.arange(g), n_segs)
+    seg_off = np.concatenate(([0], np.cumsum(n_segs)))
+    j_local = np.arange(len(seg_gram)) - seg_off[seg_gram]
+    is_tok = (j_local & 1) == 0
+    tok_idx = gram_tok0[seg_gram] + (j_local >> 1)
+    seg_len = np.where(is_tok, tok_len[tok_idx], 1)
+    seg_src = np.where(is_tok, tok_start[tok_idx], space_pos)
+    total = int(seg_len.sum())
+    seg_out0 = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(seg_out0, seg_len)
+        + np.repeat(seg_src, seg_len)
+    )
+    flat = data_ext[idx]
+    mat = np.zeros((g, width), dtype=np.uint8)
+    mat[np.arange(width)[None, :] < gram_len[:, None]] = flat
+    return mat, gram_len
+
+
+def shingle_hashes(
+    contents, mode: str = "token_ngram:3", seed: int = 666,
+    with_h64: bool = False,
+):
+    """Batch: contents -> (flat int64 murmur3 h1 of distinct shingles,
+    int64 offsets[R+1]) — the ragged layout the sketch kernels consume.
+    With ``with_h64`` also returns the clearspring MurmurHash.hash64 of
+    each distinct shingle (third array, aligned with h1) — the hash the
+    reference's HLL cardinality estimator consumes (LazoSketch.java:87).
+
+    Vectorized for token_ngram:N / word; other modes fall back to the
+    scalar shingler + murmur3_str (identical output layout).
+    """
+    from .hll import murmur64a, murmur64a_str
+    from .javacompat import murmur3_str, murmur3_x64_128_h1
+
+    if mode == "word":
+        n = 1
+    elif mode.startswith("token_ngram"):
+        n = int(mode.split(":")[1]) if ":" in mode else 3
+    else:
+        flat, offsets = shingle_batch(contents, mode)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        h1 = murmur3_str(flat, seed)
+        if with_h64:
+            return h1, offsets, murmur64a_str(flat)
+        return h1, offsets
+
+    contents = list(contents)
+    n_docs = len(contents)
+    data, doc_off = _utf8_arrow_buffer(contents)
+    tok_start, tok_end, tok_doc = _token_spans(data, doc_off)
+    gram_tok0, gram_ntok = _gram_table(tok_doc, n_docs, n)
+    g = len(gram_tok0)
+    if g == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        return (empty, offsets, empty.copy()) if with_h64 else (empty, offsets)
+    tok_len = tok_end - tok_start
+    data_ext = np.concatenate((data, np.frombuffer(b" ", dtype=np.uint8)))
+    space_pos = len(data)
+    gram_doc = tok_doc[gram_tok0]
+
+    h1 = np.empty(g, dtype=np.int64)
+    h64 = np.empty(g, dtype=np.int64) if with_h64 else None
+    # chunk the padded matrix, processing grams in LENGTH order so each
+    # chunk's pad width is tight (one pathological no-whitespace gram
+    # would otherwise widen every row of its chunk); chunk boundaries
+    # don't affect hash values
+    cs_len = np.concatenate(([0], np.cumsum(tok_len)))
+    approx_len = np.maximum(
+        cs_len[gram_tok0 + gram_ntok] - cs_len[gram_tok0] + gram_ntok, 1
+    )
+    order_len = np.argsort(approx_len, kind="stable")
+    ls = approx_len[order_len]
+    lo = 0
+    while lo < g:
+        max_rows = max(1, int(_GRAM_CHUNK_CELLS // int(ls[lo])))
+        window = ls[lo : lo + max_rows]
+        prod = np.arange(1, len(window) + 1, dtype=np.int64) * window
+        hi = lo + max(1, int(np.searchsorted(prod, _GRAM_CHUNK_CELLS, "right")))
+        sel = order_len[lo:hi]
+        mat, lens = _pack_grams(
+            data_ext, tok_start, tok_len,
+            gram_tok0[sel], gram_ntok[sel], space_pos,
+        )
+        h1[sel] = murmur3_x64_128_h1(mat, lens, seed)
+        if with_h64:
+            h64[sel] = murmur64a(mat, lens)
+        lo = hi
+
+    # per-doc distinct by 64-bit hash, rows in input order
+    order = np.lexsort((h1, gram_doc))
+    gd, hh = gram_doc[order], h1[order]
+    keep = np.ones(len(gd), dtype=bool)
+    keep[1:] = (gd[1:] != gd[:-1]) | (hh[1:] != hh[:-1])
+    gd, hh = gd[keep], hh[keep]
+    counts = np.bincount(gd, minlength=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    if with_h64:
+        return hh, offsets, h64[order][keep]
+    return hh, offsets

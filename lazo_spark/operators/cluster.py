@@ -12,14 +12,34 @@ its label's label (pointer jump — doubles the effective propagation
 distance).  Convergence is O(log n) iterations even on path graphs;
 plain neighbor-min alone is O(diameter), which on a chain of version-
 graduated files silently exceeds any fixed iteration cap (observed: a
-200-node chain left 151 clusters at max_iter=50).  Each iteration is two
-shuffle joins + one aggregation; the convergence check rides along as a
-`changed` flag on the materialized result (no extra join).
+200-node chain left 151 clusters at max_iter=50).
+
+Latency shape (round-2 rework): the dominant cost at bench scale is
+driver-synchronized rounds, not data volume — so each materialized round
+batches ONE neighbor-min hop plus TWO pointer jumps (4x propagation
+distance per materialization), and the convergence check is a cheap scan
+over the just-checkpointed result (no shuffle, no plan re-run).  The
+symmetrized edge set is checkpointed once up front and the initial label
+table is derived from the *checkpointed* edges (deriving it from the raw
+plan re-ran the whole upstream pipeline a second time in round 1).
 """
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+def _pointer_jump(labels: DataFrame) -> DataFrame:
+    """cluster <- min(cluster, label(cluster)): doubles the effective
+    propagation distance.  Input/output: (key, cluster, prev)."""
+    lmap = labels.select(F.col("key").alias("jk"), F.col("cluster").alias("jc"))
+    return labels.join(lmap, labels["cluster"] == lmap["jk"], "left").select(
+        labels["key"].alias("key"),
+        F.least(
+            labels["cluster"], F.coalesce(F.col("jc"), labels["cluster"])
+        ).alias("cluster"),
+        labels["prev"].alias("prev"),
+    )
 
 
 def connected_components(
@@ -28,23 +48,31 @@ def connected_components(
     dst: str = "key_y",
     max_iter: int = 50,
     checkpoint: bool = True,
+    jumps_per_round: int = 2,
 ) -> DataFrame:
     """edges(src, dst) -> (key, cluster) where cluster = min key reachable.
 
     Undirected; edges are symmetrized internally.  Nodes appearing only as
     src or dst are included.  Isolated nodes are the caller's concern
     (left-join the full key set afterwards if needed).
+
+    checkpoint=False is TEST-ONLY (plan-shape inspection): without the
+    per-round localCheckpoint the jump joins reference the label plan
+    several times per round, so lineage grows geometrically and any
+    non-trivial graph becomes unusable after a few rounds.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    if checkpoint:
+        # one upstream materialization; labels below derive from THIS
+        sym = sym.localCheckpoint()
     labels = sym.select(F.col("a").alias("key")).distinct().withColumn(
         "cluster", F.col("key")
     )
     if checkpoint:
-        sym = sym.localCheckpoint()
         labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
@@ -62,18 +90,13 @@ def connected_components(
             ).alias("cluster"),
             F.col("cluster").alias("prev"),
         )
-        # pointer jump: cluster <- label(cluster); doubles propagation
-        # distance per iteration -> O(log n) total iterations
-        lmap = hop.select(
-            F.col("key").alias("jk"), F.col("cluster").alias("jc")
-        )
-        jumped = hop.join(lmap, hop["cluster"] == lmap["jk"], "left").select(
-            hop["key"].alias("key"),
-            F.least(
-                hop["cluster"], F.coalesce(F.col("jc"), hop["cluster"])
-            ).alias("cluster"),
-            hop["prev"].alias("prev"),
-        )
+        # batched pointer jumps: 1 hop + J jumps per materialization =
+        # 2^J * propagation distance per driver round — round count (the
+        # latency driver) shrinks at the cost of a deeper per-round DAG
+        # of tiny joins (AQE coalesces/broadcasts them at bench scale)
+        jumped = hop
+        for _j in range(jumps_per_round):
+            jumped = _pointer_jump(jumped)
         new_labels = jumped.select(
             "key",
             "cluster",
@@ -81,6 +104,9 @@ def connected_components(
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint()
+        else:
+            # geometric-lineage guard for the test-only path
+            new_labels = new_labels.cache()
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.select("key", "cluster")
         if changed == 0:

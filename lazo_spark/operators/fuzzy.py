@@ -2,10 +2,11 @@
 
 Re-expresses the reference fuzzy layer (NGramSignature.java:29-59,
 SignatureUtils.java:33-66, BaseIndex.java:24-100): one MinHash sketch per
-character n-gram size 2..n (plus one over whole words), per-n Lazo
-containment estimation, and the theta aggregation
+character n-gram size 2..n PLUS one over whole words (the bank's size-0
+slot, NGramSignature.java:29-42), per-n Lazo containment estimation, and
+the theta aggregation
     theta = jcx * ln(card / aggrJC) / ln(card)
-averaged over n-gram sizes (BaseIndex.java:54-58, 70-100).
+averaged over bank slots (BaseIndex.java:54-58, 70-100).
 
 Deliberate deviations (SURVEY §7, documented): the reference's
 calculateContainment divides int/int and long/long, truncating both the
@@ -13,80 +14,140 @@ match fraction and the containment to 0 (SignatureUtils.java:52,60); we
 compute correct float math.  Candidate generation per n reuses the
 flagship lazo plan, so 'card' in theta is the per-n candidate-set size
 exactly as BaseIndex.query uses it.
+
+Round-2 dataflow rework: ALL bank slots are sketched in ONE mapInPandas
+pass over the corpus (one scan, one Arrow crossing, rows tagged with
+`size`), persisted once; per-size candidate plans filter that cached
+relation.  Round 1 ran a full scan+sketch per size per consumer (3 sizes
+x 3 consumers) and leaked its persists.  The per-size (card, aggrJC)
+aggregates are collected eagerly (two scalars each) and folded into the
+theta projection as literals, so each candidate set is consumed exactly
+twice (agg + final union) against its cache, and every persist is
+released before returning (the result is localCheckpoint-materialized).
 """
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import LazoConfig
 from ..operators.lazo import lazo_pairs
-from ..operators.sketch import sketch_stage
+from ..operators.sketch import compute_sketches
+
+FUZZY_SKETCH_SCHEMA = (
+    "key string, sha string, size int, cardinality long, "
+    "signature array<long>, band_hashes array<int>"
+)
+
+
+def _bank_sizes(n: int) -> list[int]:
+    """Bank slots: 0 = whole words, then char n-gram sizes 2..n
+    (NGramSignature.java:29-42 keeps the whole-string sketch in slot 0)."""
+    return [0] + list(range(2, n + 1))
+
+
+def _size_config(config: LazoConfig, size: int) -> LazoConfig:
+    mode = "word" if size == 0 else f"char_ngram:{size}"
+    return LazoConfig(
+        k=config.k, d=config.d, seed=config.seed,
+        sketch_type=config.sketch_type, shingle_mode=mode,
+    )
+
+
+def fused_ngram_sketches(
+    df: DataFrame, config: LazoConfig, n: int = 4
+) -> DataFrame:
+    """df(key, sha, content) -> (key, sha, size, cardinality, signature,
+    band_hashes): every bank slot's sketch from ONE pass over the corpus.
+    Narrow (no shuffle); `size` tags the slot."""
+    sizes = _bank_sizes(n)
+    cfgs = {s: _size_config(config, s) for s in sizes}
+    cols = ["key", "sha", "size", "cardinality", "signature", "band_hashes"]
+
+    def run(batches):
+        for pdf in batches:
+            keys = pdf["key"].tolist()
+            shas = pdf["sha"].tolist()
+            contents = pdf["content"].tolist()
+            frames = []
+            for s in sizes:
+                out = compute_sketches(keys, shas, contents, cfgs[s])
+                out["size"] = s
+                frames.append(out[out["cardinality"] > 0][cols])
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select("key", "sha", "content").mapInPandas(
+        run, FUZZY_SKETCH_SCHEMA
+    )
 
 
 def ngram_signature_stage(
     df: DataFrame, config: LazoConfig, n: int = 4
 ) -> dict[int, DataFrame]:
-    """One sketch DataFrame per n-gram size 2..n plus 0 = whole words.
-    df: (key, sha, content)."""
-    out: dict[int, DataFrame] = {}
-    for size in range(2, n + 1):
-        cfg = LazoConfig(
-            k=config.k, d=config.d, seed=config.seed,
-            sketch_type=config.sketch_type,
-            shingle_mode=f"char_ngram:{size}",
-        )
-        out[size] = sketch_stage(df, cfg)
-    cfg0 = LazoConfig(
-        k=config.k, d=config.d, seed=config.seed,
-        sketch_type=config.sketch_type, shingle_mode="word",
-    )
-    out[0] = sketch_stage(df, cfg0)
-    return out
+    """Per-slot view of the fused sketch relation (kept for callers/tests
+    that want one DataFrame per bank slot; all views share one scan when
+    the caller persists `fused_ngram_sketches` itself)."""
+    fused = fused_ngram_sketches(df, config, n)
+    return {
+        s: fused.filter(F.col("size") == s).drop("size")
+        for s in _bank_sizes(n)
+    }
 
 
 def fuzzy_candidates(
     df: DataFrame, config: LazoConfig, n: int = 4, jcx_floor: float = 0.1
 ) -> DataFrame:
     """(key_x, key_y, m): theta-aggregated fuzzy similarity, the Spark
-    re-expression of BaseIndex.query (per-n candidates -> theta ->
-    average over sizes)."""
+    re-expression of BaseIndex.query (per-slot candidates -> theta ->
+    average over bank slots, whole-word slot included)."""
     from pyspark import StorageLevel
 
-    sigs = ngram_signature_stage(df, config, n)
+    sk = fused_ngram_sketches(df, config, n).persist(StorageLevel.MEMORY_AND_DISK)
     per_n = []
-    for size in range(2, n + 1):
-        # persist: the per-n candidate plan (sketch UDF + band self-join)
-        # is consumed three times (count/sum agg, theta projection, final
-        # union) — without a persist each consumer re-runs the whole plan
-        # engine='pandas': the fuzzy path runs one lazo plan per n-gram
-        # size, so the SQL engine's big-expression codegen cost (paid per
-        # size x consumer) dominates at small scale; the vectorized kernel
-        # is identical math (tested) without that fixed cost
-        cands = (
-            lazo_pairs(
-                sigs[size], config, js_threshold=0.0, jcx_threshold=jcx_floor,
-                engine="pandas",
+    handles = [sk]
+    try:
+        for size in _bank_sizes(n):
+            # engine='pandas': one lazo plan per bank slot, so the SQL
+            # engine's big-expression codegen cost (paid per slot) would
+            # dominate at small scale; the kernel is identical math (tested)
+            cands = (
+                lazo_pairs(
+                    sk.filter(F.col("size") == size).drop("size"),
+                    config, js_threshold=0.0, jcx_threshold=jcx_floor,
+                    engine="pandas",
+                )
+                .select("key_x", "key_y", "jcx")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .select("key_x", "key_y", "jcx")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # card = |candidate set|, aggrJC = sum of jcx over it (global per n,
-        # mirroring BaseIndex.query's per-query aggregation at corpus level)
-        agg = cands.agg(
-            F.count(F.lit(1)).alias("card"), F.sum("jcx").alias("aggr_jc")
-        )
-        scored = cands.crossJoin(F.broadcast(agg)).select(
-            "key_x",
-            "key_y",
-            (
-                F.col("jcx")
-                * F.log(F.col("card") / F.col("aggr_jc"))
-                / F.log(F.col("card"))
-            ).alias("theta"),
-        )
-        per_n.append(scored)
-    un = per_n[0]
-    for other in per_n[1:]:
-        un = un.union(other)
-    return un.groupBy("key_x", "key_y").agg(F.avg("theta").alias("m"))
+            handles.append(cands)
+            # card = |candidate set|, aggrJC = sum of jcx over it (global
+            # per slot, mirroring BaseIndex.query's aggregation) — two
+            # scalars, collected eagerly and folded in as literals
+            card, aggr_jc = cands.agg(
+                F.count(F.lit(1)), F.sum("jcx")
+            ).first()
+            if not card or not aggr_jc:
+                continue
+            theta_factor = (
+                F.log(F.lit(float(card)) / F.lit(float(aggr_jc)))
+                / F.log(F.lit(float(card)))
+            )
+            per_n.append(
+                cands.select(
+                    "key_x", "key_y",
+                    (F.col("jcx") * theta_factor).alias("theta"),
+                )
+            )
+        if not per_n:
+            schema = "key_x string, key_y string, m double"
+            return df.sparkSession.createDataFrame([], schema)
+        un = per_n[0]
+        for other in per_n[1:]:
+            un = un.union(other)
+        result = un.groupBy("key_x", "key_y").agg(F.avg("theta").alias("m"))
+        # materialize so the persisted intermediates can be released now
+        return result.localCheckpoint()
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -128,9 +128,10 @@ def candidate_pairs(
     back AFTER the pair aggregation (|pairs| << |join rows|), then pairs
     are re-canonicalized on string order so downstream output is
     byte-identical to the direct-string plan.  A 64-bit key-hash
-    collision could merge two keys' band rows (spurious candidates, which
-    exact post-verification removes); at 10^12 keys the expected number
-    of colliding pairs is ~0.03.
+    collision could merge two keys' band rows (spurious candidates that
+    surface in the output unless the caller runs the optional exact
+    post-verification stage); at 10^12 keys the expected number of
+    colliding pairs is ~0.03, i.e. negligible even unverified.
 
     Cardinality rides along in the bands rows (8 bytes) so no extra join
     against the sketch table is needed before estimation.
@@ -198,9 +199,15 @@ def estimate_candidates(
     direction: str = "either",
     corrections_acc=None,
     engine: str = "sql",
+    metrics_acc: dict | None = None,
 ) -> DataFrame:
     """Assign sweep thresholds from min_pos, run the float32 estimation +
     ECH correction, and apply the final filter.
+
+    metrics_acc: optional dict of Spark accumulators (keys corrections,
+    js_impactful, jcx_impactful, magnitude) filled with the reference's
+    ECH diagnostic counters (LazoIndex.java:19-22) — forces the pandas
+    engine, like corrections_acc.
 
     engine='sql' (default): pure Catalyst column expressions
     (functions/estimation_sql.py, bit-identical to the kernel — tested) —
@@ -216,7 +223,7 @@ def estimate_candidates(
     """
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
-    if corrections_acc is not None:
+    if corrections_acc is not None or metrics_acc is not None:
         engine = "pandas"
 
     if engine == "sql":
@@ -269,6 +276,14 @@ def estimate_candidates(
             if direction == "either":
                 ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
                 keep = rx.keep | ry.keep
+                if metrics_acc is not None:
+                    # the reference's all-pairs driver queries every file,
+                    # so each unordered pair is evaluated in BOTH
+                    # directions — count the y-direction pass too
+                    metrics_acc["corrections"].add(int(ry.corrections))
+                    metrics_acc["js_impactful"].add(int(ry.js_impactful))
+                    metrics_acc["jcx_impactful"].add(int(ry.jcx_impactful))
+                    metrics_acc["magnitude"].add(float(ry.magnitude))
             elif direction == "y":
                 ry = estimate_pairs(thv, cy, cx, d, js_t, jcx_t, ech)
                 rx, keep = ry, ry.keep
@@ -276,6 +291,11 @@ def estimate_candidates(
                 keep = rx.keep
             if corrections_acc is not None:
                 corrections_acc.add(int(rx.corrections))
+            if metrics_acc is not None:
+                metrics_acc["corrections"].add(int(rx.corrections))
+                metrics_acc["js_impactful"].add(int(rx.js_impactful))
+                metrics_acc["jcx_impactful"].add(int(rx.jcx_impactful))
+                metrics_acc["magnitude"].add(float(rx.magnitude))
             out = pd.DataFrame(
                 {
                     "key_x": pdf["key_x"],
@@ -302,6 +322,8 @@ def lazo_pairs(
     salt: bool = False,
     corrections_acc=None,
     engine: str = "sql",
+    direction: str = "either",
+    metrics_acc: dict | None = None,
 ) -> DataFrame:
     """Full candidate pipeline: bands join -> min_pos -> estimate -> filter.
 
@@ -316,6 +338,11 @@ def lazo_pairs(
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
     max_pos = max_useful_band(config, js_t, jcx_t)
     prefilter = None
+    if metrics_acc is not None:
+        # diagnostics mode forces the pandas engine; the lossless row
+        # prefilter must stay OFF so the counters see every candidate
+        # evaluation the reference sweep would have run
+        engine = "pandas"
     if engine == "sql" and corrections_acc is None:
         from ..functions.estimation_sql import keep_either_col
 
@@ -331,7 +358,11 @@ def lazo_pairs(
     pairs = candidate_pairs(
         sketches, config, salt=salt, max_pos=max_pos, row_filter=prefilter
     )
+    # NOTE: the row prefilter keeps either-direction passers — a superset
+    # of any single direction, so the pushdown stays lossless for
+    # direction='x'/'y' too (just slightly weaker pruning)
     return estimate_candidates(
-        pairs, config, js_threshold, jcx_threshold,
+        pairs, config, js_threshold, jcx_threshold, direction=direction,
         corrections_acc=corrections_acc, engine=engine,
+        metrics_acc=metrics_acc,
     )

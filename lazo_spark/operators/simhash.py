@@ -1,0 +1,85 @@
+"""SimHash near-duplicate candidate generation (companion dedup path).
+
+Not present in the reference (mitdbg/lazo sketches MinHash/OPH only); the
+north rule requires SimHash as a companion path.  Design is the standard
+Charikar-64 + banded index: split the 64-bit fingerprint into
+``max_hamming + 1`` disjoint bit-bands, bucket on (band position, band
+value), and keep only pairs whose full Hamming distance is within budget.
+
+Pigeonhole guarantee: a pair at Hamming distance d <= max_hamming differs
+in at most max_hamming bands, so with max_hamming + 1 disjoint bands at
+least one band is bit-identical -> the pair is guaranteed to share a
+bucket.  (Round-1 used 8 fixed byte-bands with a <=10 filter, which only
+guaranteed d<=7 — pairs at 8-10 were found by luck.)
+
+Scale shape: the band explode is narrow; the only shuffle is the
+self-join on (pos, band value).  Band width shrinks as the Hamming budget
+grows (64/(d+1) bits), so bucket collision rates rise — callers wanting
+loose thresholds at corpus scale should prefer the MinHash path; SimHash
+banding is exact-guarantee by construction, not probabilistic.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def simhash_band_plan(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: 64 bits split into max_hamming+1 disjoint
+    bands as evenly as possible (widths differ by at most 1)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n_bands)
+    plan = []
+    shift = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        plan.append((shift, width))
+        shift += width
+    return plan
+
+
+def simhash_candidate_pairs(
+    sk: DataFrame,
+    max_hamming: int = 10,
+    key_col: str = "key",
+    simhash_col: str = "simhash",
+) -> DataFrame:
+    """sk(key, simhash) -> (key_x, key_y, hamming) with hamming <= budget.
+
+    Guaranteed-complete within the budget (see module docstring).  The
+    band self-join shuffles on (pos, band-hash); `distinct()` collapses
+    pairs found in several bands before the (cheap) bit_count filter.
+    """
+    plan = simhash_band_plan(max_hamming)
+    bands_expr = F.array(
+        *[
+            F.shiftrightunsigned(F.col(simhash_col), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("int")
+            for shift, width in plan
+        ]
+    )
+    bands = sk.select(
+        F.col(key_col).alias("key"),
+        F.col(simhash_col).alias("simhash"),
+        F.posexplode(bands_expr).alias("pos", "bh"),
+    )
+    x = bands.select(
+        "pos", "bh", F.col("key").alias("key_x"), F.col("simhash").alias("sim_x")
+    )
+    y = bands.select(
+        "pos", "bh", F.col("key").alias("key_y"), F.col("simhash").alias("sim_y")
+    )
+    return (
+        x.join(y, ["pos", "bh"])
+        .filter(F.col("key_x") < F.col("key_y"))
+        .select("key_x", "key_y", "sim_x", "sim_y")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_x").bitwiseXOR(F.col("sim_y")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_x", "key_y", "hamming")
+    )

@@ -8,6 +8,8 @@ training-data-pipeline capability.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
@@ -113,22 +115,80 @@ def lsh_cosine_candidates(
     )
 
 
+def derive_ann_params(
+    n_vectors: int,
+    target_bucket_size: int = 64,
+    target_cosine: float = 0.8,
+    recall_target: float = 0.9,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to corpus size.
+
+    Round-1 hardcoded n_planes=6 (64 buckets) — a toy setting: per-table
+    candidate volume is ~n^2/2^n_planes, so at corpus scale the bucket
+    self-join degenerates toward all-pairs.  The scale rule:
+
+      n_planes = ceil(log2(n / target_bucket_size))
+        keeps E[bucket size] ~= target under a uniform direction model,
+        so candidate volume per table stays ~n * target (linear in n).
+      n_tables = ceil(ln(1-recall) / ln(1-p^n_planes)),
+        p = 1 - arccos(target_cosine)/pi  (hyperplane-LSH collision
+        probability per bit, Charikar'02): deeper codes cut per-table
+        recall geometrically, so table count must grow with n_planes to
+        hold pair recall >= recall_target at the target cosine.
+
+    Cost curve: planes +1 => half the candidates per table but lower
+    per-table recall => more tables; total candidate volume stays ~linear
+    in n while recall is held, which is the point.
+    """
+    n_planes = max(4, min(24, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket_size, 1)))))
+    p_bit = 1.0 - math.acos(min(max(target_cosine, -1.0), 1.0)) / math.pi
+    p_bucket = p_bit ** n_planes
+    if p_bucket >= 1.0:
+        n_tables = 1
+    else:
+        n_tables = math.ceil(
+            math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - p_bucket)
+        )
+    return n_planes, max(1, min(64, n_tables))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 3,
-    n_planes: int = 6,
-    n_tables: int = 2,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter=None,
+    n_vectors: int | None = None,
+    target_bucket_size: int = 64,
+    target_cosine: float = 0.8,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors — the scale path for
     ``cosine_topk``.  Candidates come from ``n_tables`` independent
     hyperplane-LSH tables (union of same-bucket pairs, multi-table
     boosting recall exactly like MinHash bands OR-across-bands); exact
     cosine is computed only within candidates, then ranked per query.
-    Cost is sum-of-bucket-sizes-squared per table, not |corpus|^2."""
+    Cost is sum-of-bucket-sizes-squared per table, not |corpus|^2.
+
+    n_planes/n_tables default to the corpus-size-derived setting
+    (``derive_ann_params``); pass n_vectors (or let it be counted) so
+    bucket occupancy tracks corpus scale.  target_cosine is the LOWEST
+    neighbor similarity that must still be recalled: for near-duplicate
+    retrieval 0.8 is right; for generic top-k over weakly-structured
+    embeddings the true neighbors can sit near cosine ~0.35, which needs
+    shallower codes / many more tables (the honest hyperplane-LSH cost
+    curve — see derive_ann_params)."""
+    if n_planes is None or n_tables is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        dp, dt = derive_ann_params(
+            n_vectors, target_bucket_size, target_cosine, recall_target
+        )
+        n_planes = dp if n_planes is None else n_planes
+        n_tables = dt if n_tables is None else n_tables
     cand = None
     for t in range(n_tables):
         b = hyperplane_buckets(

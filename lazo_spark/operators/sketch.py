@@ -19,8 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..config import LazoConfig
-from ..functions.javacompat import murmur3_str
-from ..functions.shingles import shingle_batch
+from ..functions.shingles import shingle_hashes
 from ..functions.sketch_kernels import (
     minhash_sigs,
     oph_densify,
@@ -46,17 +45,28 @@ def band_hashes_r1(sigs: np.ndarray) -> np.ndarray:
 def compute_sketches(
     keys, shas, contents, config: LazoConfig
 ) -> pd.DataFrame:
-    """Sketch one Arrow batch (pure NumPy; used by the UDF and by tests)."""
-    flat, offsets = shingle_batch(contents, config.shingle_mode)
-    offsets = np.asarray(offsets, dtype=np.int64)
-    h = murmur3_str(flat, seed=config.seed)
+    """Sketch one Arrow batch (pure NumPy; used by the UDF and by tests).
+    Shingling + hashing is the fully vectorized byte-level path
+    (functions/shingles.py shingle_hashes — no per-row Python)."""
+    use_hll = config.cardinality == "hll"
+    if use_hll:
+        h, offsets, h64 = shingle_hashes(
+            contents, config.shingle_mode, config.seed, with_h64=True
+        )
+    else:
+        h, offsets = shingle_hashes(contents, config.shingle_mode, config.seed)
     if config.sketch_type == "minhash":
         sigs = minhash_sigs(h, offsets, config.k, config.seed)
     elif config.sketch_type == "oph":
         sigs = oph_densify(oph_raw_sigs(h, offsets, config.k), config.k, config.seed)
     else:
         raise ValueError(f"unknown sketch_type {config.sketch_type}")
-    cards = np.diff(offsets)  # shingle() already dedups -> exact distinct
+    if use_hll:
+        from ..functions.hll import hll_cardinalities_ragged
+
+        cards = hll_cardinalities_ragged(h64, offsets)
+    else:
+        cards = np.diff(offsets)  # shingles deduped -> exact distinct
     bands = band_hashes_r1(sigs)
     if config.simhash:
         sims = simhash64(h, offsets)

@@ -31,6 +31,12 @@ class LazoIndexOracle:
         self.hash_ranges = [i * self.gcd for i in range(self.gcd_bands)]
         self.hash_tables: list[dict[int, set]] = [dict() for _ in range(self.gcd_bands)]
         self.key_cardinality: dict[object, int] = {}
+        # reference diagnostic counters (LazoIndex.java:19-22), accumulated
+        # across queries exactly like the Java fields
+        self.metrics = {
+            "corrections": 0, "js_impactful": 0,
+            "jcx_impactful": 0, "magnitude": 0.0,
+        }
 
     def _segment_hash(self, sig: np.ndarray, start: int, end: int) -> int:
         # zero-padded past the end, like Arrays.copyOfRange
@@ -113,6 +119,10 @@ class LazoIndexOracle:
         est = estimate_pairs(
             th, q_card, c_card, self.d, js_threshold, jcx_threshold
         )
+        self.metrics["corrections"] += est.corrections
+        self.metrics["js_impactful"] += est.js_impactful
+        self.metrics["jcx_impactful"] += est.jcx_impactful
+        self.metrics["magnitude"] += est.magnitude
         return [
             (keys[i], float(est.js[i]), float(est.jcx[i]), float(est.jcy[i]))
             for i in range(len(keys))

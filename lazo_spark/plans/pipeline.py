@@ -91,7 +91,20 @@ class DedupPipeline:
         self.metrics["sketch_seconds"] = time.time() - t0
 
         t1 = time.time()
-        pairs = lazo_pairs(sketches, self.config, salt=True)
+        ech_acc = None
+        if collect_lineage:
+            # diagnostics mode: pandas engine + accumulators reproduce the
+            # reference's ECH counters (LazoIndex.java:19-22); the default
+            # path stays on the fused SQL engine with the cheap
+            # `corrected` flag column only
+            sc = self.spark.sparkContext
+            ech_acc = {
+                "corrections": sc.accumulator(0),
+                "js_impactful": sc.accumulator(0),
+                "jcx_impactful": sc.accumulator(0),
+                "magnitude": sc.accumulator(0.0),
+            }
+        pairs = lazo_pairs(sketches, self.config, salt=True, metrics_acc=ech_acc)
         pairs = self._checkpoint(pairs, "pairs")
         self.metrics["pairs_seconds"] = time.time() - t1
 
@@ -133,6 +146,13 @@ class DedupPipeline:
                 self.config, self.config.js_threshold, self.config.jcx_threshold
             )
             rec.set("bucket_histogram", bucket_histogram(band_explode(sketches, mp)))
+            if ech_acc is not None:
+                ech = {k: acc.value for k, acc in ech_acc.items()}
+                rec.set("ech_metrics", ech)
+                self.metrics["ech_corrections"] = ech["corrections"]
+                self.metrics["ech_js_impactful"] = ech["js_impactful"]
+                self.metrics["ech_jcx_impactful"] = ech["jcx_impactful"]
+                self.metrics["ech_magnitude"] = ech["magnitude"]
             rec.set("timings", dict(self.metrics))
             self.metrics["lineage"] = rec.flush()
         if "corrected" in pairs.columns:

@@ -1,0 +1,59 @@
+"""ECH diagnostic counters (corrections / js_impactful / jcx_impactful /
+magnitude, LazoIndex.java:19-22) vs the compiled reference over a crafted
+extreme-cardinality-ratio corpus (tests/golden/ech.json from
+tools/EchGolden.java).  Counter ints must match exactly; the float32
+magnitude accumulator matches to accumulation-order tolerance."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lazo_spark.functions.hll import hll_cardinality, murmur64a_str
+from lazo_spark.functions.javacompat import murmur3_str
+from lazo_spark.functions.sketch_kernels import minhash_sigs
+from lazo_spark.oracle import LazoIndexOracle
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ech.json")
+
+
+def _set_values(n, noise):
+    out = [f"u{i}" for i in range(n)]
+    out += [f"x{noise}_{i}" for i in range(noise)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def g():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_ech_counters_match_reference(g):
+    oracle = LazoIndexOracle(64, 0.05)
+    sigs = {}
+    for size in g["sizes"]:
+        for noise in (0, 3):
+            key = f"set{size}_{noise}"
+            vals = _set_values(size, noise)
+            h = murmur3_str(vals)
+            off = np.array([0, len(h)], dtype=np.int64)
+            sig = minhash_sigs(h, off, 64)[0]
+            card = hll_cardinality(murmur64a_str(vals))
+            sigs[key] = (sig, card)
+            oracle.insert(key, sig, card)
+    got_pairs = set()
+    for key, (sig, card) in sigs.items():
+        for cand, js, jcx, jcy in oracle.query(
+            sig, card, g["js_threshold"], g["jcx_threshold"]
+        ):
+            if cand != key:
+                got_pairs.add((key, cand))
+    want_pairs = {(a, b) for a, b, *_ in g["pairs"]}
+    assert got_pairs == want_pairs
+    m = oracle.metrics
+    assert m["corrections"] == g["corrections"]
+    assert m["js_impactful"] == g["js_impactful"]
+    assert m["jcx_impactful"] == g["jcx_impactful"]
+    # float32 sequential accumulation vs float64 vectorized sums
+    assert m["magnitude"] == pytest.approx(g["magnitude"], rel=1e-3)

@@ -14,7 +14,11 @@ from lazo_spark.plans.pipeline import run_dedup
 from lazo_spark.sources.code_files import generate_code_files
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CFG = LazoConfig(jcx_threshold=0.5)
+# cardinality='hll': bit-exact clearspring HLL++(18,25) emulation — the
+# reference uses HLL estimates (not true counts) in its JS/JC math, so
+# strict parity requires matching them (functions/hll.py); this is what
+# lets the precision gate sit at 0.99 instead of round-1's 0.95
+CFG = LazoConfig(jcx_threshold=0.5, cardinality="hll")
 
 
 def _classes_dir():
@@ -95,6 +99,6 @@ def test_recall_vs_compiled_reference(spark):
     precision = 1 - len(extra) / max(1, len(got))
     print(f"reference pairs={len(want)} ours={len(got)} recall={recall:.4f} precision={precision:.4f}")
     assert recall >= 0.99, f"recall {recall:.4f}; missing e.g. {list(missing)[:5]}"
-    # HLL-vs-exact cardinality can flip borderline pairs either way;
-    # precision is reported but gated looser than the recall target.
-    assert precision >= 0.95, f"precision {precision:.4f}; extra e.g. {list(extra)[:5]}"
+    # with bit-exact HLL cardinalities the estimates match the reference
+    # exactly, so precision holds to the same 0.99 bar as recall
+    assert precision >= 0.99, f"precision {precision:.4f}; extra e.g. {list(extra)[:5]}"

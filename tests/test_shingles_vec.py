@@ -1,0 +1,87 @@
+"""Vectorized byte-level shingle+hash path vs the scalar reference
+implementation: identical hash sets per document, identical ragged
+layout, at a range of nasty inputs."""
+import numpy as np
+import pytest
+
+from lazo_spark.functions.javacompat import murmur3_str
+from lazo_spark.functions.shingles import shingle, shingle_batch, shingle_hashes
+
+NASTY = [
+    "",                                   # empty
+    None,                                 # null
+    "   \t\n  ",                          # whitespace-only
+    "one",                                # single token (short doc)
+    "one two",                            # below n for n=3
+    "a b c d e f g",                      # normal
+    "a  b\tc\nd\r\ne",                    # mixed separators
+    "  leading and trailing   ",
+    "dup dup dup dup dup",                # repeated tokens -> dup shingles
+    "x" * 500,                            # one giant token
+    "word " * 200,                        # all-identical grams
+    "def foo(bar):\n    return bar + 1\n\n" * 3,
+    "émoji ünïcode tökens æøå",           # multi-byte UTF-8 payloads
+    "tab\tsep\tvals\tonly",
+    "\x0b vertical \x0c formfeed",
+]
+
+
+def _scalar_hash_sets(contents, mode, seed=666):
+    out = []
+    for c in contents:
+        s = shingle(c, mode)
+        out.append(set(murmur3_str(s, seed).tolist()) if s else set())
+    return out
+
+
+@pytest.mark.parametrize("mode", ["token_ngram:3", "token_ngram:2", "word"])
+def test_vec_matches_scalar_hash_sets(mode):
+    h, off = shingle_hashes(NASTY, mode)
+    assert len(off) == len(NASTY) + 1
+    expect = _scalar_hash_sets(NASTY, mode)
+    for i in range(len(NASTY)):
+        got = set(h[off[i] : off[i + 1]].tolist())
+        assert got == expect[i], f"row {i}: {NASTY[i]!r}"
+        # distinct within each row
+        assert len(got) == off[i + 1] - off[i]
+
+
+def test_vec_matches_scalar_on_random_text():
+    rng = np.random.RandomState(3)
+    vocab = ["foo", "bar", "baz()", "x=1;", "//", "{", "}", "if", "émile"]
+    docs = []
+    for _ in range(200):
+        k = rng.randint(0, 30)
+        seps = rng.choice([" ", "  ", "\t", "\n", " \n "], size=max(k, 1))
+        docs.append(
+            "".join(
+                v + s
+                for v, s in zip(rng.choice(vocab, size=k), seps)
+            )
+        )
+    h, off = shingle_hashes(docs, "token_ngram:3")
+    expect = _scalar_hash_sets(docs, "token_ngram:3")
+    for i in range(len(docs)):
+        assert set(h[off[i] : off[i + 1]].tolist()) == expect[i]
+
+
+def test_fallback_modes_keep_layout():
+    h, off = shingle_hashes(["aa bb", "cc"], "char_ngram:2")
+    flat, off2 = shingle_batch(["aa bb", "cc"], "char_ngram:2")
+    assert list(off) == list(off2)
+    assert sorted(h.tolist()) == sorted(murmur3_str(flat).tolist())
+
+
+def test_chunking_boundary_stability(monkeypatch):
+    """Tiny chunk budget must not change any hash value."""
+    import lazo_spark.functions.shingles as sh
+
+    docs = ["alpha beta gamma delta " * 10, "x y z", "longtoken" * 50]
+    ref_h, ref_off = shingle_hashes(docs, "token_ngram:3")
+    monkeypatch.setattr(sh, "_GRAM_CHUNK_CELLS", 64)
+    h, off = sh.shingle_hashes(docs, "token_ngram:3")
+    assert list(off) == list(ref_off)
+    for i in range(len(docs)):
+        assert set(h[off[i] : off[i + 1]].tolist()) == set(
+            ref_h[ref_off[i] : ref_off[i + 1]].tolist()
+        )

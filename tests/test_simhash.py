@@ -1,0 +1,74 @@
+"""SimHash banding: pigeonhole completeness within the Hamming budget."""
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.operators.simhash import (
+    simhash_band_plan,
+    simhash_candidate_pairs,
+)
+
+
+def _band_values(v: int, plan):
+    return [(v >> shift) & ((1 << width) - 1) for shift, width in plan]
+
+
+@pytest.mark.parametrize("max_hamming", [0, 3, 7, 10, 16])
+def test_band_plan_covers_64_bits(max_hamming):
+    plan = simhash_band_plan(max_hamming)
+    assert len(plan) == max_hamming + 1
+    assert sum(w for _, w in plan) == 64
+    # disjoint and contiguous
+    shift = 0
+    for s, w in plan:
+        assert s == shift and w >= 1
+        shift += w
+
+
+@pytest.mark.parametrize("max_hamming", [3, 7, 10])
+def test_pigeonhole_every_close_pair_shares_a_band(max_hamming):
+    """Any pair at Hamming distance <= budget MUST agree on >= 1 band."""
+    plan = simhash_band_plan(max_hamming)
+    rng = np.random.RandomState(42)
+    for _ in range(500):
+        base = int(rng.randint(0, 2**63, dtype=np.int64))
+        d = int(rng.randint(0, max_hamming + 1))
+        flip_bits = rng.choice(64, size=d, replace=False)
+        other = base
+        for b in flip_bits:
+            other ^= 1 << int(b)
+        bx, by = _band_values(base, plan), _band_values(other, plan)
+        assert any(a == b for a, b in zip(bx, by)), (
+            f"pair at hamming {d} shares no band under budget {max_hamming}"
+        )
+
+
+def test_simhash_candidate_pairs_complete(spark):
+    """End-to-end: banded candidates == brute-force pairs within budget."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(-(2**62), 2**62, size=20).astype(np.int64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((f"k{i:03d}a", int(v)))
+        # a partner at a random distance 0..12 (some in, some out of budget)
+        d = int(rng.randint(0, 13))
+        other = int(v)
+        for b in rng.choice(64, size=d, replace=False):
+            other ^= 1 << int(b)
+        other &= 2**64 - 1
+        rows.append((f"k{i:03d}b", other if other < 2**63 else other - 2**64))
+    sk = spark.createDataFrame(rows, "key string, simhash long")
+    got = {
+        (r.key_x, r.key_y, r.hamming)
+        for r in simhash_candidate_pairs(sk, max_hamming=10).collect()
+    }
+    # brute force
+    data = {k: v for k, v in rows}
+    expect = set()
+    keys = sorted(data)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            h = bin((data[keys[i]] ^ data[keys[j]]) & (2**64 - 1)).count("1")
+            if h <= 10:
+                expect.add((keys[i], keys[j], h))
+    assert got == expect

@@ -1,0 +1,70 @@
+"""Single-column similarity mode (P2, LazoBenchmarkSingleCol.java:174-226):
+the distributed js-mode plan must reproduce the NumPy LazoIndex replica
+(itself golden-pinned against the compiled reference) pair-for-pair."""
+import numpy as np
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.lazo import lazo_pairs
+from lazo_spark.operators.sketch import compute_sketches, sketch_stage
+from lazo_spark.oracle import LazoIndexOracle
+
+JS_T = 0.5
+
+
+@pytest.fixture(scope="module")
+def columns():
+    """~40 synthetic value-set columns with controlled overlaps: chains
+    of sliding ranges (high js), plus disjoint noise columns."""
+    rng = np.random.RandomState(11)
+    cols = {}
+    for i in range(12):  # sliding windows over a shared domain
+        lo = i * 20
+        cols[f"win{i:02d}"] = [f"v{j}" for j in range(lo, lo + 120)]
+    for i in range(12):  # exact duplicate pairs
+        vals = [f"d{i}_{j}" for j in range(rng.randint(30, 80))]
+        cols[f"dupa{i:02d}"] = list(vals)
+        cols[f"dupb{i:02d}"] = list(vals)
+    for i in range(12):  # disjoint noise
+        cols[f"noise{i:02d}"] = [
+            f"n{i}_{j}" for j in range(rng.randint(20, 200))
+        ]
+    return cols
+
+
+def _content(vals):
+    return "\n".join(vals)
+
+
+def test_js_mode_matches_index_replica(spark, columns):
+    cfg = LazoConfig(shingle_mode="line")
+    keys = sorted(columns)
+    pdf = compute_sketches(
+        keys, keys, [_content(columns[k]) for k in keys], cfg
+    )
+    oracle = LazoIndexOracle(cfg.k, cfg.d)
+    sigs = {
+        r["key"]: (np.array(r["signature"]), int(r["cardinality"]))
+        for _, r in pdf.iterrows()
+    }
+    for k in keys:
+        oracle.insert(k, sigs[k][0], sigs[k][1])
+    want = set()
+    for k in keys:
+        for cand, js, _, _ in oracle.query_similarity(sigs[k][0], sigs[k][1], JS_T):
+            if cand != k:
+                want.add(tuple(sorted((k, cand))))
+
+    df = spark.createDataFrame(
+        [(k, k, _content(columns[k])) for k in keys],
+        "key string, sha string, content string",
+    )
+    sk = sketch_stage(df, cfg)
+    got = {
+        tuple(sorted((r["key_x"], r["key_y"])))
+        for r in lazo_pairs(
+            sk, cfg, js_threshold=JS_T, jcx_threshold=0.0, direction="x"
+        ).collect()
+    }
+    assert want, "oracle found no pairs — fixture broken"
+    assert got == want

@@ -1,0 +1,72 @@
+// ECH diagnostic-counter goldens: runs the reference LazoIndex over a
+// crafted corpus of nested/disjoint value sets (extreme cardinality
+// ratios fire the ECH feasibility corrections) and dumps the counters
+// (LazoIndex.java:19-22: corrections, js/jcx impactful, magnitude) plus
+// the passing pairs, so the NumPy estimation kernel's counter
+// replication (functions/estimation.py) can be pinned.
+// Usage: java EchGolden <outDir>
+import java.io.FileWriter;
+import java.io.PrintWriter;
+import java.util.ArrayList;
+import java.util.List;
+
+import lazo.index.LazoIndex;
+import lazo.index.LazoIndex.LazoCandidate;
+import lazo.sketch.LazoSketch;
+
+public class EchGolden {
+
+    static List<String> setValues(int n, int noisePrefix) {
+        // nested prefixes of a shared universe + per-set noise tail
+        List<String> out = new ArrayList<>();
+        for (int i = 0; i < n; i++) out.add("u" + i);
+        for (int i = 0; i < noisePrefix; i++) out.add("x" + noisePrefix + "_" + i);
+        return out;
+    }
+
+    public static void main(String[] args) throws Exception {
+        String outDir = args.length > 0 ? args[0] : ".";
+        // sizes spanning 3 orders of magnitude -> extreme min/max ratios
+        int[] sizes = {5, 8, 12, 20, 33, 55, 90, 150, 250, 420, 700,
+                1200, 2000, 3300, 5500};
+        List<String> keys = new ArrayList<>();
+        LazoIndex index = new LazoIndex(64, 0.05f);
+        List<LazoSketch> sketches = new ArrayList<>();
+        for (int s = 0; s < sizes.length; s++) {
+            for (int noise : new int[]{0, 3}) {
+                String key = "set" + sizes[s] + "_" + noise;
+                LazoSketch sk = new LazoSketch(64);
+                for (String v : setValues(sizes[s], noise)) sk.update(v);
+                index.insert(key, sk);
+                keys.add(key);
+                sketches.add(sk);
+            }
+        }
+        float jsT = 0.1f, jcxT = 0.5f;
+        PrintWriter w = new PrintWriter(new FileWriter(outDir + "/ech.json"));
+        w.println("{");
+        List<String> pairRows = new ArrayList<>();
+        for (int i = 0; i < keys.size(); i++) {
+            for (LazoCandidate c : index.query(sketches.get(i), jsT, jcxT)) {
+                if (!c.key.equals(keys.get(i))) {
+                    pairRows.add("[\"" + keys.get(i) + "\",\"" + c.key
+                            + "\"," + c.js + "," + c.jcx + "," + c.jcy + "]");
+                }
+            }
+        }
+        w.println("  \"js_threshold\": " + jsT + ",");
+        w.println("  \"jcx_threshold\": " + jcxT + ",");
+        w.println("  \"corrections\": " + index.corrections + ",");
+        w.println("  \"js_impactful\": " + index.js_impactful_corrections + ",");
+        w.println("  \"jcx_impactful\": " + index.jcx_impactful_corrections + ",");
+        w.println("  \"magnitude\": " + index.magnitude_correction + ",");
+        w.println("  \"sizes\": [5,8,12,20,33,55,90,150,250,420,700,1200,2000,3300,5500],");
+        w.println("  \"pairs\": [" + String.join(",", pairRows) + "]");
+        w.println("}");
+        w.close();
+        System.out.println("ech.json: corrections=" + index.corrections
+                + " jsImp=" + index.js_impactful_corrections
+                + " jcxImp=" + index.jcx_impactful_corrections
+                + " mag=" + index.magnitude_correction);
+    }
+}

@@ -1,0 +1,129 @@
+// HLL golden-vector dump: probes the clearspring HyperLogLogPlus(18,25)
+// (the reference's cardinality estimator, LazoSketch.java:21) so the
+// NumPy re-implementation (lazo_spark/functions/hll.py) can be pinned
+// bit-for-bit.  Emits: per-string MurmurHash.hash64 values, encodeHash
+// outputs, per-checkpoint cardinalities across the sparse->normal
+// conversion, the bias-correction tables for p=18, and merge cases.
+// Usage: java HllGolden <outDir>
+import java.io.FileWriter;
+import java.io.PrintWriter;
+import java.lang.reflect.Field;
+import java.lang.reflect.Method;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.List;
+import java.util.stream.Collectors;
+
+import com.clearspring.analytics.hash.MurmurHash;
+import com.clearspring.analytics.stream.cardinality.HyperLogLogPlus;
+
+public class HllGolden {
+
+    static String longs(List<Long> a) {
+        return a.stream().map(Object::toString).collect(Collectors.joining(",", "[", "]"));
+    }
+
+    static String ints(List<Integer> a) {
+        return a.stream().map(Object::toString).collect(Collectors.joining(",", "[", "]"));
+    }
+
+    static String doubles(double[] a) {
+        return Arrays.stream(a).mapToObj(Double::toString).collect(Collectors.joining(",", "[", "]"));
+    }
+
+    public static void main(String[] args) throws Exception {
+        String outDir = args.length > 0 ? args[0] : ".";
+        PrintWriter w = new PrintWriter(new FileWriter(outDir + "/hll.json"));
+        w.println("{");
+
+        // --- MurmurHash.hash64(String) samples (what offer() feeds) ---
+        List<String> samples = new ArrayList<>();
+        for (int i = 0; i < 40; i++) samples.add("tok" + i);
+        samples.add("");
+        samples.add("a");
+        samples.add("ab");
+        samples.add("abcdefg");          // 7 bytes (full tail)
+        samples.add("abcdefgh");         // 8 bytes (one block)
+        samples.add("abcdefghi");        // 9
+        samples.add("0123456789abcdef"); // 16
+        samples.add("0123456789abcdef0");// 17
+        samples.add("café üß 中文");
+        samples.add("def foo(x):\n    return x + 1\n");
+        List<Long> hashes = new ArrayList<>();
+        for (String s : samples) hashes.add(MurmurHash.hash64(s));
+        w.println("  \"hash64_strings\": " + GoldenDump.strs(samples) + ",");
+        w.println("  \"hash64_values\": " + longs(hashes) + ",");
+
+        // --- encodeHash(hash, 18, 25) for those + adversarial bit patterns ---
+        Method enc = HyperLogLogPlus.class.getDeclaredMethod(
+                "encodeHash", long.class, int.class, int.class);
+        enc.setAccessible(true);
+        List<Long> encIn = new ArrayList<>(hashes);
+        long[] special = {0L, -1L, 1L, Long.MIN_VALUE, Long.MAX_VALUE,
+                0x0000004000000000L, 0x0000003FFFFFFFFFL,
+                0xFFFFFFC000000000L, 0x0000000000000001L,
+                0x7F00000000000000L, 0x0000007F00000000L};
+        for (long x : special) encIn.add(x);
+        java.util.Random rnd = new java.util.Random(12345);
+        for (int i = 0; i < 200; i++) encIn.add(rnd.nextLong());
+        // crafted flag=1 cases: zero the (sp-p)=7 bits below the top p,
+        // so the rho-bearing encoding branch is exercised densely
+        for (int i = 0; i < 100; i++) encIn.add(rnd.nextLong() & ~(0x7FL << 39));
+        List<Integer> encOut = new ArrayList<>();
+        for (long x : encIn) encOut.add((Integer) enc.invoke(null, x, 18, 25));
+        w.println("  \"encode_in\": " + longs(encIn) + ",");
+        w.println("  \"encode_out\": " + ints(encOut) + ",");
+
+        // --- cardinality checkpoints across sparse -> normal ---
+        HyperLogLogPlus probe = new HyperLogLogPlus(18, 25);
+        Field thF = HyperLogLogPlus.class.getDeclaredField("sparseSetThreshold");
+        thF.setAccessible(true);
+        int sparseThreshold = thF.getInt(probe);
+        w.println("  \"sparse_set_threshold\": " + sparseThreshold + ",");
+        int[] checkpoints = {0, 1, 2, 3, 10, 100, 1000, 5000, 20000, 60000,
+                150000, sparseThreshold - 5, sparseThreshold + 100,
+                sparseThreshold + 5000, 400000, 700000};
+        HyperLogLogPlus hll = new HyperLogLogPlus(18, 25);
+        List<Integer> cpSizes = new ArrayList<>();
+        List<Long> cpCards = new ArrayList<>();
+        int fed = 0;
+        for (int target : checkpoints) {
+            while (fed < target) { hll.offer("item-" + fed); fed++; }
+            cpSizes.add(target);
+            cpCards.add(hll.cardinality());
+        }
+        w.println("  \"checkpoint_sizes\": " + ints(cpSizes) + ",");
+        w.println("  \"checkpoint_cards\": " + longs(cpCards) + ",");
+
+        // duplicates must not move the estimate
+        HyperLogLogPlus dup = new HyperLogLogPlus(18, 25);
+        for (int i = 0; i < 1000; i++) dup.offer("item-" + (i % 100));
+        w.println("  \"dup_card_100_of_1000\": " + dup.cardinality() + ",");
+
+        // --- merge cases (sparse+sparse, disjoint and overlapping) ---
+        HyperLogLogPlus a = new HyperLogLogPlus(18, 25);
+        HyperLogLogPlus b = new HyperLogLogPlus(18, 25);
+        for (int i = 0; i < 3000; i++) a.offer("item-" + i);
+        for (int i = 2000; i < 6000; i++) b.offer("item-" + i);
+        w.println("  \"merge_sparse_card\": "
+                + ((HyperLogLogPlus) a.merge(b)).cardinality() + ",");
+
+        // --- bias tables for p=18 (public Heule et al. appendix data,
+        //     embedded in the class; dumped so Python needn't carry it) ---
+        Field th = HyperLogLogPlus.class.getDeclaredField("thresholdData");
+        th.setAccessible(true);
+        double[] thData = (double[]) th.get(null);
+        Field re = HyperLogLogPlus.class.getDeclaredField("rawEstimateData");
+        re.setAccessible(true);
+        double[][] reData = (double[][]) re.get(null);
+        Field bi = HyperLogLogPlus.class.getDeclaredField("biasData");
+        bi.setAccessible(true);
+        double[][] biData = (double[][]) bi.get(null);
+        w.println("  \"threshold_p18\": " + thData[18 - 4] + ",");
+        w.println("  \"raw_estimate_p18\": " + doubles(reData[18 - 4]) + ",");
+        w.println("  \"bias_p18\": " + doubles(biData[18 - 4]));
+        w.println("}");
+        w.close();
+        System.out.println("hll.json written; sparseSetThreshold=" + sparseThreshold);
+    }
+}

@@ -66,8 +66,19 @@ def _kernel_work(args):
     from lazo_spark.config import LazoConfig
     from lazo_spark.operators.sketch import compute_sketches
 
-    t = pq.read_table(path, columns=["repo", "path", "commit", "content"])
-    sl = t.slice(lo, hi - lo).to_pandas()
+    # read only the row groups overlapping [lo, hi) — reading the whole
+    # file per chunk task inflated kernel-leg I/O 32x (ADVICE r1)
+    pf = pq.ParquetFile(path)
+    offs, g_start, groups = 0, None, []
+    for i in range(pf.num_row_groups):
+        n = pf.metadata.row_group(i).num_rows
+        if offs + n > lo and offs < hi:
+            if g_start is None:
+                g_start = offs
+            groups.append(i)
+        offs += n
+    t = pf.read_row_groups(groups, columns=["repo", "path", "commit", "content"])
+    sl = t.slice(lo - g_start, hi - lo).to_pandas()
     cfg = LazoConfig(jcx_threshold=0.8)
     keys = (sl["repo"] + ":" + sl["path"] + "@" + sl["commit"]).tolist()
     n = 0
