@@ -97,6 +97,9 @@ def flagship_and_index_bench(cpus: int, sf: float, with_index_bench: bool) -> di
     spark = get_spark(
         f"bench-local{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(8, cpus),
+        # small scan splits: the sketch stage is CPU-bound, and the 10k
+        # zstd corpus is ONE 128m partition otherwise (one busy worker)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -251,7 +254,10 @@ def main() -> None:
 
     from lazo_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     timings = run_queries(spark, sf_dir)

@@ -53,6 +53,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="candidate-restricted exact verification before clustering (P8)",
     )
     p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
+    p.add_argument(
+        "--max-partition-bytes", default="1m",
+        help="scan split size (spark.sql.files.maxPartitionBytes).  The "
+        "sketch stage is CPU-bound relative to the scan, so splits must "
+        "be small enough that every core gets work: the default 128m "
+        "puts a 10k-file zstd corpus in ONE partition and serializes "
+        "the whole sketch stage onto one worker.  On a large cluster "
+        "with TB inputs, raise this back toward 128m.",
+    )
     p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
     p.add_argument(
@@ -66,6 +75,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> dict:
     args = build_arg_parser().parse_args(argv)
 
+    import os
+
+    # glibc tuning before the JVM (and its Python workers) spawn — see
+    # lazo_spark/session.py for the measured overcommitted-VM rationale
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -75,6 +91,7 @@ def main(argv: list[str] | None = None) -> dict:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", args.max_partition_bytes)
         .getOrCreate()
     )
 

@@ -167,6 +167,46 @@ def _gram_table(
     return gram_tok0, gram_ntok
 
 
+_ARENA: dict[str, np.ndarray] = {}
+
+
+def _buf(name: str, size: int, dtype) -> np.ndarray:
+    """Worker-lifetime buffer arena.  This box (and overcommitted VMs in
+    general) pays catastrophic first-touch page-fault latency on fresh
+    large allocations, and glibc returns >128KB blocks to the OS on free
+    — so the hot path reuses named buffers instead of reallocating per
+    Arrow batch (measured 5-10x on the sketch stage)."""
+    arr = _ARENA.get(name)
+    if arr is None or arr.size < size or arr.dtype != np.dtype(dtype):
+        _ARENA[name] = arr = np.empty(int(size * 1.25) + 16, dtype=dtype)
+    return arr[:size]
+
+
+def _segment_gather(
+    seg_src: np.ndarray, seg_len: np.ndarray, data_ext: np.ndarray,
+    out_name: str,
+) -> np.ndarray:
+    """Concatenate data_ext[seg_src[i] : seg_src[i]+seg_len[i]] for all
+    segments into one reused buffer, via a delta/cumsum index (no
+    np.repeat, no fresh int64 temporaries).  Positions fit int32 per
+    Arrow batch (<2 GiB)."""
+    total = int(seg_len.sum())
+    delta = _buf("sg_delta", total, np.int32)
+    delta.fill(1)
+    seg_out0 = _buf("sg_out0", len(seg_len), np.int64)
+    np.cumsum(seg_len, out=seg_out0)
+    bpos = seg_out0[:-1]  # start offsets of segments 1..S-1
+    delta[bpos] = (
+        seg_src[1:] - (seg_src[:-1] + seg_len[:-1]) + 1
+    ).astype(np.int32)
+    delta[0] = np.int32(seg_src[0])
+    idx = _buf("sg_idx", total, np.int32)
+    np.cumsum(delta, out=idx)
+    out = _buf(out_name, total, np.uint8)
+    np.take(data_ext, idx, out=out)
+    return out
+
+
 def _pack_grams(
     data_ext: np.ndarray,
     tok_start: np.ndarray,
@@ -176,31 +216,61 @@ def _pack_grams(
     space_pos: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Gather gram bytes ("tok tok tok", single spaces) into the padded
-    [G, W] uint8 matrix + length vector murmur3_x64_128_h1 expects."""
+    [G, W] uint8 matrix + length vector murmur3_x64_128_h1 expects.
+    All large temporaries live in the reused arena (see _buf)."""
     g = len(gram_tok0)
     cs = np.concatenate(([0], np.cumsum(tok_len)))
     gram_len = cs[gram_tok0 + gram_ntok] - cs[gram_tok0] + gram_ntok - 1
     width = 16 * (int(gram_len.max()) // 16 + 1) if g else 16
-    # segments: token, space, token, ..., token  (2*ntok - 1 per gram)
-    n_segs = 2 * gram_ntok - 1
-    seg_gram = np.repeat(np.arange(g), n_segs)
-    seg_off = np.concatenate(([0], np.cumsum(n_segs)))
-    j_local = np.arange(len(seg_gram)) - seg_off[seg_gram]
-    is_tok = (j_local & 1) == 0
-    tok_idx = gram_tok0[seg_gram] + (j_local >> 1)
-    seg_len = np.where(is_tok, tok_len[tok_idx], 1)
-    seg_src = np.where(is_tok, tok_start[tok_idx], space_pos)
-    total = int(seg_len.sum())
-    seg_out0 = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
-    idx = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(seg_out0, seg_len)
-        + np.repeat(seg_src, seg_len)
-    )
-    flat = data_ext[idx]
-    mat = np.zeros((g, width), dtype=np.uint8)
-    mat[np.arange(width)[None, :] < gram_len[:, None]] = flat
-    return mat, gram_len
+
+    # segment tables (token, space, token, ..., token = 2*ntok-1 per
+    # gram).  The common case is uniform ntok == n: build columnwise into
+    # an [G, 2n-1] arena matrix (n column writes, no repeat/expansion);
+    # the rare ragged grams (docs with < n tokens) fall back to a tiny
+    # generic build.
+    uniform = gram_ntok.max() == gram_ntok.min() if g else True
+    if uniform:
+        n = int(gram_ntok[0])
+        s_cols = 2 * n - 1
+        seg_len = _buf("pg_seglen", g * s_cols, np.int32).reshape(g, s_cols)
+        seg_src = _buf("pg_segsrc", g * s_cols, np.int32).reshape(g, s_cols)
+        seg_len[:, 1::2] = 1
+        seg_src[:, 1::2] = space_pos
+        for j in range(n):
+            seg_len[:, 2 * j] = tok_len[gram_tok0 + j]
+            seg_src[:, 2 * j] = tok_start[gram_tok0 + j]
+        seg_len = seg_len.reshape(-1)
+        seg_src = seg_src.reshape(-1)
+    else:
+        n_segs = 2 * gram_ntok - 1
+        seg_gram = np.repeat(np.arange(g), n_segs)
+        seg_off = np.concatenate(([0], np.cumsum(n_segs)))
+        j_local = np.arange(len(seg_gram)) - seg_off[seg_gram]
+        is_tok = (j_local & 1) == 0
+        tok_idx = gram_tok0[seg_gram] + (j_local >> 1)
+        seg_len = np.where(is_tok, tok_len[tok_idx], 1).astype(np.int32)
+        seg_src = np.where(is_tok, tok_start[tok_idx], space_pos).astype(np.int32)
+
+    flat = _segment_gather(seg_src, seg_len, data_ext, "pg_flat")
+
+    # scatter the concatenated gram bytes into the zeroed padded matrix:
+    # same delta/cumsum index over (row-start, row-length) "segments"
+    mat_flat = _buf("pg_mat", g * width, np.uint8)
+    mat_flat.fill(0)
+    row0 = _buf("pg_row0", g, np.int32)
+    np.multiply(np.arange(g, dtype=np.int32), np.int32(width), out=row0)
+    total = len(flat)
+    delta = _buf("sg_delta2", total, np.int32)
+    delta.fill(1)
+    out0 = _buf("sg_out02", g, np.int64)
+    np.cumsum(gram_len, out=out0)
+    bpos = out0[:-1]
+    delta[bpos] = (row0[1:] - (row0[:-1] + gram_len[:-1]) + 1).astype(np.int32)
+    delta[0] = np.int32(row0[0])
+    out_idx = _buf("sg_oidx", total, np.int32)
+    np.cumsum(delta, out=out_idx)
+    mat_flat[out_idx] = flat
+    return mat_flat.reshape(g, width), gram_len
 
 
 def shingle_hashes(
@@ -234,6 +304,11 @@ def shingle_hashes(
     contents = list(contents)
     n_docs = len(contents)
     data, doc_off = _utf8_arrow_buffer(contents)
+    if len(data) >= 2**31 - 64:
+        # int32 gather indices bound one batch to <2 GiB of UTF-8; Arrow
+        # batch sizing (spark.sql.execution.arrow.maxRecordsPerBatch)
+        # keeps real batches far below this
+        raise ValueError("shingle_hashes: batch exceeds 2 GiB of text")
     tok_start, tok_end, tok_doc = _token_spans(data, doc_off)
     gram_tok0, gram_ntok = _gram_table(tok_doc, n_docs, n)
     g = len(gram_tok0)

@@ -22,6 +22,15 @@ def get_spark(
     - AQE on: runtime coalescing + skew-join splitting complement the
       explicit hot-bucket salting in the LSH join.
     """
+    # glibc tuning for the NumPy hot path: keep large buffers on the brk
+    # heap instead of mmap-per-allocation, and never trim back to the OS.
+    # On memory-overcommitted VMs the first touch of freshly mmapped pages
+    # costs ~100x normal (measured: np.arange(4M) at 5s vs 5ms), and glibc
+    # returns every >128KB block on free — so each Arrow batch would
+    # re-fault its working set.  Must be set before the JVM forks Python
+    # workers (they inherit this environment).
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":

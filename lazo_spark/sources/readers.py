@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
-    """Iceberg table name (contains no '/') or parquet path."""
+    """``iceberg:<table>`` (explicit, supports snapshot options via
+    sources/iceberg.py), a bare table name (no '/'), or a parquet path."""
+    if name_or_path.startswith("iceberg:"):
+        from .iceberg import read_corpus
+
+        return read_corpus(spark, name_or_path)
     if "/" not in name_or_path:
         return spark.table(name_or_path)
     return spark.read.parquet(name_or_path)

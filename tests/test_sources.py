@@ -76,3 +76,20 @@ def test_fuzzy_candidates_smoke(spark):
     out = fuzzy_candidates(df, LazoConfig(), n=3)
     got = {tuple(sorted([r.key_x, r.key_y])): r.m for r in out.collect()}
     assert ("a", "b") in got
+
+
+def test_read_corpus_parquet_and_iceberg_gate(spark, tmp_path):
+    from lazo_spark.sources.iceberg import iceberg_available, read_corpus
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "x = 1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p = str(tmp_path / "corpus.parquet")
+    df.write.parquet(p)
+    assert read_corpus(spark, p).count() == 1
+    if not iceberg_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+            read_corpus(spark, "iceberg:db.tbl")
