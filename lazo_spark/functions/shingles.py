@@ -95,20 +95,36 @@ _WS_LOOKUP = np.zeros(256, dtype=bool)
 for _b in _ASCII_WS.encode():
     _WS_LOOKUP[_b] = True
 
-# chunk budget for the padded gram-byte matrix (cells = bytes)
-_GRAM_CHUNK_CELLS = 16_000_000
+# chunk budget for the padded gram-byte matrix (cells = bytes); small
+# enough that the arena working set (~8x this in index/delta buffers)
+# stays modest per worker
+_GRAM_CHUNK_CELLS = 4_000_000
 
 
 def _utf8_arrow_buffer(contents) -> tuple[np.ndarray, np.ndarray]:
-    """contents (list/Series of str|None) -> (uint8 data, int64 doc
-    offsets) over one contiguous UTF-8 buffer (zero-copy from Arrow)."""
+    """contents (pyarrow string Array, or list/Series of str|None) ->
+    (uint8 data, int64 doc offsets) over one contiguous UTF-8 buffer
+    (zero-copy from Arrow; int32 `string` offsets are widened)."""
     import pyarrow as pa
 
-    arr = pa.array(contents, type=pa.large_string())
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    if isinstance(contents, pa.Array):
+        arr = contents
+        if pa.types.is_large_string(arr.type):
+            off_dtype = np.int64
+        elif pa.types.is_string(arr.type):
+            off_dtype = np.int32
+        else:
+            arr = arr.cast(pa.large_string())
+            off_dtype = np.int64
+    else:
+        arr = pa.array(contents, type=pa.large_string())
+        off_dtype = np.int64
     off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
-    doc_off = np.frombuffer(off_buf, dtype=np.int64)[
+    doc_off = np.frombuffer(off_buf, dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
-    ]
+    ].astype(np.int64, copy=False)
     data = (
         np.frombuffer(data_buf, dtype=np.uint8)
         if data_buf is not None
@@ -294,6 +310,13 @@ def shingle_hashes(
     elif mode.startswith("token_ngram"):
         n = int(mode.split(":")[1]) if ":" in mode else 3
     else:
+        try:  # scalar fallback modes need python strings
+            import pyarrow as pa
+
+            if isinstance(contents, (pa.Array, pa.ChunkedArray)):
+                contents = contents.to_pylist()
+        except ImportError:
+            pass
         flat, offsets = shingle_batch(contents, mode)
         offsets = np.asarray(offsets, dtype=np.int64)
         h1 = murmur3_str(flat, seed)
@@ -301,7 +324,6 @@ def shingle_hashes(
             return h1, offsets, murmur64a_str(flat)
         return h1, offsets
 
-    contents = list(contents)
     n_docs = len(contents)
     data, doc_off = _utf8_arrow_buffer(contents)
     if len(data) >= 2**31 - 64:

@@ -23,8 +23,9 @@ import numpy as np
 from .javacompat import MERSENNE_PRIME, minhash_permutations
 
 LONG_MAX = np.int64(np.iinfo(np.int64).max)
-# chunk budget: keep the [M, k] permutation matrix under ~64 MB
-_CHUNK_CELLS = 8_000_000
+# chunk budget: keep the [M, k] permutation matrix small enough that the
+# reused arena buffer stays cache/page-friendly (16 MB at int64)
+_CHUNK_CELLS = 2_000_000
 
 _PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
@@ -55,7 +56,12 @@ def minhash_sigs(
     nonempty = np.flatnonzero(counts > 0)
     if len(nonempty) == 0:
         return out
-    # process rows in chunks bounded by _CHUNK_CELLS permuted values
+    # process rows in chunks bounded by _CHUNK_CELLS permuted values;
+    # the [M, k] phi matrix lives in the reused arena (fresh per-chunk
+    # temporaries page-fault at ~6 MB/s on cold worker heaps — see
+    # shingles._buf)
+    from .shingles import _buf
+
     rows_per_chunk = max(1, _CHUNK_CELLS // (k * max(1, int(counts.max()))))
     p = np.int64(MERSENNE_PRIME)
     with np.errstate(over="ignore"):
@@ -67,7 +73,10 @@ def minhash_sigs(
             # (in-place % measured faster than float-quotient or Mersenne
             # folding variants — those add 5-8 memory passes of temporaries
             # which cost more than the division saves)
-            phi = a[None, :] * h[:, None] + b[None, :]
+            m = len(h)
+            phi = _buf("mh_phi", m * k, np.int64).reshape(m, k)
+            np.multiply(a[None, :], h[:, None], out=phi)
+            phi += b[None, :]
             phi %= p
             local_off = (offsets[rows] - lo).astype(np.intp)
             mins = np.minimum.reduceat(phi, local_off, axis=0)

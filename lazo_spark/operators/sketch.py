@@ -94,17 +94,81 @@ def sketch_stage(
     """df(key, sha, content) -> df(key, sha, cardinality, signature,
     band_hashes, simhash).  Narrow (no shuffle): runs where the scan runs.
     Rows with empty shingle sets are dropped, mirroring the reference's
-    null/empty-column skip (LazoBenchmark.java:222-228)."""
+    null/empty-column skip (LazoBenchmark.java:222-228).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = compute_sketches(
-                pdf[key_col].tolist(), pdf[sha_col].tolist(),
-                pdf[content_col].tolist(), config,
+    Arrow-native (mapInArrow): content bytes flow straight from the
+    Arrow batch buffer into the byte-level tokenizer, and signatures /
+    band hashes come back as Arrow list arrays built from flat NumPy —
+    no pandas materialization, no per-row Python list objects (the
+    mapInPandas version spent more time boxing 64-element signature
+    lists than sketching)."""
+    import pyarrow as pa
+
+    from ..functions.hll import hll_cardinalities_ragged
+    from ..functions.shingles import shingle_hashes
+    from ..functions.sketch_kernels import (
+        minhash_sigs as _mh, oph_densify as _od, oph_raw_sigs as _or,
+        simhash64 as _sh,
+    )
+
+    use_hll = config.cardinality == "hll"
+
+    def run(batches):
+        for batch in batches:
+            keys = batch.column(0)
+            shas = batch.column(1)
+            contents = batch.column(2)
+            if use_hll:
+                h, offsets, h64 = shingle_hashes(
+                    contents, config.shingle_mode, config.seed, with_h64=True
+                )
+                cards = hll_cardinalities_ragged(h64, offsets)
+            else:
+                h, offsets = shingle_hashes(
+                    contents, config.shingle_mode, config.seed
+                )
+                cards = np.diff(offsets)
+            if config.sketch_type == "minhash":
+                sigs = _mh(h, offsets, config.k, config.seed)
+            elif config.sketch_type == "oph":
+                sigs = _od(_or(h, offsets, config.k), config.k, config.seed)
+            else:
+                raise ValueError(f"unknown sketch_type {config.sketch_type}")
+            bands = band_hashes_r1(sigs)
+            sims = (
+                _sh(h, offsets)
+                if config.simhash
+                else np.zeros(len(cards), dtype=np.int64)
             )
-            yield out[out["cardinality"] > 0]
+            n, k = sigs.shape
+            sig_col = pa.ListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int32) * np.int32(k),
+                pa.array(sigs.reshape(-1), type=pa.int64()),
+            )
+            band_col = pa.ListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int32) * np.int32(k),
+                pa.array(bands.reshape(-1), type=pa.int32()),
+            )
+            out = pa.RecordBatch.from_arrays(
+                [
+                    keys, shas,
+                    pa.array(np.asarray(cards, dtype=np.int64)),
+                    sig_col, band_col,
+                    pa.array(sims),
+                ],
+                names=[
+                    "key", "sha", "cardinality", "signature",
+                    "band_hashes", "simhash",
+                ],
+            )
+            nonempty = np.asarray(cards) > 0
+            if not nonempty.all():
+                out = out.filter(pa.array(nonempty))
+            yield out
 
-    return df.select(key_col, sha_col, content_col).mapInPandas(run, SKETCH_SCHEMA)
+    return df.select(key_col, sha_col, content_col).mapInArrow(
+        run, SKETCH_SCHEMA
+    )
 
 
 def sketch_stage_with_errors(

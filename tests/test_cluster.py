@@ -7,41 +7,50 @@ labels on long chains (the regression this file pins down).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from lazo_spark.operators.cluster import connected_components
 
+# every graph-shape case runs through BOTH strategies: the driver-side
+# union-find fast path (small graphs) and the distributed
+# pointer-jumping loop (threshold 0 forces it) — identical output is
+# part of the contract
+pytestmark = pytest.mark.parametrize("threshold", [2_000_000, 0])
 
-def _clusters(spark, edge_list):
+
+def _clusters(spark, edge_list, threshold):
     edges = spark.createDataFrame(edge_list, "key_x long, key_y long")
-    return connected_components(edges).toPandas()
+    return connected_components(
+        edges, small_graph_threshold=threshold
+    ).toPandas()
 
 
-def test_long_chain_single_component(spark):
+def test_long_chain_single_component(spark, threshold):
     """A 200-node path (version-graduated files) is ONE cluster with the
     min key as label — requires O(log n) convergence, not O(n)."""
-    out = _clusters(spark, [(i, i + 1) for i in range(200)])
+    out = _clusters(spark, [(i, i + 1) for i in range(200)], threshold)
     assert out["cluster"].nunique() == 1
     assert set(out["cluster"]) == {0}
     assert len(out) == 201
 
 
-def test_two_components_and_labels(spark):
-    out = _clusters(spark, [(1, 2), (2, 3), (10, 11)])
+def test_two_components_and_labels(spark, threshold):
+    out = _clusters(spark, [(1, 2), (2, 3), (10, 11)], threshold)
     got = dict(zip(out["key"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_star_and_clique(spark):
+def test_star_and_clique(spark, threshold):
     star = [(0, i) for i in range(1, 30)]
     clique = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
-    out = _clusters(spark, star + clique)
+    out = _clusters(spark, star + clique, threshold)
     got = out.groupby("cluster")["key"].count().to_dict()
     assert got == {0: 30, 100: 8}
 
 
-def test_string_keys(spark):
+def test_string_keys(spark, threshold):
     edges = spark.createDataFrame(
         [("b", "c"), ("a", "b")], "key_x string, key_y string"
     )
-    out = connected_components(edges).toPandas()
+    out = connected_components(edges, small_graph_threshold=threshold).toPandas()
     assert set(out["cluster"]) == {"a"}
