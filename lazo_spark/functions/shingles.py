@@ -130,6 +130,12 @@ def _utf8_arrow_buffer(contents) -> tuple[np.ndarray, np.ndarray]:
         if data_buf is not None
         else np.zeros(0, dtype=np.uint8)
     )
+    # a SLICED Arrow array shares the full value buffer: trim to this
+    # slice's byte range and rebase, or foreign rows' bytes would be
+    # tokenized into the first/last documents
+    if len(doc_off) and (doc_off[0] != 0 or doc_off[-1] != len(data)):
+        data = data[doc_off[0] : doc_off[-1]]
+        doc_off = doc_off - doc_off[0]
     return data, doc_off
 
 

@@ -112,59 +112,66 @@ def sketch_stage(
     )
 
     use_hll = config.cardinality == "hll"
+    # process bounded slices: keeps every arena buffer (functions/
+    # shingles._buf) at a fixed, warmup-reachable size regardless of the
+    # incoming Arrow batch size — a fresh worker's FIRST full-size batch
+    # otherwise re-grows the arena through the slow first-touch path
+    slice_rows = 1024
 
     def run(batches):
-        for batch in batches:
-            keys = batch.column(0)
-            shas = batch.column(1)
-            contents = batch.column(2)
-            if use_hll:
-                h, offsets, h64 = shingle_hashes(
-                    contents, config.shingle_mode, config.seed, with_h64=True
+        for full in batches:
+            for s0 in range(0, full.num_rows, slice_rows):
+                batch = full.slice(s0, slice_rows)
+                keys = batch.column(0)
+                shas = batch.column(1)
+                contents = batch.column(2)
+                if use_hll:
+                    h, offsets, h64 = shingle_hashes(
+                        contents, config.shingle_mode, config.seed, with_h64=True
+                    )
+                    cards = hll_cardinalities_ragged(h64, offsets)
+                else:
+                    h, offsets = shingle_hashes(
+                        contents, config.shingle_mode, config.seed
+                    )
+                    cards = np.diff(offsets)
+                if config.sketch_type == "minhash":
+                    sigs = _mh(h, offsets, config.k, config.seed)
+                elif config.sketch_type == "oph":
+                    sigs = _od(_or(h, offsets, config.k), config.k, config.seed)
+                else:
+                    raise ValueError(f"unknown sketch_type {config.sketch_type}")
+                bands = band_hashes_r1(sigs)
+                sims = (
+                    _sh(h, offsets)
+                    if config.simhash
+                    else np.zeros(len(cards), dtype=np.int64)
                 )
-                cards = hll_cardinalities_ragged(h64, offsets)
-            else:
-                h, offsets = shingle_hashes(
-                    contents, config.shingle_mode, config.seed
+                n, k = sigs.shape
+                sig_col = pa.ListArray.from_arrays(
+                    np.arange(n + 1, dtype=np.int32) * np.int32(k),
+                    pa.array(sigs.reshape(-1), type=pa.int64()),
                 )
-                cards = np.diff(offsets)
-            if config.sketch_type == "minhash":
-                sigs = _mh(h, offsets, config.k, config.seed)
-            elif config.sketch_type == "oph":
-                sigs = _od(_or(h, offsets, config.k), config.k, config.seed)
-            else:
-                raise ValueError(f"unknown sketch_type {config.sketch_type}")
-            bands = band_hashes_r1(sigs)
-            sims = (
-                _sh(h, offsets)
-                if config.simhash
-                else np.zeros(len(cards), dtype=np.int64)
-            )
-            n, k = sigs.shape
-            sig_col = pa.ListArray.from_arrays(
-                np.arange(n + 1, dtype=np.int32) * np.int32(k),
-                pa.array(sigs.reshape(-1), type=pa.int64()),
-            )
-            band_col = pa.ListArray.from_arrays(
-                np.arange(n + 1, dtype=np.int32) * np.int32(k),
-                pa.array(bands.reshape(-1), type=pa.int32()),
-            )
-            out = pa.RecordBatch.from_arrays(
-                [
-                    keys, shas,
-                    pa.array(np.asarray(cards, dtype=np.int64)),
-                    sig_col, band_col,
-                    pa.array(sims),
-                ],
-                names=[
-                    "key", "sha", "cardinality", "signature",
-                    "band_hashes", "simhash",
-                ],
-            )
-            nonempty = np.asarray(cards) > 0
-            if not nonempty.all():
-                out = out.filter(pa.array(nonempty))
-            yield out
+                band_col = pa.ListArray.from_arrays(
+                    np.arange(n + 1, dtype=np.int32) * np.int32(k),
+                    pa.array(bands.reshape(-1), type=pa.int32()),
+                )
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        keys, shas,
+                        pa.array(np.asarray(cards, dtype=np.int64)),
+                        sig_col, band_col,
+                        pa.array(sims),
+                    ],
+                    names=[
+                        "key", "sha", "cardinality", "signature",
+                        "band_hashes", "simhash",
+                    ],
+                )
+                nonempty = np.asarray(cards) > 0
+                if not nonempty.all():
+                    out = out.filter(pa.array(nonempty))
+                yield out
 
     return df.select(key_col, sha_col, content_col).mapInArrow(
         run, SKETCH_SCHEMA

@@ -86,7 +86,7 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         # not the dataflow.  Steady-state is what amortizes at fleet
         # scale, where executors are long-lived.
         warm_sk, _ = sketch_and_collapse(
-            with_key_and_sha(src.limit(64 * cpus).repartition(cpus)), cfg
+            with_key_and_sha(src.limit(1024 * cpus).repartition(cpus)), cfg
         )
         warm_sk = warm_sk.persist(StorageLevel.MEMORY_AND_DISK)
         lazo_pairs(warm_sk, cfg, salt=True).count()
