@@ -118,6 +118,7 @@ def candidate_pairs(
     salt: bool = False,
     max_pos: int | None = None,
     row_filter=None,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
@@ -166,6 +167,10 @@ def candidate_pairs(
         F.first("card_x").alias("card_x"),
         F.first("card_y").alias("card_y"),
     )
+    if hashed_keys:
+        # caller estimates on the hashed pairs and joins keys back itself
+        # (the estimate-before-join-back plan: see lazo_pairs)
+        return pairs
     lookup = sketches.select(F.xxhash64("key").alias("kh"), "key")
     with_keys = pairs.join(
         lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
@@ -200,9 +205,13 @@ def estimate_candidates(
     corrections_acc=None,
     engine: str = "sql",
     metrics_acc: dict | None = None,
+    key_cols: tuple[str, str] = ("key_x", "key_y"),
 ) -> DataFrame:
     """Assign sweep thresholds from min_pos, run the float32 estimation +
-    ECH correction, and apply the final filter.
+    ECH correction, and apply the final filter.  key_cols names the pair
+    identity columns to carry through (string keys by default; the
+    flagship plan estimates on xxhash64 pair ids before the key
+    join-back).
 
     metrics_acc: optional dict of Spark accumulators (keys corrections,
     js_impactful, jcx_impactful, magnitude) filled with the reference's
@@ -246,7 +255,7 @@ def estimate_candidates(
                 )
         return (
             pairs.select(
-                "key_x", "key_y",
+                key_cols[0], key_cols[1],
                 rx.js.alias("js"), rx.jcx.alias("jcx"), rx.jcy.alias("jcy"),
                 th.alias("th"), F.col("min_pos"),
                 rx.corrected.alias("corrected"),
@@ -355,12 +364,47 @@ def lazo_pairs(
                 )
             )
 
-    pairs = candidate_pairs(
-        sketches, config, salt=salt, max_pos=max_pos, row_filter=prefilter
-    )
     # NOTE: the row prefilter keeps either-direction passers — a superset
     # of any single direction, so the pushdown stays lossless for
     # direction='x'/'y' too (just slightly weaker pruning)
+    if engine == "sql" and direction == "either":
+        # estimate-BEFORE-join-back plan: run the (huge) estimation trees
+        # on the hashed pair ids straight out of the pair aggregation,
+        # and join string keys back only for PASSING pairs.  Two wins:
+        # (a) the key join-back stage no longer fuses with the estimate
+        # projection, which kept the combined whole-stage method past
+        # janino's 64 KB limit (silent fall-back to interpreted eval on
+        # the hottest stage); (b) at scale only survivors are joined.
+        # Estimates are direction-mirrored on the canonical swap below
+        # (jcx(a,b) == jcy(b,a); js/th/corrected symmetric — tested).
+        hp = candidate_pairs(
+            sketches, config, salt=salt, max_pos=max_pos,
+            row_filter=prefilter, hashed_keys=True,
+        )
+        est = estimate_candidates(
+            hp, config, js_threshold, jcx_threshold, direction="either",
+            engine="sql", key_cols=("kh_x", "kh_y"),
+        )
+        lookup = sketches.select(F.xxhash64("key").alias("kh"), "key")
+        with_keys = est.join(
+            lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
+            "kh_x",
+        ).join(
+            lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky"),
+            "kh_y",
+        )
+        x_first = F.col("kx") < F.col("ky")
+        return with_keys.select(
+            F.least("kx", "ky").alias("key_x"),
+            F.greatest("kx", "ky").alias("key_y"),
+            "js",
+            F.when(x_first, F.col("jcx")).otherwise(F.col("jcy")).alias("jcx"),
+            F.when(x_first, F.col("jcy")).otherwise(F.col("jcx")).alias("jcy"),
+            "th", "min_pos", "corrected",
+        )
+    pairs = candidate_pairs(
+        sketches, config, salt=salt, max_pos=max_pos, row_filter=prefilter
+    )
     return estimate_candidates(
         pairs, config, js_threshold, jcx_threshold, direction=direction,
         corrections_acc=corrections_acc, engine=engine,
