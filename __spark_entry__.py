@@ -451,6 +451,24 @@ def q_fuzzy_theta(spark, sf_dir):
     return out.select("key_x", "key_y", F.round("m", 6).alias("m"))
 
 
+def q_top_terms_per_lang(spark, sf_dir):
+    """Per-language top-5 terms: explode -> grouped count -> window rank
+    (the tf side of tf-idf; relational coverage: explode + agg + rank)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "n", "rnk")
+    )
+
+
 def q_single_col_js(spark, sf_dir):
     """P2 parity: column-file inputs -> single-column SIMILARITY mode
     (LazoBenchmarkSingleCol.java:174-226): one value per line per file,
@@ -593,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_totals": q_nation_order_totals,
         "ann_topk_lsh": q_ann_topk_lsh,
         "fuzzy_theta": q_fuzzy_theta,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "single_col_js": q_single_col_js,
         "column_sets": q_column_sets,
         "merged_lang_sketches": q_merged_lang_sketches,
@@ -757,6 +776,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event
             FROM t GROUP BY 1, 2
+        """,
+        "top_terms_per_lang": """
+            WITH t AS (
+              SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents),
+            c AS (
+              SELECT lang, tok, COUNT(*) AS n FROM t
+              WHERE len(tok) >= 3 GROUP BY 1, 2),
+            r AS (
+              SELECT lang, tok, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, tok ASC
+                     )::BIGINT AS rnk
+              FROM c)
+            SELECT lang, tok, n, rnk FROM r WHERE rnk <= 5
         """,
         "doc_length_histogram": """
             SELECT floor(n_chars / 100)::BIGINT AS bucket, COUNT(*) AS n_docs

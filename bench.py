@@ -343,6 +343,18 @@ def main() -> None:
     out["queries"] = timings
     out["value"] = total
 
+    # 4. sketch-speed kernel comparison (reference SketchSpeed.java:42-50
+    # analogue: MinHash vs OPH at fixed cardinality/sketch count) — a few
+    # seconds, only if budget remains
+    if _left() > 30:
+        try:
+            from tools.bench_kernels import run_python
+
+            out["sketch_speed"] = run_python(card=10_000, sketches=200, k=64)
+            _partial["sketch_speed"] = out["sketch_speed"]
+        except Exception as e:  # never let a diagnostic kill the emit
+            out["sketch_speed_error"] = str(e)[:200]
+
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)
 

@@ -1,0 +1,44 @@
+"""Direction-mirror property of the estimation kernel — the invariant the
+estimate-before-join-back plan (operators/lazo.py) relies on: computing
+estimates with (card_a, card_b) and relabeling mirrors computing with
+(card_b, card_a).  js/th/keep/corrected symmetric; jcx(a,b) == jcy(b,a).
+"""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lazo_spark.functions.estimation import estimate_pairs
+
+D = 0.05
+THRESH = [0.0, 0.3, 0.5, 0.8]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2_000_000),
+    st.integers(min_value=1, max_value=2_000_000),
+    st.integers(min_value=0, max_value=19),
+    st.sampled_from(THRESH),
+    st.sampled_from(THRESH),
+)
+def test_estimate_mirrors_under_swap(ca, cb, th_idx, js_t, jcx_t):
+    th = np.array([np.float32(D) * np.float32(th_idx)], dtype=np.float32)
+    a = np.array([ca], dtype=np.int64)
+    b = np.array([cb], dtype=np.int64)
+    fwd = estimate_pairs(th, a, b, D, js_t, jcx_t, ech=True)
+    rev = estimate_pairs(th, b, a, D, js_t, jcx_t, ech=True)
+    assert fwd.js[0] == rev.js[0]
+    assert fwd.jcx[0] == rev.jcy[0]
+    assert fwd.jcy[0] == rev.jcx[0]
+    # either-direction keep is symmetric: keep_fwd(x)|keep_fwd(y) where
+    # the y-direction pass IS rev's x-direction pass
+    keep_fwd_either = bool(fwd.keep[0]) or bool(
+        estimate_pairs(th, b, a, D, js_t, jcx_t, ech=True).keep[0]
+    )
+    keep_rev_either = bool(rev.keep[0]) or bool(
+        estimate_pairs(th, a, b, D, js_t, jcx_t, ech=True).keep[0]
+    )
+    assert keep_fwd_either == keep_rev_either
+    # the ECH corrected flag fires symmetrically (the x/y branch guards
+    # collapse to the same ix_up > min_c condition)
+    assert fwd.corrections == rev.corrections
