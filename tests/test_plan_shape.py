@@ -1,0 +1,102 @@
+"""Physical-plan shape regressions: the properties that make these
+plans scale are asserted, not assumed — whole-stage codegen on the hot
+stages, no cartesian products, pruned scans, pushed-down filters.
+"""
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.lazo import lazo_pairs
+from lazo_spark.operators.sketch import sketch_stage
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    rows = [(i, f"text {i} alpha beta gamma", "py", i % 3) for i in range(50)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, part long"
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _keyed(docs):
+    return docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("content"),
+    ).withColumn("sha", F.sha2("content", 256))
+
+
+def test_flagship_plan_has_no_cartesian_product(docs):
+    cfg = LazoConfig(jcx_threshold=0.8, shingle_mode="token_ngram:2")
+    plan = _plan(lazo_pairs(sketch_stage(_keyed(docs), cfg), cfg))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_plan_keeps_whole_stage_codegen(spark, docs):
+    """The band self-join + estimate stages must stay codegen'd — the
+    janino 64KB overflow silently drops them to interpreted eval (the
+    regression the estimate-before-join-back plan fixed).  AQE hides
+    codegen markers until the final plan, so it is disabled just for
+    this plan inspection."""
+    cfg = LazoConfig(jcx_threshold=0.8, shingle_mode="token_ngram:2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = lazo_pairs(sketch_stage(_keyed(docs), cfg), cfg)
+        plan = _plan(df)
+        import re
+
+        tree = plan.split("\n\n")[0]  # operator tree, before details
+        assert "* " in tree, tree  # codegen stars present at all
+        # every Project/Filter/HashAggregate in the tree must be starred:
+        # an unstarred one means janino rejected its generated method and
+        # the stage silently fell back to interpreted eval
+        unstarred = [
+            ln
+            for ln in tree.splitlines()
+            if re.search(r"\b(Project|Filter|HashAggregate) \(\d+\)", ln)
+            and "* " not in ln
+        ]
+        assert not unstarred, unstarred
+        assert df.count() >= 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sketch_scan_prunes_columns(docs):
+    """The sketch path must reach the parquet scan with only the columns
+    it needs (ReadSchema pruning) — reading `lang`/`part` for a
+    key+content pipeline would be wrong at 100 TB."""
+    plan = _plan(sketch_stage(_keyed(docs), LazoConfig()))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "text" in line and "doc_id" in line
+    assert "lang" not in line and "part" not in line
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    plan = _plan(docs.filter(F.col("doc_id") > 10).select("doc_id", "text"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(doc_id)" in plan or "GreaterThan(doc_id" in plan
+
+
+def test_small_dim_join_broadcasts(spark, docs):
+    dims = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "part long, name string"
+    )
+    plan = _plan(docs.join(dims, "part"))
+    assert "BroadcastHashJoin" in plan
