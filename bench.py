@@ -246,13 +246,14 @@ def scaling_section(out: dict) -> None:
     one_rep()
     rep_cost = time.time() - rep_t0
     reps_run = 1
-    # retry (best-of legs) when the first rep looks contended OR lands
-    # well below the calm-window value — ±2-3x co-tenant noise is
-    # routine on this box (calm best-of raw efficiency measures ~0.71;
-    # the ceiling is the shared memory bus, see normalized_efficiency)
+    # retry (best-of legs) only when the first rep looks contended or
+    # clearly noise-trashed — ±2-3x co-tenant noise is routine on this
+    # box, but the CALM raw efficiency is ~0.67-0.71 (bus-bound; see
+    # normalized_efficiency), so retrying to chase a higher raw number
+    # just burns budget
     while (
         reps_run < max_reps
-        and (contended() or current_eff() < 0.75)
+        and (contended() or current_eff() < 0.55)
         and _left() > rep_cost  # spark-only retry is cheaper than a rep
     ):
         one_rep(modes=("spark",))
