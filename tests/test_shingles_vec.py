@@ -85,3 +85,47 @@ def test_chunking_boundary_stability(monkeypatch):
         assert set(h[off[i] : off[i + 1]].tolist()) == set(
             ref_h[ref_off[i] : ref_off[i + 1]].tolist()
         )
+
+
+def test_sliced_arrow_arrays_rebase_correctly():
+    """A sliced pyarrow array shares the full value buffer — the
+    tokenizer must trim/rebase or neighboring rows' bytes leak into the
+    first/last documents of the slice (regression: sketch_stage slices
+    its input batches)."""
+    import pyarrow as pa
+
+    docs = ["alpha beta gamma", "delta epsilon", "zeta eta theta", "iota"]
+    full = pa.array(docs, type=pa.string())
+    for lo in range(len(docs)):
+        for n in range(1, len(docs) - lo + 1):
+            sl = full.slice(lo, n)
+            h, off = shingle_hashes(sl, "token_ngram:2")
+            expect = _scalar_hash_sets(docs[lo : lo + n], "token_ngram:2")
+            for i in range(n):
+                assert set(h[off[i] : off[i + 1]].tolist()) == expect[i], (
+                    f"slice({lo},{n}) row {i}"
+                )
+
+
+def test_sketch_stage_output_independent_of_partitioning(spark):
+    """Sketch output must be byte-identical however the rows are cut into
+    partitions/Arrow batches/slices (exercises the slice-rebase path with
+    many tiny batches vs few large ones)."""
+    import pyspark.sql.functions as F
+
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.operators.sketch import sketch_stage
+
+    df = spark.createDataFrame(
+        [(str(i), f"tok{i} tok{i+1} tok{i+2} shared common words") for i in range(40)],
+        "key string, content string",
+    ).withColumn("sha", F.sha2("content", 256))
+    cfg = LazoConfig(shingle_mode="token_ngram:2")
+
+    def collect(frame):
+        return {
+            r["key"]: (r["cardinality"], tuple(r["signature"]))
+            for r in sketch_stage(frame, cfg).collect()
+        }
+
+    assert collect(df.repartition(20)) == collect(df.coalesce(1))
