@@ -426,6 +426,19 @@ def q_ann_topk_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ivf_topk_ann(spark, sf_dir):
+    """IVF (inverted-file) ANN: coarse-quantizer lists + n_probe scan —
+    the data-adaptive counterpart of the hyperplane-LSH path (rows-only;
+    recall vs exact gated in tests/test_similarity.py)."""
+    from lazo_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(
+        _emb(spark, sf_dir), k=3, n_lists=16, n_probe=10,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_fuzzy_theta(spark, sf_dir):
     """Fuzzy n-gram-signature matching (reference BaseIndex theta
     aggregation) over short strings — the reference applies its fuzzy
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "nation_order_totals": q_nation_order_totals,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ivf_topk_ann": q_ivf_topk_ann,
         "fuzzy_theta": q_fuzzy_theta,
         "top_terms_per_lang": q_top_terms_per_lang,
         "single_col_js": q_single_col_js,

@@ -1,0 +1,116 @@
+"""Custom stateful streaming operator: per-key incremental sketch state
+via ``applyInPandasWithState``.
+
+The reference mutates an in-memory LazoSketch per key as values arrive
+(LazoSketch.java:79-88: MinHash update + HLL offer, cardinality cache
+invalidated).  The Structured-Streaming re-expression keeps that state
+OFF-heap in Spark's state store, keyed by document/column key: each
+micro-batch's new values fold into the stored signature by elementwise
+min (MinHash.merge semantics — merging the sketch of the delta IS
+updating the sketch with the values, MinHash.java:69-99), and the
+stored distinct-prefix count maintains the HLL-sparse cardinality
+incrementally (functions/hll.py semantics: V = distinct 25-bit
+murmur64 prefixes, estimate = linear counting).
+
+Emitted rows are the keys whose sketch CHANGED in this batch, with the
+updated signature + cardinality — downstream, feed them to
+``streaming.incremental.delta_pairs`` for new-vs-all candidate
+generation.  GroupStateTimeout is left to the caller's policy (dedup
+state is keyed, not windowed; no watermark needed).
+"""
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..config import LazoConfig
+
+OUT_SCHEMA = "key string, cardinality long, signature array<long>"
+# state: packed signature + the set of seen 25-bit prefixes
+STATE_SCHEMA = "signature array<long>, prefixes array<long>"
+
+
+def _fold_batch(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+    config: LazoConfig,
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's micro-batch values into its sketch state."""
+    from ..functions.hll import SM_SPARSE, SP, SPARSE_THRESHOLD
+    from ..functions.shingles import shingle_hashes
+    from ..functions.sketch_kernels import LONG_MAX, minhash_sigs
+
+    values: list[str] = []
+    for pdf in pdfs:
+        values.extend(pdf["value"].tolist())
+    if state.exists:
+        sig_list, pref_list = state.get
+        sig = np.array(sig_list, dtype=np.int64)
+        prefixes = set(pref_list)
+    else:
+        sig = np.full(config.k, LONG_MAX, dtype=np.int64)
+        prefixes = set()
+
+    # one document worth of new values => one ragged row
+    content = "\n".join(str(v) for v in values)
+    h1, off, h64 = shingle_hashes([content], "line", config.seed, with_h64=True)
+    new_sig = minhash_sigs(h1, off, config.k, config.seed)[0]
+    merged = np.minimum(sig, new_sig)
+    before = len(prefixes)
+    prefixes.update(
+        (np.asarray(h64, dtype=np.int64).view(np.uint64) >> np.uint64(64 - SP))
+        .astype(np.int64)
+        .tolist()
+    )
+    changed = bool((merged != sig).any()) or len(prefixes) != before
+
+    state.update((merged.tolist(), sorted(prefixes)))
+    if not changed:
+        return
+    v = len(prefixes)
+    if v <= SPARSE_THRESHOLD:
+        card = int(np.rint(SM_SPARSE * np.log(SM_SPARSE / (SM_SPARSE - v))))
+    else:  # beyond sparse: callers this deep should re-sketch in batch
+        card = v
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "cardinality": [card],
+            "signature": [merged.tolist()],
+        }
+    )
+
+
+def stateful_sketch_stream(
+    stream_df,
+    config: LazoConfig | None = None,
+    timeout: str = "NoTimeout",
+):
+    """stream_df(key, value) -> streaming DataFrame of updated sketches.
+
+    Usage::
+
+        updates = stateful_sketch_stream(stream, LazoConfig())
+        updates.writeStream.format(...).outputMode("update").start()
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    config = config or LazoConfig()
+
+    def fold(key, pdfs, state):
+        return _fold_batch(key, pdfs, state, config)
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }[timeout]
+    return stream_df.groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

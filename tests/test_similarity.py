@@ -110,3 +110,42 @@ def test_ann_recall_vs_exact_sf01(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+
+def test_ivf_topk_recovers_clusters(emb_df):
+    from lazo_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(emb_df, k=1, n_lists=8, n_probe=4).collect()
+    assert len(out) == emb_df.count()
+    for r in out:
+        assert r["query_id"] % N_CLUSTERS == r["neighbor_id"] % N_CLUSTERS
+
+
+def test_ivf_recall_vs_exact_sf01(spark):
+    """IVF top-3 recall >= 0.9 vs exact on the driver's sf0.1 embeddings.
+    These are near-random vectors (true neighbors at cosine ~0.35), the
+    hardest regime for ANY bucketed ANN: 0.9 recall needs a ~60% scan
+    fraction (n_probe=10 of 16; measured sweep in the commit).  On
+    actually-clustered embeddings the same recall costs a far smaller
+    fraction (test_ivf_topk_recovers_clusters hits 1.0 at 4/8)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from lazo_spark.operators.similarity import ivf_topk
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata missing")
+    emb = spark.read.parquet(path)
+    flt = F.col("vec_id") < 50
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, 3, query_filter=flt).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, 3, n_lists=16, n_probe=10, query_filter=flt).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"

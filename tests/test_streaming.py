@@ -55,3 +55,77 @@ def test_index_size_table():
     rows = index_size_table((64,), (0.05,))
     assert rows[0]["lazo_tables"] == 64  # GCD slice 1 -> 64 tables
     assert rows[0]["base_tables"] > 300  # sum of 20 per-threshold bands
+
+
+def test_stateful_sketch_stream(spark, tmp_path):
+    """applyInPandasWithState: per-key sketch state folds across
+    micro-batches — merged signature == batch sketch of the union set."""
+    import numpy as np
+
+    from lazo_spark.functions.shingles import shingle_hashes
+    from lazo_spark.functions.sketch_kernels import minhash_sigs
+    from lazo_spark.streaming.stateful import stateful_sketch_stream
+
+    src_dir = str(tmp_path / "vals")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    cfg = LazoConfig()
+
+    b1 = spark.createDataFrame(
+        [("k1", f"v{i}") for i in range(30)] + [("k2", "x")],
+        "key string, value string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("key string, value string").parquet(src_dir)
+    def to_parquet(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stateful_sketch_stream(stream, cfg)
+        .writeStream.foreachBatch(to_parquet)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # second batch: more values for k1 (overlapping + new)
+    b2 = spark.createDataFrame(
+        [("k1", f"v{i}") for i in range(20, 50)], "key string, value string"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    q = (
+        stateful_sketch_stream(stream, cfg)
+        .writeStream.foreachBatch(to_parquet)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:  # state is monotone: highest cardinality = newest
+        cur = latest.get(r["key"])
+        if cur is None or r["cardinality"] >= cur[0]:
+            latest[r["key"]] = (r["cardinality"], np.array(r["signature"]))
+
+    # expected: sketch of the UNION of k1's values (order-insensitive)
+    union_vals = sorted({f"v{i}" for i in range(50)})
+    h1, off = shingle_hashes(["\n".join(union_vals)], "line", cfg.seed)
+    want_sig = minhash_sigs(h1, off, cfg.k, cfg.seed)[0]
+    # merged signature must equal elementwise-min across both batch sigs:
+    h1a, offa = shingle_hashes(["\n".join(f"v{i}" for i in range(30))], "line", cfg.seed)
+    h1b, offb = shingle_hashes(["\n".join(f"v{i}" for i in range(20, 50))], "line", cfg.seed)
+    merged = np.minimum(
+        minhash_sigs(h1a, offa, cfg.k, cfg.seed)[0],
+        minhash_sigs(h1b, offb, cfg.k, cfg.seed)[0],
+    )
+    assert (latest["k1"][1] == merged).all()
+    assert (merged == want_sig).all()  # min-merge == sketch of union
+    assert latest["k1"][0] == 50  # sparse-linear-counting exact here
+    assert latest["k2"][0] == 1
