@@ -101,14 +101,19 @@ def substring_candidates(
 # exact verifier: suffix array + LCP (NumPy prefix doubling / Kasai)
 # ---------------------------------------------------------------------------
 
-def suffix_array(s: bytes) -> np.ndarray:
-    """Suffix array by prefix doubling (O(n log^2 n), vectorized)."""
+def suffix_array(s: bytes, with_ranks: bool = False):
+    """Suffix array by prefix doubling (O(n log^2 n), vectorized).
+    with_ranks also returns the per-level rank arrays
+    [(prefix_len, rank), ...] — the structure that answers LCP queries
+    between arbitrary suffixes in O(log n) vectorized rounds."""
     n = len(s)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, []) if with_ranks else empty
     a = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
     rank = a.copy()
     sa = np.argsort(rank, kind="stable")
+    levels = [(1, rank)]
     k = 1
     while k < n:
         second = np.full(n, -1, dtype=np.int64)
@@ -121,10 +126,34 @@ def suffix_array(s: bytes) -> np.ndarray:
         new_rank[order] = np.concatenate(([0], np.cumsum(diff)))
         rank = new_rank
         sa = order
+        k *= 2
+        levels.append((k, rank))
         if rank[sa[-1]] == n - 1:
             break
-        k *= 2
-    return sa.astype(np.int64)
+    sa = sa.astype(np.int64)
+    return (sa, levels) if with_ranks else sa
+
+
+def pairwise_lcp(
+    levels: list, p: np.ndarray, q: np.ndarray, n: int
+) -> np.ndarray:
+    """Exact LCP of suffix pairs (p[i], q[i]) from the doubling rank
+    levels: walk prefix lengths high-to-low, extending where ranks
+    agree — O(log n) vectorized rounds, independent of how repetitive
+    the text is (a block-compare scan is O(sum of LCPs), which blows up
+    exactly on the near-duplicate inputs this verifier exists for)."""
+    p = p.astype(np.int64).copy()
+    q = q.astype(np.int64).copy()
+    lcp = np.zeros(len(p), dtype=np.int64)
+    for length, rank in reversed(levels):
+        ok = (p + length <= n) & (q + length <= n)
+        safe_p = np.minimum(p, n - 1)
+        safe_q = np.minimum(q, n - 1)
+        ok &= rank[safe_p] == rank[safe_q]
+        lcp[ok] += length
+        p[ok] += length
+        q[ok] += length
+    return lcp
 
 
 def lcp_array(s: bytes, sa: np.ndarray) -> np.ndarray:
@@ -150,24 +179,32 @@ def lcp_array(s: bytes, sa: np.ndarray) -> np.ndarray:
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
-    """Exact LCS length of two strings via merged suffix array."""
+    """Exact LCS length of two strings: merged suffix array, then the
+    maximum LCP over ADJACENT cross-document suffix pairs (standard
+    reduction), with every cross-pair LCP answered by the vectorized
+    rank-table walk — no per-byte Python anywhere."""
     ab = a.encode("utf-8", "surrogatepass")
     bb = b.encode("utf-8", "surrogatepass")
-    sep = b"\x00"
-    s = ab + sep + bb
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    if len(ab) == 0 or len(bb) == 0:
+        return 0
+    s = ab + b"\x00" + bb
     cut = len(ab)
-    best = 0
-    side = sa < cut  # True: suffix starts in a
-    for i in range(1, len(sa)):
-        if side[i] != side[i - 1]:
-            v = int(lcp[i])
-            # clamp so the match cannot cross the separator
-            lim_prev = (cut - sa[i - 1]) if side[i - 1] else (len(s) - sa[i - 1])
-            lim_cur = (cut - sa[i]) if side[i] else (len(s) - sa[i])
-            best = max(best, min(v, int(lim_prev), int(lim_cur)))
-    return best
+    n = len(s)
+    sa, levels = suffix_array(s, with_ranks=True)
+    side = sa < cut
+    cross = side[1:] != side[:-1]
+    if not cross.any():
+        return 0
+    p = sa[:-1][cross].astype(np.int64)
+    q = sa[1:][cross].astype(np.int64)
+    lcp = pairwise_lcp(levels, p, q, n)
+    # clamp so a match cannot cross the separator
+    side_p = side[:-1][cross]
+    side_q = side[1:][cross]
+    lim = np.minimum(
+        np.where(side_p, cut - p, n - p), np.where(side_q, cut - q, n - q)
+    )
+    return int(np.minimum(lcp, lim).max(initial=0))
 
 
 def verify_substring_pairs(

@@ -198,3 +198,23 @@ def test_max_useful_band_values():
     assert max_useful_band(CFG, 0.0, 0.8) == 32
     assert max_useful_band(CFG, 0.0, 0.5) == 64
     assert max_useful_band(CFG, 0.0, 0.0) == 64
+
+
+def test_pairwise_lcp_matches_kasai():
+    """The O(log n) rank-table LCP (used by the vectorized verifier)
+    equals the textbook Kasai LCP array on adjacent suffix pairs."""
+    import numpy as np
+
+    from lazo_spark.operators.suffix import (
+        lcp_array,
+        pairwise_lcp,
+        suffix_array,
+    )
+
+    for s in [b"banana", b"aaaaaaa", b"abcabcabcz", b"the quick brown fox " * 7]:
+        sa, levels = suffix_array(s, with_ranks=True)
+        kasai = lcp_array(s, sa)
+        p = sa[:-1].astype(np.int64)
+        q = sa[1:].astype(np.int64)
+        got = pairwise_lcp(levels, p, q, len(s))
+        assert got.tolist() == kasai[1:].tolist(), s
