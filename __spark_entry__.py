@@ -89,6 +89,17 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+def q_subword_counts(spark, sf_dir):
+    """BPE-ish subword counting (GPT-2-style pre-tokenizer regex,
+    lookahead-free so the DuckDB oracle agrees byte-for-byte)."""
+    out = T.subword_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n_subwords"),
+        F.col("subwords_per_100_chars").cast("double").alias("subwords_per_100_chars"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     out = T.token_stats(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -597,6 +608,7 @@ def q_embedding_near_dups(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
+        "subword_counts": q_subword_counts,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -667,6 +679,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS group_size
             FROM documents GROUP BY sha256(text)
+        """,
+        "subword_counts": """
+            SELECT doc_id AS key,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'
+                   ))::BIGINT AS n_subwords,
+                   round(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'
+                   )) * 100.0 / greatest(length(text), 1), 6) AS subwords_per_100_chars
+            FROM documents
         """,
         "token_stats": f"""
             SELECT doc_id AS key, length(text) AS n_chars,

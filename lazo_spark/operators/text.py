@@ -96,3 +96,27 @@ def fingerprint(
         F.col(key_col).alias("key"),
         F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
     )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs.  The
+# original BPE pattern's trailing-whitespace lookahead is dropped
+# (whitespace-only matches don't contribute subword counts anyway).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_stats(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """(key, n_subwords, subwords_per_100_chars): BPE-ish token counting
+    — the budget estimator a training-data pipeline runs before real
+    tokenization (counts pre-tokenizer pieces, the upper bound on and
+    strong proxy for BPE token counts)."""
+    c = F.col(content_col)
+    n = F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return df.select(
+        F.col(key_col).alias("key"),
+        n.cast("long").alias("n_subwords"),
+        F.round(
+            n * F.lit(100.0) / F.greatest(F.length(c), F.lit(1)), 6
+        ).alias("subwords_per_100_chars"),
+    )
