@@ -95,6 +95,39 @@ def ngram_signature_stage(
     }
 
 
+def merge_ngram_banks(
+    fused: DataFrame, group_col: str = "group"
+) -> DataFrame:
+    """Per-slot union merge of fuzzy banks (K11, the reference's
+    NGramSignature merge semantics applied slot-by-slot): for each
+    (group, size), the elementwise-min signature over members.
+
+    Pure built-ins and map-side-combinable aggregations: posexplode the
+    signatures, min per (group, size, position), rebuild the array in
+    position order — the scalable shuffle shape (partial min aggregation
+    runs map-side; nothing collects a whole group's signatures into one
+    task).  Returns (group, size, signature, cardinality_ub, n_members);
+    cardinality_ub = sum of member cardinalities (union cardinality is
+    not derivable from member counts — LazoSketch merges HLLs for that).
+    """
+    g = F.col(group_col).alias("group")
+    ex = fused.select(
+        g, "size", F.posexplode("signature").alias("pos", "v")
+    )
+    mins = ex.groupBy("group", "size", "pos").agg(F.min("v").alias("v"))
+    sigs = mins.groupBy("group", "size").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("signature")
+    )
+    cards = fused.groupBy(g, "size").agg(
+        F.sum("cardinality").alias("cardinality_ub"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return sigs.join(cards, ["group", "size"])
+
+
 def fuzzy_candidates(
     df: DataFrame, config: LazoConfig, n: int = 4, jcx_floor: float = 0.1
 ) -> DataFrame:

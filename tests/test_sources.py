@@ -93,3 +93,41 @@ def test_read_corpus_parquet_and_iceberg_gate(spark, tmp_path):
 
         with _pytest.raises(RuntimeError, match="Iceberg runtime"):
             read_corpus(spark, "iceberg:db.tbl")
+
+
+def test_merge_ngram_banks_per_slot(spark):
+    """K11: per-(group, slot) union merge equals the sketch of the union
+    computed directly, for every bank slot independently."""
+    import numpy as np
+
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.operators.fuzzy import (
+        fused_ngram_sketches,
+        merge_ngram_banks,
+    )
+
+    cfg = LazoConfig()
+    rows = [
+        ("a1", "a1", "hello world of code", "g1"),
+        ("a2", "a2", "world of spark code", "g1"),
+        ("b1", "b1", "entirely different text", "g2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, sha string, content string, grp string"
+    )
+    fused = fused_ngram_sketches(df.select("key", "sha", "content"), cfg, n=3)
+    withg = fused.join(df.select("key", "grp"), "key")
+    merged = {
+        (r["group"], r["size"]): np.array(r["signature"])
+        for r in merge_ngram_banks(withg, "grp").collect()
+    }
+    per_member = {}
+    for r in fused.join(df.select("key", "grp"), "key").collect():
+        k = (r["grp"], r["size"])
+        sig = np.array(r["signature"])
+        per_member[k] = (
+            np.minimum(per_member[k], sig) if k in per_member else sig
+        )
+    assert set(merged) == set(per_member)
+    for k in merged:
+        assert (merged[k] == per_member[k]).all(), k
