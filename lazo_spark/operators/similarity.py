@@ -190,20 +190,44 @@ def lsh_topk(
         )
         n_planes = dp if n_planes is None else n_planes
         n_tables = dt if n_tables is None else n_tables
-    cand = None
-    for t in range(n_tables):
-        b = hyperplane_buckets(
-            embeddings, n_planes, dim, seed=42 + t, id_col=id_col, vec_col=vec_col
-        )
-        x = b.select(F.col(id_col).alias("query_id"), "bucket")
-        y = b.select(F.col(id_col).alias("neighbor_id"), "bucket")
-        p = (
-            x.join(y, "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = p if cand is None else cand.union(p)
-    cand = cand.distinct()
+
+    # ONE vectorized pass computes every table's bucket (round-1 built
+    # n_tables separate plans + joins + a union — 26 shuffles at the
+    # sf0.1 setting); each vector emits n_tables (table<<32|bucket)
+    # codes, pairs come from a single equi-join on the code.  Same
+    # planes/seed per table as hyperplane_buckets, so candidate sets are
+    # unchanged up to float summation order at exact-zero dot products.
+    from pyspark.sql.functions import pandas_udf
+
+    rngs = [np.random.default_rng(42 + t) for t in range(n_tables)]
+    all_planes = np.concatenate(
+        [r.standard_normal((n_planes, dim)) for r in rngs], axis=0
+    )  # [T*P, dim]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    t_base = (np.arange(n_tables, dtype=np.int64) << np.int64(32))
+
+    @pandas_udf("array<long>")
+    def all_buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ all_planes.T) > 0  # [n, T*P]
+        codes = bits.reshape(len(m), n_tables, n_planes) @ weights  # [n, T]
+        vals = codes + t_base[None, :]
+        return pd.Series(list(vals))
+
+    coded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(all_buckets(F.col(vec_col).cast("array<double>"))).alias(
+            "code"
+        ),
+    )
+    x = coded.withColumnRenamed("id", "query_id")
+    y = coded.withColumnRenamed("id", "neighbor_id")
+    cand = (
+        x.join(y, "code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
