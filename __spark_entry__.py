@@ -208,9 +208,15 @@ def q_top_ngrams(spark, sf_dir):
     """Most frequent token bigrams (sort/limit path, deterministic
     tie-break)."""
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    from lazo_spark.operators.verify import explode_shingles
+    from lazo_spark.operators.verify import shingles_col
 
-    sh = explode_shingles(docs, "doc_id", "content", "token_ngram:2")
+    # gram STRINGS are the query output, so shingle in pure Catalyst
+    # (JVM-side, no Python); hash-based explode_shingles serves the
+    # count-only verification paths
+    sh = docs.select(
+        F.col("doc_id").alias("key"),
+        F.explode(shingles_col(F.col("content"), "token_ngram:2")).alias("shingle"),
+    )
     return (
         sh.groupBy(F.col("shingle").alias("gram"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

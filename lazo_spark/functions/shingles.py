@@ -95,6 +95,30 @@ _WS_LOOKUP = np.zeros(256, dtype=bool)
 for _b in _ASCII_WS.encode():
     _WS_LOOKUP[_b] = True
 
+# str.splitlines boundaries that are single ASCII bytes (\x85/ /
+# are multi-byte in UTF-8; docs containing any byte >= 0x80 take the
+# scalar fallback, so the ASCII set is exact for the vectorized path)
+_LINE_LOOKUP = np.zeros(256, dtype=bool)
+for _b in b"\n\r\x0b\x0c\x1c\x1d\x1e":
+    _LINE_LOOKUP[_b] = True
+
+# line-mode "hard" separators: line breaks + the strippable bytes; a
+# stripped line spans from its first hard-free run to its last
+_HARD_LOOKUP = _LINE_LOOKUP.copy()
+_HARD_LOOKUP[ord(" ")] = True
+_HARD_LOOKUP[ord("\t")] = True
+
+# char_ngram mode splits on single space ONLY (reference
+# StringUtils.java:14-29 does content.toLowerCase().split(" ") — tabs and
+# newlines stay inside "words"; parity quirk, preserved deliberately)
+_SPACE_LOOKUP = np.zeros(256, dtype=bool)
+_SPACE_LOOKUP[ord(" ")] = True
+
+# ASCII tolower (A-Z only — non-ASCII docs take the scalar fallback,
+# where Python str.lower() handles Unicode case)
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+
 # chunk budget for the padded gram-byte matrix (cells = bytes); small
 # enough that the arena working set (~8x this in index/delta buffers)
 # stays modest per worker
@@ -140,16 +164,16 @@ def _utf8_arrow_buffer(contents) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _token_spans(
-    data: np.ndarray, doc_off: np.ndarray
+    data: np.ndarray, doc_off: np.ndarray, sep_lookup: np.ndarray = _WS_LOOKUP
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(tok_start, tok_end, tok_doc): maximal non-whitespace byte runs,
+    """(tok_start, tok_end, tok_doc): maximal non-separator byte runs,
     never crossing a document boundary (virtual separators at doc edges).
     """
     nb = len(data)
     if nb == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    is_sep = _WS_LOOKUP[data]
+    is_sep = sep_lookup[data]
     prev_sep = np.empty(nb, dtype=bool)
     prev_sep[0] = True
     prev_sep[1:] = is_sep[:-1]
@@ -274,9 +298,14 @@ def _pack_grams(
         seg_src = np.where(is_tok, tok_start[tok_idx], space_pos).astype(np.int32)
 
     flat = _segment_gather(seg_src, seg_len, data_ext, "pg_flat")
+    return _pad_rows(flat, gram_len, width), gram_len
 
-    # scatter the concatenated gram bytes into the zeroed padded matrix:
-    # same delta/cumsum index over (row-start, row-length) "segments"
+
+def _pad_rows(flat: np.ndarray, row_len: np.ndarray, width: int) -> np.ndarray:
+    """Scatter concatenated row bytes (row i = row_len[i] bytes, all > 0)
+    into a zeroed padded [G, width] arena matrix — the layout the hash
+    kernels consume.  Same delta/cumsum indexing as _segment_gather."""
+    g = len(row_len)
     mat_flat = _buf("pg_mat", g * width, np.uint8)
     mat_flat.fill(0)
     row0 = _buf("pg_row0", g, np.int32)
@@ -285,14 +314,174 @@ def _pack_grams(
     delta = _buf("sg_delta2", total, np.int32)
     delta.fill(1)
     out0 = _buf("sg_out02", g, np.int64)
-    np.cumsum(gram_len, out=out0)
+    np.cumsum(row_len, out=out0)
     bpos = out0[:-1]
-    delta[bpos] = (row0[1:] - (row0[:-1] + gram_len[:-1]) + 1).astype(np.int32)
+    delta[bpos] = (row0[1:] - (row0[:-1] + row_len[:-1]) + 1).astype(np.int32)
     delta[0] = np.int32(row0[0])
     out_idx = _buf("sg_oidx", total, np.int32)
     np.cumsum(delta, out=out_idx)
     mat_flat[out_idx] = flat
-    return mat_flat.reshape(g, width), gram_len
+    return mat_flat.reshape(g, width)
+
+
+def _pack_segments(
+    data: np.ndarray, seg_start: np.ndarray, seg_len: np.ndarray
+) -> np.ndarray:
+    """Pack single-segment grams (one contiguous byte run each) into the
+    padded hash matrix."""
+    width = 16 * (int(seg_len.max()) // 16 + 1)
+    flat = _segment_gather(
+        seg_start.astype(np.int32, copy=False),
+        seg_len.astype(np.int32, copy=False),
+        data,
+        "ps_flat",
+    )
+    return _pad_rows(flat, seg_len, width)
+
+
+def _char_ngram_segments(
+    data: np.ndarray, doc_off: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """char_ngram:N gram table over the ASCII-lowercased buffer: words are
+    runs split on single space (reference StringUtils.java:14-29 parity —
+    tabs/newlines stay inside words), words shorter than N are skipped,
+    grams are every N consecutive bytes of a word.
+    Returns (src_data, seg_start, seg_len, gram_doc)."""
+    lower = _LOWER_LUT[data]
+    w_start, w_end, w_doc = _token_spans(data, doc_off, _SPACE_LOOKUP)
+    wl = w_end - w_start
+    gc = np.maximum(wl - n + 1, 0)
+    total = int(gc.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return lower, z, z, z
+    gram_word = np.repeat(np.arange(len(wl)), gc)
+    cum = np.concatenate(([0], np.cumsum(gc)))
+    local = np.arange(total, dtype=np.int64) - cum[gram_word]
+    seg_start = w_start[gram_word] + local
+    seg_len = np.full(total, n, dtype=np.int64)
+    return lower, seg_start, seg_len, w_doc[gram_word]
+
+
+def _line_segments(
+    data: np.ndarray, doc_off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """line-mode gram table: one gram per non-blank line, spanning from
+    the first to the last non-strippable byte (== str.splitlines +
+    str.strip for pure-ASCII docs).  Returns (seg_start, seg_len,
+    gram_doc)."""
+    line_start, _line_end, line_doc = _token_spans(data, doc_off, _LINE_LOOKUP)
+    w_start, w_end, _w_doc = _token_spans(data, doc_off, _HARD_LOOKUP)
+    if len(w_start) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    # every word sits inside exactly one line run (hard separators are a
+    # superset of line separators), so position lookup assigns it
+    line_of_word = np.searchsorted(line_start, w_start, side="right") - 1
+    change = np.flatnonzero(
+        np.concatenate(([True], line_of_word[1:] != line_of_word[:-1]))
+    )
+    first_w = change
+    last_w = np.concatenate((change[1:], [len(w_start)])) - 1
+    seg_start = w_start[first_w]
+    seg_len = w_end[last_w] - seg_start
+    return seg_start, seg_len, line_doc[line_of_word[change]]
+
+
+def _hash_chunked(
+    src: np.ndarray,
+    seg_start: np.ndarray,
+    seg_len: np.ndarray,
+    seed: int,
+    with_h64: bool,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Hash single-segment grams in length-ordered chunks (tight pad
+    width per chunk, bounded arena working set)."""
+    from .hll import murmur64a
+    from .javacompat import murmur3_x64_128_h1
+
+    g = len(seg_start)
+    h1 = np.empty(g, dtype=np.int64)
+    h64 = np.empty(g, dtype=np.int64) if with_h64 else None
+    order_len = np.argsort(seg_len, kind="stable")
+    ls = seg_len[order_len]
+    lo = 0
+    while lo < g:
+        max_rows = max(1, int(_GRAM_CHUNK_CELLS // int(max(ls[lo], 1))))
+        window = ls[lo : lo + max_rows]
+        prod = np.arange(1, len(window) + 1, dtype=np.int64) * window
+        hi = lo + max(1, int(np.searchsorted(prod, _GRAM_CHUNK_CELLS, "right")))
+        sel = order_len[lo:hi]
+        mat = _pack_segments(src, seg_start[sel], seg_len[sel])
+        h1[sel] = murmur3_x64_128_h1(mat, seg_len[sel], seed)
+        if with_h64:
+            h64[sel] = murmur64a(mat, seg_len[sel])
+        lo = hi
+    return h1, h64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants) — decorrelates doc
+    ids before XOR-mixing them into the shingle hash."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _dedup_per_doc(
+    h1: np.ndarray, gram_doc: np.ndarray, n_docs: int, h64: np.ndarray | None
+):
+    """Distinct (doc, hash) rows, ragged offsets layout, rows grouped by
+    doc in input order.
+
+    Fast path (gram_doc already non-decreasing, true for all segment
+    modes and the common token batches): ONE argsort over the 64-bit
+    doc-mixed key instead of a two-pass lexsort — duplicates of
+    (doc, h1) collide in the mixed key, and the surviving rows are
+    already doc-grouped in original order.  A cross-pair key collision
+    would drop one shingle (same ~G^2/2^64 magnitude already accepted
+    for hash-dedup at the top of this file)."""
+    g = len(h1)
+    if g and bool(np.all(gram_doc[1:] >= gram_doc[:-1])):
+        key = h1.view(np.uint64) ^ _mix64(gram_doc)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        dup = np.zeros(g, dtype=bool)
+        dup[1:] = ks[1:] == ks[:-1]
+        keep = np.ones(g, dtype=bool)
+        keep[order[dup]] = False
+        hh = h1[keep]
+        counts = np.bincount(gram_doc[keep], minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        if h64 is not None:
+            return hh, offsets, h64[keep]
+        return hh, offsets, None
+    order = np.lexsort((h1, gram_doc))
+    gd, hh = gram_doc[order], h1[order]
+    keep = np.ones(len(gd), dtype=bool)
+    keep[1:] = (gd[1:] != gd[:-1]) | (hh[1:] != hh[:-1])
+    gd, hh = gd[keep], hh[keep]
+    counts = np.bincount(gd, minlength=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    if h64 is not None:
+        return hh, offsets, h64[order][keep]
+    return hh, offsets, None
+
+
+def _move_rows(dst, dst_starts, src, src_starts, cnt):
+    """Copy ragged rows (row i = cnt[i] values at src_starts[i]) into dst
+    at dst_starts[i], vectorized."""
+    total = int(cnt.sum())
+    if total == 0:
+        return
+    starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    dst[np.repeat(dst_starts, cnt) + local] = src[np.repeat(src_starts, cnt) + local]
 
 
 def shingle_hashes(
@@ -305,8 +494,10 @@ def shingle_hashes(
     each distinct shingle (third array, aligned with h1) — the hash the
     reference's HLL cardinality estimator consumes (LazoSketch.java:87).
 
-    Vectorized for token_ngram:N / word; other modes fall back to the
-    scalar shingler + murmur3_str (identical output layout).
+    Vectorized for ALL four modes (token_ngram:N / word / char_ngram:N /
+    line); char_ngram and line take a per-document scalar fallback only
+    for documents containing non-ASCII bytes, where Python's
+    lower/splitlines/strip semantics diverge from the byte-level kernel.
     """
     from .hll import murmur64a, murmur64a_str
     from .javacompat import murmur3_str, murmur3_x64_128_h1
@@ -315,6 +506,8 @@ def shingle_hashes(
         n = 1
     elif mode.startswith("token_ngram"):
         n = int(mode.split(":")[1]) if ":" in mode else 3
+    elif mode.startswith("char_ngram") or mode == "line":
+        return _segment_mode_hashes(contents, mode, seed, with_h64)
     else:
         try:  # scalar fallback modes need python strings
             import pyarrow as pa
@@ -378,13 +571,74 @@ def shingle_hashes(
         lo = hi
 
     # per-doc distinct by 64-bit hash, rows in input order
-    order = np.lexsort((h1, gram_doc))
-    gd, hh = gram_doc[order], h1[order]
-    keep = np.ones(len(gd), dtype=bool)
-    keep[1:] = (gd[1:] != gd[:-1]) | (hh[1:] != hh[:-1])
-    gd, hh = gd[keep], hh[keep]
-    counts = np.bincount(gd, minlength=n_docs)
-    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    hh, offsets, hh64 = _dedup_per_doc(h1, gram_doc, n_docs, h64)
     if with_h64:
-        return hh, offsets, h64[order][keep]
+        return hh, offsets, hh64
+    return hh, offsets
+
+
+def _doc_texts(contents, idx) -> list:
+    """Python strings for the given row indices of an Arrow array /
+    Series / list (used only for the rare non-ASCII fallback rows)."""
+    import pyarrow as pa
+
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    if isinstance(contents, pa.Array):
+        return [contents[int(i)].as_py() for i in idx]
+    if hasattr(contents, "iloc"):
+        return [contents.iloc[int(i)] for i in idx]
+    return [contents[int(i)] for i in idx]
+
+
+def _segment_mode_hashes(contents, mode: str, seed: int, with_h64: bool):
+    """char_ngram:N / line modes: single-segment gram tables hashed by
+    the chunked kernel; per-document scalar fallback for docs containing
+    non-ASCII bytes (Python lower/splitlines/strip semantics)."""
+    from .hll import murmur64a_str
+    from .javacompat import murmur3_str
+
+    n_docs = len(contents)
+    data, doc_off = _utf8_arrow_buffer(contents)
+    if len(data) >= 2**31 - 64:
+        raise ValueError("shingle_hashes: batch exceeds 2 GiB of text")
+    if mode == "line":
+        src = data
+        seg_start, seg_len, gram_doc = _line_segments(data, doc_off)
+    else:
+        n = int(mode.split(":")[1]) if ":" in mode else 3
+        src, seg_start, seg_len, gram_doc = _char_ngram_segments(data, doc_off, n)
+    if len(seg_start):
+        h1g, h64g = _hash_chunked(src, seg_start, seg_len, seed, with_h64)
+    else:
+        h1g = np.zeros(0, dtype=np.int64)
+        h64g = np.zeros(0, dtype=np.int64) if with_h64 else None
+    hh, offsets, hh64 = _dedup_per_doc(h1g, gram_doc, n_docs, h64g)
+
+    nonascii = data >= 0x80
+    if nonascii.any():
+        cs = np.concatenate(([0], np.cumsum(nonascii)))
+        fb = np.flatnonzero(cs[doc_off[1:]] > cs[doc_off[:-1]])
+        flat, off_sc = shingle_batch(_doc_texts(contents, fb), mode)
+        off_sc = np.asarray(off_sc, dtype=np.int64)
+        h_sc = murmur3_str(flat, seed)
+        h64_sc = murmur64a_str(flat) if with_h64 else None
+        counts = np.diff(offsets)
+        counts[fb] = np.diff(off_sc)
+        new_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        keep_mask = np.ones(n_docs, dtype=bool)
+        keep_mask[fb] = False
+        kd = np.flatnonzero(keep_mask)
+        kd_cnt = offsets[kd + 1] - offsets[kd]
+        out = np.empty(int(new_off[-1]), dtype=np.int64)
+        _move_rows(out, new_off[kd], hh, offsets[kd], kd_cnt)
+        _move_rows(out, new_off[fb], h_sc, off_sc[:-1], np.diff(off_sc))
+        if with_h64:
+            out64 = np.empty_like(out)
+            _move_rows(out64, new_off[kd], hh64, offsets[kd], kd_cnt)
+            _move_rows(out64, new_off[fb], h64_sc, off_sc[:-1], np.diff(off_sc))
+            return out, new_off, out64
+        return out, new_off
+    if with_h64:
+        return hh, offsets, hh64
     return hh, offsets

@@ -119,34 +119,59 @@ def oph_densify_constants(k: int, seed: int = 666) -> tuple[int, int]:
 
 def oph_densify(sigs: np.ndarray, k: int, seed: int = 666) -> np.ndarray:
     """Optimal densification (Shrivastava ICML'17) with the reference's
-    exact probe sequence — MinHashOptimal.java:112-133.
+    exact probe sequence — MinHashOptimal.java:112-133 — fully
+    vectorized.
 
-    Processes buckets in index order (earlier densified buckets may seed
-    later ones, as in the sequential Java loop).  All-empty rows stay
-    empty (the reference would loop forever; we guard).
+    The sequential Java loop fills empty buckets in ascending index
+    order, each probing until it hits a non-empty value; by the time
+    bucket i runs, every bucket < i is FINAL and every bucket >= i is
+    ORIGINAL.  The probe index for (bucket, nonce) is closed-form and
+    row-independent, so bucket i's stopping nonce is the first t with
+    ``probe(i,t) < i or orig[row, probe(i,t)] != MAX`` — found here in
+    vectorized rounds across all empty cells at once — and the value is
+    then resolved by one ascending sweep over bucket columns (sources
+    with idx < i are already final when column i is filled).
+
+    All-empty rows stay empty (the reference would loop forever; we
+    guard).  Bit-identical to the scalar sequence (golden-pinned).
     """
     the_hash_value, log_perm = oph_densify_constants(k, seed)
-    shift = 32 - log_perm
+    shift = np.int32(32 - log_perm)
+    thv = np.int32(the_hash_value)
     out = sigs.copy()
-    empty_rows = np.flatnonzero((out == LONG_MAX).all(axis=1))
-    candidate_rows = np.flatnonzero((out == LONG_MAX).any(axis=1))
-    skip = set(empty_rows.tolist())
-    thv = np.int64(np.int32(the_hash_value))
+    if out.size == 0:
+        return out
+    is_empty = out == LONG_MAX
+    fillable = ~is_empty.all(axis=1)
+    rows, cols = np.nonzero(is_empty & fillable[:, None])
+    n_cells = len(rows)
+    if n_cells == 0:
+        return out
+    src = np.empty(n_cells, dtype=np.int64)
+    alive = np.arange(n_cells)
+    t = 0
     with np.errstate(over="ignore"):
-        for ri in candidate_rows:
-            if int(ri) in skip:
-                continue
-            row = out[ri]
-            for i in np.flatnonzero(row == LONG_MAX):
-                nonce = 0
-                while row[i] == LONG_MAX:
-                    nonce += 1
-                    toh = np.int32(np.int64((int(i) + 1) << 10) + nonce)
-                    v = np.int32(thv * toh) << np.int32(3)
-                    idx = abs(int(np.int32(v) >> np.int32(shift)))
-                    if idx == k:
-                        idx -= 1
-                    row[i] = row[idx]
+        while len(alive):
+            t += 1
+            ci = cols[alive]
+            toh = (((ci + 1) << 10) + t).astype(np.int32)
+            v = (thv * toh) << np.int32(3)
+            idx = np.abs((v >> shift).astype(np.int64))
+            idx[idx == k] = k - 1
+            stop = (idx < ci) | (out[rows[alive], idx] != LONG_MAX)
+            src[alive[stop]] = idx[stop]
+            alive = alive[~stop]
+            if t > 1_000_000:  # matches the reference's (absent) guard
+                raise RuntimeError("oph_densify: probe sequence did not resolve")
+    # ascending column sweep: by construction src < col or orig-non-empty,
+    # so every source is final when its column is filled
+    order = np.argsort(cols, kind="stable")
+    oc = cols[order]
+    seg = np.flatnonzero(np.concatenate(([True], oc[1:] != oc[:-1])))
+    seg = np.concatenate((seg, [n_cells]))
+    for s, e in zip(seg[:-1], seg[1:]):
+        sel = order[s:e]
+        out[rows[sel], oc[s]] = out[rows[sel], src[sel]]
     return out
 
 

@@ -11,12 +11,12 @@ drivers Spark-first:
   * unordered-pair canonicalization (Pair.java:17-40) -> least/greatest +
     dropDuplicates (no Cantor pairing needed).
 
-Shingle extraction: the default path is an Arrow-vectorized pandas UDF
-over the same Python kernel the sketch stage uses (functions/shingles.py)
-— measured ~100x faster than the equivalent Catalyst higher-order-function
-expression (transform/sequence/slice are interpreted per element, ~20k
-shingles/sec vs millions via the kernel).  The pure-Column form
-(shingles_col) is kept for parity tests and UDF-free contexts.
+Shingle extraction: the production path is the fully-vectorized 64-bit
+shingle-hash kernel (functions/shingles.shingle_hashes — byte-level NumPy
+over the Arrow buffer, no per-row Python); verification intersects hash
+sets, which equals string-set math up to ~s^2/2^64 collisions per pair.
+The pure-Column form (shingles_col) and the scalar string UDF
+(shingles_udf) are kept for parity tests and UDF-free contexts.
 """
 from __future__ import annotations
 
@@ -24,7 +24,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.shingles import shingle
+from ..functions.shingles import shingle, shingle_hashes
 
 
 def shingles_col(content: Column, mode: str = "token_ngram:3") -> Column:
@@ -55,8 +55,9 @@ def shingles_col(content: Column, mode: str = "token_ngram:3") -> Column:
 
 
 def shingles_udf(content: Column, mode: str = "token_ngram:3") -> Column:
-    """Distinct shingles as an array column via the vectorized kernel
-    (Arrow batches; same results as shingles_col, ~100x faster)."""
+    """Distinct shingles as an array<string> column (per-row scalar
+    shingler).  Kept for parity tests and string-shingle consumers; the
+    production verification paths below use shingle_hashes_udf."""
 
     @F.pandas_udf("array<string>")
     def _sh(c: pd.Series) -> pd.Series:
@@ -65,13 +66,34 @@ def shingles_udf(content: Column, mode: str = "token_ngram:3") -> Column:
     return _sh(content)
 
 
+def shingle_hashes_udf(
+    content: Column, mode: str = "token_ngram:3", seed: int = 666
+) -> Column:
+    """Distinct 64-bit shingle hashes as an array<long> column via the
+    fully-vectorized byte-level kernel (functions/shingles.shingle_hashes
+    — one NumPy pass per Arrow batch, no per-row Python).  Intersection /
+    set-size math on hashes equals the string math up to 64-bit collisions
+    (~s^2/2^64 per document pair — the same accepted bound argued at
+    functions/shingles.py for the sketch stage)."""
+
+    @F.pandas_udf("array<long>")
+    def _sh(c: pd.Series) -> pd.Series:
+        h1, off = shingle_hashes(c, mode, seed)
+        return pd.Series(
+            [h1[off[i] : off[i + 1]] for i in range(len(c))], index=c.index
+        )
+
+    return _sh(content)
+
+
 def explode_shingles(
     df: DataFrame, key_col: str, content_col: str, mode: str = "token_ngram:3"
 ) -> DataFrame:
-    """(key, shingle) — one row per distinct shingle per document."""
+    """(key, shingle) — one row per distinct shingle HASH per document
+    (int64 join keys: cheaper to shuffle and compare than strings)."""
     return df.select(
         F.col(key_col).alias("key"),
-        F.explode(shingles_udf(F.col(content_col), mode)).alias("shingle"),
+        F.explode(shingle_hashes_udf(F.col(content_col), mode)).alias("shingle"),
     )
 
 
@@ -153,7 +175,7 @@ def verify_candidates(
         df.join(cand_keys, df[key_col] == cand_keys["key"], "left_semi")
         .select(
             F.col(key_col).alias("key"),
-            shingles_udf(F.col(content_col), mode).alias("sh"),
+            shingle_hashes_udf(F.col(content_col), mode).alias("sh"),
         )
     )
     out = (

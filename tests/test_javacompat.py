@@ -178,3 +178,36 @@ def test_batch_kernels_match_single_rows():
             assert (batch[i] == LONG_MAX).all()
         else:
             assert np.array_equal(batch[i], _sig(s, 64))
+
+
+def test_oph_densify_vectorized_matches_sequential_replica():
+    """The vectorized round-based densify must reproduce the reference's
+    sequential bucket-order probe loop bit-for-bit on random raw
+    signatures with a wide range of empty-bucket fractions."""
+    rng = np.random.RandomState(17)
+    for k in (64, 512):
+        shift = 32 - oph_densify_constants(k)[1]
+        thv = np.int64(np.int32(oph_densify_constants(k)[0]))
+        rows = []
+        for frac in (0.0, 0.05, 0.5, 0.9, 0.99, 1.0):
+            row = rng.randint(-(2**62), 2**62, size=k).astype(np.int64)
+            row[rng.rand(k) < frac] = LONG_MAX
+            rows.append(row)
+        raw = np.vstack(rows)
+        expect = raw.copy()
+        with np.errstate(over="ignore"):
+            for ri in range(expect.shape[0]):
+                row = expect[ri]
+                if (row == LONG_MAX).all():
+                    continue
+                for i in np.flatnonzero(row == LONG_MAX):
+                    nonce = 0
+                    while row[i] == LONG_MAX:
+                        nonce += 1
+                        toh = np.int32(np.int64((int(i) + 1) << 10) + nonce)
+                        v = np.int32(thv * toh) << np.int32(3)
+                        idx = abs(int(np.int32(v) >> np.int32(shift)))
+                        if idx == k:
+                            idx -= 1
+                        row[i] = row[idx]
+        assert np.array_equal(oph_densify(raw, k), expect), f"k={k}"

@@ -34,7 +34,18 @@ def _scalar_hash_sets(contents, mode, seed=666):
     return out
 
 
-@pytest.mark.parametrize("mode", ["token_ngram:3", "token_ngram:2", "word"])
+@pytest.mark.parametrize(
+    "mode",
+    [
+        "token_ngram:3",
+        "token_ngram:2",
+        "word",
+        "char_ngram:3",
+        "char_ngram:5",
+        "char_ngram:1",
+        "line",
+    ],
+)
 def test_vec_matches_scalar_hash_sets(mode):
     h, off = shingle_hashes(NASTY, mode)
     assert len(off) == len(NASTY) + 1
@@ -70,6 +81,60 @@ def test_fallback_modes_keep_layout():
     flat, off2 = shingle_batch(["aa bb", "cc"], "char_ngram:2")
     assert list(off) == list(off2)
     assert sorted(h.tolist()) == sorted(murmur3_str(flat).tolist())
+
+
+@pytest.mark.parametrize("mode", ["char_ngram:3", "char_ngram:2", "line"])
+def test_segment_modes_random_text_with_unicode(mode):
+    """char_ngram/line vectorized path incl. the per-doc non-ASCII
+    scalar fallback and its ragged merge (Unicode case folding,
+    \\x85/\\u2028 line breaks, NBSP strip)."""
+    rng = np.random.RandomState(11)
+    pieces = [
+        "foo", "BAR", "baz()", "x=1;", "{", "}", "if", "Émile", "ÅNGSTRÖM",
+        "tab\there", "line\nbreak", "crlf\r\n", "u2028 sep", "nel\x85nel",
+        "nbsp\xa0pad", "中文词", " ", "  ", "\t",
+    ]
+    docs = []
+    for _ in range(150):
+        k = rng.randint(0, 20)
+        docs.append(" ".join(rng.choice(pieces, size=k)) if k else "")
+    docs += [None, "", " ", "\x85", "A B", "mixed ascii only doc"]
+    h, off = shingle_hashes(docs, mode)
+    expect = _scalar_hash_sets(docs, mode)
+    for i in range(len(docs)):
+        got = set(h[off[i] : off[i + 1]].tolist())
+        assert got == expect[i], f"row {i}: {docs[i]!r}"
+        assert len(got) == off[i + 1] - off[i]
+
+
+@pytest.mark.parametrize("mode", ["char_ngram:3", "line"])
+def test_segment_modes_h64_alignment(mode):
+    """with_h64: the clearspring hash must stay row-aligned with h1
+    through dedup and the fallback merge."""
+    from lazo_spark.functions.hll import murmur64a_str
+
+    docs = ["abc abd abc", "Ünïcode döc", None, "x y\nz", ""]
+    h1, off, h64 = shingle_hashes(docs, mode, with_h64=True)
+    for i, d in enumerate(docs):
+        s = shingle(d, mode)
+        exp = set(zip(murmur3_str(s).tolist(), murmur64a_str(s).tolist())) if s else set()
+        got = set(zip(h1[off[i] : off[i + 1]].tolist(), h64[off[i] : off[i + 1]].tolist()))
+        assert got == exp, f"row {i}"
+
+
+@pytest.mark.parametrize("mode", ["char_ngram:4", "line"])
+def test_segment_mode_chunking_stability(monkeypatch, mode):
+    import lazo_spark.functions.shingles as sh
+
+    docs = ["alpha beta gamma delta " * 10, "x y z", "longtoken" * 50, "a\nb\nc"]
+    ref_h, ref_off = shingle_hashes(docs, mode)
+    monkeypatch.setattr(sh, "_GRAM_CHUNK_CELLS", 64)
+    h, off = sh.shingle_hashes(docs, mode)
+    assert list(off) == list(ref_off)
+    for i in range(len(docs)):
+        assert set(h[off[i] : off[i + 1]].tolist()) == set(
+            ref_h[ref_off[i] : ref_off[i + 1]].tolist()
+        )
 
 
 def test_chunking_boundary_stability(monkeypatch):
