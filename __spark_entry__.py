@@ -604,8 +604,11 @@ def q_incremental_delta_pairs(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    # params derived from corpus size + the dedup threshold
+    # (derive_ann_params): planes ~log2(n/bucket), tables sized to hold
+    # pair recall >= 0.9 at cosine 0.3
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), cosine_threshold=0.3, n_planes=4
+        _emb(spark, sf_dir), cosine_threshold=0.3
     ).select(
         "id_x", "id_y", F.round("cosine", 6).alias("cosine")
     )

@@ -153,6 +153,73 @@ def derive_ann_params(
     return n_planes, max(1, min(64, n_tables))
 
 
+def _fused_code_candidates(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    query_filter=None,
+    canonical: bool = False,
+) -> DataFrame:
+    """Candidate pairs across ``n_tables`` hyperplane-LSH tables in ONE
+    vectorized pass + ONE equi-join (round-1 built n_tables separate
+    plans + joins + a union — 26 shuffles at the sf0.1 setting): each
+    vector emits n_tables (table<<32 | bucket) codes; pairs come from the
+    single code join.  Same planes/seed per table as hyperplane_buckets,
+    so candidate sets are unchanged up to float summation order at
+    exact-zero dot products.
+
+    ``query_filter`` is applied to the LEFT side BEFORE the code join
+    (semi-join pushdown): a k-query lookup pays |queries| x bucket cost,
+    not the all-pairs candidate cost; per-query candidate sets are
+    identical either way.  ``canonical=True`` returns unordered pairs
+    (id_x < id_y) for near-dup detection instead of directed
+    (query_id, neighbor_id) pairs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rngs = [np.random.default_rng(seed + t) for t in range(n_tables)]
+    all_planes = np.concatenate(
+        [r.standard_normal((n_planes, dim)) for r in rngs], axis=0
+    )  # [T*P, dim]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    t_base = (np.arange(n_tables, dtype=np.int64) << np.int64(32))
+
+    @pandas_udf("array<long>")
+    def all_buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ all_planes.T) > 0  # [n, T*P]
+        codes = bits.reshape(len(m), n_tables, n_planes) @ weights  # [n, T]
+        vals = codes + t_base[None, :]
+        return pd.Series(list(vals))
+
+    coded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(all_buckets(F.col(vec_col).cast("array<double>"))).alias("code"),
+    )
+    lx, ly = ("id_x", "id_y") if canonical else ("query_id", "neighbor_id")
+    x = coded.withColumnRenamed("id", lx)
+    if query_filter is not None:
+        x = x.join(
+            embeddings.filter(query_filter).select(F.col(id_col).alias(lx)),
+            lx,
+            "left_semi",
+        )
+    y = coded.withColumnRenamed("id", ly)
+    keep = F.col(lx) < F.col(ly) if canonical else F.col(lx) != F.col(ly)
+    # distinct BEFORE the vector join-back + scoring, not after: a pair
+    # colliding in m of the n_tables tables appears m times (measured dup
+    # factor 1.7x at the sf0.1 top-k setting; up to n_tables x for true
+    # near-dups), and dropping it late would re-score and re-shuffle
+    # every copy through two joins.  The distinct's shuffle is on the
+    # already-pruned candidate relation — strictly smaller than what it
+    # saves downstream.
+    return x.join(y, "code").filter(keep).select(lx, ly).distinct()
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -191,53 +258,14 @@ def lsh_topk(
         n_planes = dp if n_planes is None else n_planes
         n_tables = dt if n_tables is None else n_tables
 
-    # ONE vectorized pass computes every table's bucket (round-1 built
-    # n_tables separate plans + joins + a union — 26 shuffles at the
-    # sf0.1 setting); each vector emits n_tables (table<<32|bucket)
-    # codes, pairs come from a single equi-join on the code.  Same
-    # planes/seed per table as hyperplane_buckets, so candidate sets are
-    # unchanged up to float summation order at exact-zero dot products.
-    from pyspark.sql.functions import pandas_udf
-
-    rngs = [np.random.default_rng(42 + t) for t in range(n_tables)]
-    all_planes = np.concatenate(
-        [r.standard_normal((n_planes, dim)) for r in rngs], axis=0
-    )  # [T*P, dim]
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    t_base = (np.arange(n_tables, dtype=np.int64) << np.int64(32))
-
-    @pandas_udf("array<long>")
-    def all_buckets(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (m @ all_planes.T) > 0  # [n, T*P]
-        codes = bits.reshape(len(m), n_tables, n_planes) @ weights  # [n, T]
-        vals = codes + t_base[None, :]
-        return pd.Series(list(vals))
-
-    coded = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.explode(all_buckets(F.col(vec_col).cast("array<double>"))).alias(
-            "code"
-        ),
-    )
-    x = coded.withColumnRenamed("id", "query_id")
-    y = coded.withColumnRenamed("id", "neighbor_id")
-    cand = (
-        x.join(y, "code")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    cand = _fused_code_candidates(
+        embeddings, n_planes, n_tables, dim,
+        id_col=id_col, vec_col=vec_col, query_filter=query_filter,
     )
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     q = e.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
-    if query_filter is not None:
-        cand = cand.join(
-            embeddings.filter(query_filter).select(F.col(id_col).alias("query_id")),
-            "query_id",
-            "left_semi",
-        )
     scored = (
         cand.join(q, "query_id")
         .join(e.withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv"), "neighbor_id")
@@ -305,9 +333,10 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    n_vectors = embeddings.count()
     if n_lists is None:
-        n_lists = max(2, int(math.sqrt(n_vectors)))
+        # count only when sizing is actually derived from the corpus —
+        # with explicit n_lists/n_probe the build must launch no job
+        n_lists = max(2, int(math.sqrt(embeddings.count())))
     if n_probe is None:
         n_probe = max(2, n_lists // 8)
     n_probe = min(n_probe, n_lists)
@@ -384,15 +413,37 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int | None = None,
+    n_vectors: int | None = None,
+    target_bucket_size: int = 64,
+    recall_target: float = 0.9,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH candidates verified by
-    exact cosine (candidate generation + verification, like the MinHash
-    path)."""
-    cands = lsh_cosine_candidates(embeddings, n_planes, dim, 42, id_col, vec_col)
+    """Embedding-cosine near-duplicate pairs: multi-table LSH candidates
+    verified by exact cosine (candidate generation + verification, like
+    the MinHash path).
+
+    Scale-parameterized like ``lsh_topk``: n_planes/n_tables default to
+    ``derive_ann_params(n, target_cosine=cosine_threshold)`` — planes
+    grow ~log2(n/bucket) so per-table candidate volume stays ~linear in
+    n, and tables grow to hold pair recall >= recall_target AT the
+    dedup threshold (round-2 hardcoded one table at fixed planes:
+    ~n^2/2^planes candidates and sub-target recall at scale)."""
+    if n_planes is None or n_tables is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        dp, dt = derive_ann_params(
+            n_vectors, target_bucket_size, cosine_threshold, recall_target
+        )
+        n_planes = dp if n_planes is None else n_planes
+        n_tables = dt if n_tables is None else n_tables
+    cands = _fused_code_candidates(
+        embeddings, n_planes, n_tables, dim,
+        id_col=id_col, vec_col=vec_col, canonical=True,
+    )
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
