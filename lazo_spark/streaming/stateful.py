@@ -8,9 +8,12 @@ OFF-heap in Spark's state store, keyed by document/column key: each
 micro-batch's new values fold into the stored signature by elementwise
 min (MinHash.merge semantics — merging the sketch of the delta IS
 updating the sketch with the values, MinHash.java:69-99), and the
-stored distinct-prefix count maintains the HLL-sparse cardinality
-incrementally (functions/hll.py semantics: V = distinct 25-bit
-murmur64 prefixes, estimate = linear counting).
+stored HLL state maintains the cardinality incrementally with the
+batch semantics of functions/hll.py: SPARSE (distinct sparse-encoded
+values, linear counting over distinct 25-bit prefixes) until the
+clearspring threshold, then an exact conversion to NORMAL 2^18
+registers (packed 10 per long, ~210 KB) — long-lived keys get bounded
+state and the same estimate the batch path would produce.
 
 Emitted rows are the keys whose sketch CHANGED in this batch, with the
 updated signature + cardinality — downstream, feed them to
@@ -28,8 +31,37 @@ import pandas as pd
 from ..config import LazoConfig
 
 OUT_SCHEMA = "key string, cardinality long, signature array<long>"
-# state: packed signature + the set of seen 25-bit prefixes
-STATE_SCHEMA = "signature array<long>, prefixes array<long>"
+# state: packed signature + HLL state: mode 0 = SPARSE (data = sorted
+# distinct sparse-encoded ints, clearspring encodeHash layout), mode 1 =
+# NORMAL (data = 2^18 6-bit registers packed 10 per long).  Sparse
+# converts to normal at the clearspring threshold, so per-key state is
+# BOUNDED at ~26k longs (~210 KB) regardless of stream length.
+STATE_SCHEMA = "signature array<long>, mode long, data array<long>"
+
+_REGS_PER_LONG = 10  # 6-bit registers, 10 per int64
+
+
+def _pack_regs(regs: np.ndarray) -> list[int]:
+    from ..functions.hll import M_NORMAL
+
+    n = -(-M_NORMAL // _REGS_PER_LONG) * _REGS_PER_LONG
+    padded = np.zeros(n, dtype=np.int64)
+    padded[: len(regs)] = regs
+    cols = padded.reshape(-1, _REGS_PER_LONG)
+    out = np.zeros(len(cols), dtype=np.int64)
+    for j in range(_REGS_PER_LONG):
+        out |= cols[:, j] << np.int64(6 * j)
+    return out.tolist()
+
+
+def _unpack_regs(packed) -> np.ndarray:
+    from ..functions.hll import M_NORMAL
+
+    p = np.asarray(packed, dtype=np.int64)
+    regs = np.empty((len(p), _REGS_PER_LONG), dtype=np.int64)
+    for j in range(_REGS_PER_LONG):
+        regs[:, j] = (p >> np.int64(6 * j)) & np.int64(0x3F)
+    return regs.reshape(-1)[:M_NORMAL]
 
 
 def _fold_batch(
@@ -39,7 +71,15 @@ def _fold_batch(
     config: LazoConfig,
 ) -> Iterator[pd.DataFrame]:
     """Fold one key's micro-batch values into its sketch state."""
-    from ..functions.hll import SM_SPARSE, SP, SPARSE_THRESHOLD
+    from ..functions.hll import (
+        SM_SPARSE,
+        SP,
+        SPARSE_THRESHOLD,
+        encode_hash,
+        fold_normal_regs,
+        normal_cardinality_from_regs,
+        regs_from_encoded,
+    )
     from ..functions.shingles import shingle_hashes
     from ..functions.sketch_kernels import LONG_MAX, minhash_sigs
 
@@ -47,38 +87,59 @@ def _fold_batch(
     for pdf in pdfs:
         values.extend(pdf["value"].tolist())
     if state.exists:
-        sig_list, pref_list = state.get
+        sig_list, mode, data = state.get
         sig = np.array(sig_list, dtype=np.int64)
-        prefixes = set(pref_list)
     else:
         sig = np.full(config.k, LONG_MAX, dtype=np.int64)
-        prefixes = set()
+        mode, data = 0, []
 
     # one document worth of new values => one ragged row
     content = "\n".join(str(v) for v in values)
     h1, off, h64 = shingle_hashes([content], "line", config.seed, with_h64=True)
     new_sig = minhash_sigs(h1, off, config.k, config.seed)[0]
     merged = np.minimum(sig, new_sig)
-    before = len(prefixes)
-    prefixes.update(
-        (np.asarray(h64, dtype=np.int64).view(np.uint64) >> np.uint64(64 - SP))
-        .astype(np.int64)
-        .tolist()
-    )
-    changed = bool((merged != sig).any()) or len(prefixes) != before
+    h64 = np.asarray(h64, dtype=np.int64)
 
-    state.update((merged.tolist(), sorted(prefixes)))
+    if mode == 0:
+        enc = np.union1d(np.asarray(data, dtype=np.int64), encode_hash(h64))
+        flag = (enc & np.int64(1)) != 0
+        idx25 = np.where(flag, enc >> np.int64(7), enc >> np.int64(1))
+        v = len(np.unique(idx25))
+        if v <= SPARSE_THRESHOLD:
+            changed = bool((merged != sig).any()) or len(enc) != len(data)
+            state.update((merged.tolist(), 0, enc.tolist()))
+            if not changed:
+                return
+            card = int(np.rint(SM_SPARSE * np.log(SM_SPARSE / (SM_SPARSE - v))))
+            yield pd.DataFrame(
+                {"key": [key[0]], "cardinality": [card], "signature": [merged.tolist()]}
+            )
+            return
+        # sparse -> normal handoff (exact register conversion, see
+        # functions/hll.regs_from_encoded); state size is bounded from
+        # here on
+        regs = regs_from_encoded(enc)
+        state.update((merged.tolist(), 1, _pack_regs(regs)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "cardinality": [normal_cardinality_from_regs(regs)],
+                "signature": [merged.tolist()],
+            }
+        )
+        return
+
+    regs = _unpack_regs(data)
+    before = regs.copy()
+    fold_normal_regs(regs, h64.view(np.uint64))
+    changed = bool((merged != sig).any()) or bool((regs != before).any())
+    state.update((merged.tolist(), 1, _pack_regs(regs)))
     if not changed:
         return
-    v = len(prefixes)
-    if v <= SPARSE_THRESHOLD:
-        card = int(np.rint(SM_SPARSE * np.log(SM_SPARSE / (SM_SPARSE - v))))
-    else:  # beyond sparse: callers this deep should re-sketch in batch
-        card = v
     yield pd.DataFrame(
         {
             "key": [key[0]],
-            "cardinality": [card],
+            "cardinality": [normal_cardinality_from_regs(regs)],
             "signature": [merged.tolist()],
         }
     )

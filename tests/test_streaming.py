@@ -129,3 +129,55 @@ def test_stateful_sketch_stream(spark, tmp_path):
     assert (merged == want_sig).all()  # min-merge == sketch of union
     assert latest["k1"][0] == 50  # sparse-linear-counting exact here
     assert latest["k2"][0] == 1
+
+
+def test_stateful_normal_mode_handoff():
+    """Past the clearspring sparse threshold (196,608 distinct prefixes)
+    the per-key state must convert to packed 2^18 NORMAL registers —
+    bounded size — and the estimate must match the batch HLL of the
+    union (the sparse->normal register conversion is exact)."""
+    import numpy as np
+
+    from lazo_spark.functions.hll import SPARSE_THRESHOLD, hll_cardinality
+    from lazo_spark.functions.shingles import shingle_hashes
+    from lazo_spark.streaming.stateful import _REGS_PER_LONG, _fold_batch
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    cfg = LazoConfig()
+    state = FakeState()
+    n_total = 240_000
+    chunk = 80_000
+    outs = []
+    for lo in range(0, n_total, chunk):
+        vals = [f"val{i}" for i in range(lo, lo + chunk)]
+        pdf = pd.DataFrame({"value": vals})
+        outs.extend(_fold_batch(("k",), iter([pdf]), state, cfg))
+        if lo == 0:  # still sparse after the first chunk
+            assert state.get[1] == 0
+
+    sig, mode, data = state.get
+    assert mode == 1, "state did not convert to NORMAL"
+    assert len(data) == -(-(1 << 18) // _REGS_PER_LONG), "state not bounded"
+
+    union = "\n".join(f"val{i}" for i in range(n_total))
+    _h1, _off, h64 = shingle_hashes([union], "line", cfg.seed, with_h64=True)
+    expect = hll_cardinality(np.asarray(h64, dtype=np.int64))
+    got = int(outs[-1]["cardinality"].iloc[0])
+    assert got == expect, f"stream {got} != batch {expect}"
+    # sanity: the estimate is in the right ballpark of the true count
+    assert abs(got - n_total) / n_total < 0.02
