@@ -324,6 +324,38 @@ def q_dedup_clusters(spark, sf_dir):
     result = run_dedup(spark, docs, cfg)
     return result["clusters"].select("key", "cluster")
 
+def q_dedup_clusters_exact(spark, sf_dir):
+    """Flagship END-TO-END shape with exact verification in place of the
+    LSH candidate stage: sha256 collapse -> brute-force exact bigram
+    containment pairs among representatives (jcx >= 0.8) -> connected
+    components -> expand cluster labels to every member row.  Unlike
+    dedup_clusters (approximate LSH candidates, rows-only check), every
+    stage here is oracle-expressible, so the DuckDB hash-match covers the
+    collapse semantics, the threshold filter, the CC min-labels, and the
+    membership expansion in one green row."""
+    from lazo_spark.operators.sketch import collapse_exact_duplicates
+
+    docs = (
+        _docs_capped(spark, sf_dir)
+        .select(F.col("doc_id").alias("key"), F.col("text").alias("content"))
+        .withColumn("sha", F.sha2("content", 256))
+    )  # numeric keys: CC min-labels must agree with the oracle's least()
+    reps, membership = collapse_exact_duplicates(docs)
+    pairs = exact_pairs(reps, "key", "content", "token_ngram:2", jcx_threshold=0.8)
+    comp = connected_components(pairs.select("key_x", "key_y"))
+    return (
+        membership.join(
+            comp.withColumnRenamed("key", "rep_key"), "rep_key", "left"
+        )
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.coalesce(F.col("cluster"), F.col("rep_key"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+
+
 def q_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
     sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg).persist()
@@ -639,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
         "media_exact_dups": q_media_exact_dups,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -658,28 +691,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_BIGRAMS = f"""
-  SELECT doc_id, g FROM (
-    SELECT DISTINCT doc_id, CASE WHEN len(arr) < 2
-        THEN array_to_string(arr, ' ')
-        ELSE arr[i] || ' ' || arr[i+1] END AS g
-    FROM (SELECT doc_id, {_TOKS} AS arr FROM documents),
-         UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
-    WHERE i = 1 OR i <= len(arr) - 1)
-"""
+def _bigrams_sql(src: str = "documents") -> str:
+    """DuckDB distinct token bigrams over any (doc_id, text) relation."""
+    return f"""
+      SELECT doc_id, g FROM (
+        SELECT DISTINCT doc_id, CASE WHEN len(arr) < 2
+            THEN array_to_string(arr, ' ')
+            ELSE arr[i] || ' ' || arr[i+1] END AS g
+        FROM (SELECT doc_id, {_TOKS} AS arr FROM {src}),
+             UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
+        WHERE i = 1 OR i <= len(arr) - 1)
+    """
 
-_BIGRAM_PAIR_SCORES = f"""
-  WITH bg AS ({_BIGRAMS}),
-  sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
-  ix AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
-         FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-  SELECT x, y,
-         c * 1.0 / (sa.n + sb.n - c) AS js,
-         c * 1.0 / sa.n AS jcx,
-         c * 1.0 / sb.n AS jcy
-  FROM ix JOIN sz sa ON ix.x = sa.doc_id JOIN sz sb ON ix.y = sb.doc_id
-"""
+
+_BIGRAMS = _bigrams_sql("documents")
+
+
+def _bigram_pair_scores_sql(src: str = "documents") -> str:
+    """DuckDB bigram JS/JCX/JCY pair scores over any (doc_id, text)
+    relation (oracle counterpart of exact_pairs on token_ngram:2)."""
+    return f"""
+      WITH bg AS ({_bigrams_sql(src)}),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
+             FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT x, y,
+             c * 1.0 / (sa.n + sb.n - c) AS js,
+             c * 1.0 / sa.n AS jcx,
+             c * 1.0 / sb.n AS jcy
+      FROM ix JOIN sz sa ON ix.x = sa.doc_id JOIN sz sb ON ix.y = sb.doc_id
+    """
+
+
+_BIGRAM_PAIR_SCORES = _bigram_pair_scores_sql("documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -766,6 +811,35 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY a
             )
             SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster
+        """,
+        "dedup_clusters_exact": f"""
+            WITH RECURSIVE m AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+              FROM documents
+            ),
+            reps AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              FROM documents GROUP BY sha256(text)
+            ),
+            pairs AS (
+              SELECT x, y FROM ({_bigram_pair_scores_sql("reps")})
+              WHERE jcx >= 0.8 OR jcy >= 0.8
+            ),
+            edges AS (SELECT x AS a, y AS b FROM pairs
+                      UNION SELECT y AS a, x AS b FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT a AS node, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a
+            )
+            SELECT m.doc_id AS key,
+                   COALESCE(l.cluster, m.rep) AS cluster
+            FROM m LEFT JOIN labels l ON m.rep = l.node
         """,
         "pr_evaluator": f"""
             WITH toks AS (
