@@ -45,8 +45,27 @@ def decode_media(payload: bytes, media_type: str, mode: str = "fake") -> np.ndar
     return (raw.astype(np.float32) / np.float32(2**32)).astype(np.float32)
 
 
+def fake_batch_decoder(payloads: pd.Series, media_types: pd.Series) -> list:
+    """Deterministic batch 'decoder': features derived from
+    sha256(payload).  The digest itself is a per-row C primitive (same as
+    Spark's own sha2); everything after it — widening the digests to the
+    FEATURE_DIM float32 matrix — is one vectorized NumPy pass over the
+    whole Arrow batch."""
+    digests = b"".join(
+        hashlib.sha256(p or b"").digest() for p in payloads
+    )
+    raw = np.frombuffer(digests, dtype=np.uint32).reshape(len(payloads), 8)
+    reps = (FEATURE_DIM + 7) // 8
+    mat = np.tile(raw, (1, reps))[:, :FEATURE_DIM]
+    feats = (mat.astype(np.float32) / np.float32(2**32)).astype(np.float32)
+    return list(feats)
+
+
 def extract_features(
-    df: DataFrame, mode: str = "fake", batch_note: str = "sha-derived"
+    df: DataFrame,
+    mode: str = "fake",
+    batch_note: str = "sha-derived",
+    decoder=None,
 ) -> DataFrame:
     """(media table) -> (media_id, media_type, n_bytes, features).
 
@@ -54,21 +73,31 @@ def extract_features(
     binary column per batch; features leave as list<float>.  This stage
     is narrow (no shuffle) and partition-parallel — exactly how a real
     decoder would run.
+
+    ``decoder`` is the integration seam: a batch callable
+    (payloads: pd.Series, media_types: pd.Series) -> sequence of float32
+    vectors, shipped to workers in the UDF closure.  mode='real' REQUIRES
+    one (plug PIL/ffmpeg here — not installed in this environment;
+    checked driver-side so a missing codec fails at plan build, not
+    mid-job).  mode='fake' defaults to :func:`fake_batch_decoder`.
     """
+    if mode == "real" and decoder is None:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; pass "
+            "decoder=(payloads, media_types) -> vectors (PIL for image, "
+            "ffmpeg for audio/video)"
+        )
+    dec = decoder if decoder is not None else fake_batch_decoder
     schema = "media_id string, media_type string, n_bytes long, features array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_media(p, t, mode)
-                for p, t in zip(pdf["payload"], pdf["media_type"])
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "features": feats,
+                    "n_bytes": pdf["payload"].map(lambda p: len(p or b"")),
+                    "features": dec(pdf["payload"], pdf["media_type"]),
                 }
             )
 

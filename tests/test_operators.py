@@ -147,6 +147,44 @@ def test_multimodal_real_mode_raises():
         decode_media(b"x", "image", mode="real")
 
 
+def test_multimodal_fake_batch_matches_scalar():
+    """The vectorized fake batch decoder must equal the per-row scalar
+    decode_media (the media_features oracle depends on these values)."""
+    import numpy as np
+    import pandas as pd
+
+    from lazo_spark.operators.multimodal import decode_media, fake_batch_decoder
+
+    payloads = [b"abc", b"", None, b"payload-1", bytes(range(256))]
+    got = fake_batch_decoder(pd.Series(payloads), pd.Series(["image"] * 5))
+    for p, g in zip(payloads, got):
+        assert np.array_equal(g, decode_media(p, "image", "fake")), p
+
+
+def test_multimodal_injected_decoder(spark):
+    """mode='real' works end-to-end when a batch decoder is injected
+    (the codec plug-point), and fails at PLAN BUILD without one."""
+    from lazo_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(b"xy"), {})],
+        "media_id string, media_type string, payload binary, meta map<string,string>",
+    )
+
+    with pytest.raises(NotImplementedError):
+        extract_features(df, mode="real")
+
+    def dummy_decoder(payloads, media_types):
+        import numpy as np
+
+        return [
+            np.full(16, float(len(p or b"")), dtype=np.float32) for p in payloads
+        ]
+
+    rows = extract_features(df, mode="real", decoder=dummy_decoder).collect()
+    assert rows[0].features == [2.0] * 16
+
+
 # ---- incremental updates ----
 
 def test_incremental_insert_update_remove(spark):
