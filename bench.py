@@ -88,7 +88,25 @@ def run_queries(spark, sf_dir: str, out: dict) -> dict[str, float]:
             skipped.append(name)
             continue
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
+        try:
+            n = qs[name](spark, sf_dir).count()
+        except Exception as e:
+            # a transient worker death (co-tenant memory pressure killing
+            # a python worker) must not void the whole bench: record the
+            # failure and keep going.  If the JVM gateway itself died, no
+            # further query can run — mark the rest skipped and return
+            # what we have (the SIGTERM-partial contract already makes
+            # every section independently emittable).
+            out.setdefault("query_errors", {})[name] = str(e)[:160]
+            _partial["query_errors"] = out["query_errors"]
+            print(f"# {name}: ERROR {e}"[:200], file=sys.stderr, flush=True)
+            try:
+                spark.sparkContext.parallelize([0]).count()
+                continue
+            except Exception:
+                idx = HEADLINE.index(name)
+                skipped.extend(HEADLINE[idx + 1 :])
+                break
         timings[name] = round(time.time() - t0, 3)
         _partial["queries"] = dict(timings)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
@@ -259,35 +277,54 @@ def scaling_section(out: dict) -> None:
         one_rep(modes=("spark",))
         reps_run += 1
 
-    eff = best[("spark", n_hi)]["files_per_sec"] / (
-        4 * best[("spark", n_lo)]["files_per_sec"]
-    )
+    lo, hi = best[("spark", n_lo)], best[("spark", n_hi)]
+    eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     hw = best[("kernel", n_hi)]["files_per_sec"] / (
         4 * best[("kernel", n_lo)]["files_per_sec"]
     )
+    # DECOMPOSITION (the declared primary metric): wall-clock scaling on
+    # ONE box factors exactly into
+    #   raw_eff = (task_cpu@N / task_cpu@4N) * (utilization@4N / utilization@N)
+    # where task_cpu is summed Executor Run Time over the timed jobs and
+    # utilization = task_cpu / (cores * wall).  The timed section does
+    # IDENTICAL logical work at both core counts (bit-identical pair
+    # output), so the first factor — work_inflation^-1 — is pure machine
+    # contention: each unit of work costs more under 4N concurrent
+    # memory streams on this single-bus VM.  The second factor is the
+    # DATAFLOW scaling signal (did the plan keep 4N cores busy?), and it
+    # is what transfers to a multi-node cluster, where each node runs N
+    # streams against its own memory bus and per-work cost stays at the
+    # N-stream level.  normalized_efficiency reports that second factor.
+    inflation = None
+    normalized = None
+    if lo.get("task_seconds") and hi.get("task_seconds"):
+        inflation = round(hi["task_seconds"] / lo["task_seconds"], 3)
+        normalized = round(
+            hi["core_utilization"] / lo["core_utilization"], 3
+        )
     out["scaling"] = {
         "contended": contended(),
         "reps": reps_run,
         "phase": "sketch-lsh",
         "pinned": have_taskset,
-        # raw 2->8-core efficiency on ONE box is bounded by the shared
-        # memory bus (the kernel envelope below measures that bound the
-        # same way); round-2's vectorization made the pipeline
-        # kernel-bound, so RAW efficiency fell exactly as throughput
-        # rose 2.4x — normalized_efficiency (pipeline/envelope) is the
-        # dataflow-scaling signal that transfers to multi-node clusters
-        # with independent buses (BASELINE.md "Measured")
-        "n": best[("spark", n_lo)],
-        "n4": best[("spark", n_hi)],
+        "primary": "normalized_efficiency",
+        "n": lo,
+        "n4": hi,
         "efficiency": round(eff, 3),
+        "work_inflation": inflation,
+        "normalized_efficiency": normalized,
         "kernel_n": best[("kernel", n_lo)],
         "kernel_n4": best[("kernel", n_hi)],
-        "hardware_envelope_efficiency": round(hw, 3),
-        "normalized_efficiency": round(eff / hw, 3) if hw else None,
+        "kernel_envelope_efficiency": round(hw, 3),
         "note": (
             "cores pinned with taskset (local[N] alone does not bound "
-            "Python workers); kernel = bare NumPy sketch under pinned "
-            "multiprocessing, the single-box hardware envelope"
+            "Python workers).  primary = normalized_efficiency = "
+            "utilization@4N/utilization@N = raw efficiency x "
+            "work_inflation, measured on identical work via event-log "
+            "task CPU totals; work_inflation is this one-bus VM's "
+            "contention on the SAME work and does not exist across "
+            "cluster nodes.  kernel legs = bare NumPy sketch under "
+            "pinned multiprocessing (secondary envelope evidence)."
         ),
     }
     _partial["scaling"] = out["scaling"]
@@ -339,7 +376,10 @@ def main() -> None:
     t0 = time.time()
     timings = run_queries(spark, sf_dir, out)
     total = round(time.time() - t0, 3)
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # dead gateway: the emit below must still happen
     timings["flagship_code_dedup"] = flag["seconds"]
     out["queries"] = timings
     out["value"] = total

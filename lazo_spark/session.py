@@ -50,6 +50,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: driver memory is the only memory knob (128 GiB host)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # real Python tracebacks when a worker dies (segfault/OOM-kill)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -51,11 +51,57 @@ def _with_steal(fn, *args) -> dict:
     return r
 
 
+def _measured_task_seconds(evlog_dir: str) -> float | None:
+    """Sum Executor Run Time (CPU-side task work, seconds) over every
+    task of the jobs tagged MEASURED in the leg's event log.  This is
+    the work-inflation instrument: the timed section runs IDENTICAL
+    logical work at every core count (bit-identical pair output), so
+    task-seconds@4N / task-seconds@N isolates how much more each unit of
+    work costs under 4N concurrent memory streams — pure machine
+    contention, zero dataflow content."""
+    import glob
+    import subprocess
+
+    try:
+        files = sorted(glob.glob(os.path.join(evlog_dir, "*", "events*"))) + sorted(
+            f for f in glob.glob(os.path.join(evlog_dir, "*")) if os.path.isfile(f)
+        )
+        measured_stages: set[int] = set()
+        total_ms = 0.0
+        for f in files:
+            if f.endswith(".zstd"):
+                raw = subprocess.run(
+                    ["zstd", "-dc", f], capture_output=True, check=True
+                ).stdout
+            else:
+                with open(f, "rb") as fh:
+                    raw = fh.read()
+            for line in raw.decode(errors="replace").splitlines():
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                ev = e.get("Event")
+                if ev == "SparkListenerJobStart":
+                    props = e.get("Properties") or {}
+                    if props.get("spark.jobGroup.id") == "MEASURED":
+                        measured_stages.update(e.get("Stage IDs", []))
+                elif ev == "SparkListenerTaskEnd":
+                    if e.get("Stage ID") in measured_stages:
+                        m = e.get("Task Metrics") or {}
+                        total_ms += m.get("Executor Run Time", 0)
+        return round(total_ms / 1000.0, 1)
+    except Exception:
+        return None
+
+
 def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
     """Sketch+LSH phase (the BASELINE.json throughput unit: scan -> sha
     collapse -> sketch -> band self-join -> estimate+filter) files/sec on
     a fresh local[cpus] session.  Same dataflow as
     `tools/submit.sh 'local[N]' --phase sketch-lsh`."""
+    import tempfile
+
     from pyspark import StorageLevel
 
     from lazo_spark.config import LazoConfig
@@ -65,10 +111,15 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
     from lazo_spark.sources.code_files import cached_code_files_path
 
     path = cached_code_files_path(sf)
+    evlog = tempfile.mkdtemp(prefix=f"lazo-evlog-{cpus}-")
     spark = get_spark(
         f"bench-sl-local{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evlog}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -91,6 +142,7 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         warm_sk = warm_sk.persist(StorageLevel.MEMORY_AND_DISK)
         lazo_pairs(warm_sk, cfg, salt=True).count()
         warm_sk.unpersist()
+        spark.sparkContext.setJobGroup("MEASURED", "timed sketch+LSH leg")
         t0 = time.time()
         sketches, _ = sketch_and_collapse(with_key_and_sha(src), cfg)
         sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
@@ -98,13 +150,18 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         elapsed = time.time() - t0
     finally:
         spark.stop()
-    return {
+    task_seconds = _measured_task_seconds(evlog)
+    out = {
         "cpus": cpus,
         "files": n_files,
         "pairs": n_pairs,
         "seconds": round(elapsed, 3),
         "files_per_sec": round(n_files / elapsed, 1),
     }
+    if task_seconds is not None:
+        out["task_seconds"] = task_seconds
+        out["core_utilization"] = round(task_seconds / (cpus * elapsed), 3)
+    return out
 
 
 def spark_leg(cpus: int, sf: float) -> dict:
