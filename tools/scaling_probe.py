@@ -112,14 +112,18 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
 
     path = cached_code_files_path(sf)
     evlog = tempfile.mkdtemp(prefix=f"lazo-evlog-{cpus}-")
+    extra = {
+        "spark.sql.files.maxPartitionBytes": "1m",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{evlog}",
+    }
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_PROBE_CONF", "{}")))
     spark = get_spark(
         f"bench-sl-local{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "1m",
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": f"file://{evlog}",
-        },
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_PROBE_SHUFFLE", 2 * cpus)
+        ),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
