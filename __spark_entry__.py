@@ -626,7 +626,9 @@ def q_incremental_delta_pairs(spark, sf_dir):
     docs = _docs_keyed(spark, sf_dir)
     old = docs.filter(F.col("key").cast("long") % 2 == 0)
     new = docs.filter(F.col("key").cast("long") % 2 == 1)
-    all_sk = insert_sketches(sketch_stage(old, cfg), new, cfg)
+    # persist: both sides of the delta band join read this relation —
+    # unpersisted, the sketch stage would execute once per side
+    all_sk = insert_sketches(sketch_stage(old, cfg), new, cfg).persist()
     out = delta_pairs(all_sk, new.select("key"), cfg)
     return out.select(
         F.col("key_x").cast("long").alias("key_x"),

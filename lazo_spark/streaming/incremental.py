@@ -55,9 +55,20 @@ def delta_pairs(
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW key: new bands vs all
     bands (the incremental query loop, LazoBenchmark.java:237-254, without
-    recomputing old-vs-old)."""
-    bands_all = band_explode(all_sketches)
-    bands_new = bands_all.join(new_keys.select("key"), "key")
+    recomputing old-vs-old).
+
+    Plan shape: band rows are truncated to the useful prefix
+    (max_useful_band — lossless at the given thresholds, same pruning as
+    the batch path), and the two join sides both read ``all_sketches``,
+    so the caller should persist it — otherwise the (expensive) sketch
+    plan executes once per side."""
+    from ..operators.lazo import max_useful_band
+
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    max_pos = max_useful_band(config, js_t, jcx_t)
+    bands_all = band_explode(all_sketches, max_pos=max_pos)
+    bands_new = bands_all.join(new_keys.select("key"), "key", "left_semi")
     x = bands_new.select(
         "pos", "bh", F.col("key").alias("key_x"), F.col("card").alias("card_x")
     )
