@@ -100,3 +100,32 @@ def test_small_dim_join_broadcasts(spark, docs):
     )
     plan = _plan(docs.join(dims, "part"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_query_filter_below_code_join(spark):
+    """lsh_topk's query filter must semi-join the LEFT side BEFORE the
+    code self-join (a k-query lookup pays |queries| x bucket cost, not
+    the all-pairs candidate cost).  Asserted structurally: in the
+    optimized logical plan the semi-join must sit BELOW the code
+    equi-join, not above it."""
+    import numpy as np
+
+    from lazo_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk(
+        emb, k=2, n_planes=4, n_tables=2, query_filter=F.col("vec_id") < 5
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    semi = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    code_join = [
+        i for i, ln in enumerate(lines)
+        if "Join Inner" in ln and "code" in ln
+    ]
+    assert semi and code_join, plan
+    # deeper in the tree = LARGER line index (children print below
+    # parents): the semi-join must appear below the code join
+    assert min(semi) > min(code_join), plan
+    assert out.count() >= 0
