@@ -159,7 +159,16 @@ def candidate_pairs(
     y = bands.select(
         *join_keys, F.col("kh").alias("kh_y"), F.col("card").alias("card_y")
     )
-    joined = x.join(y, join_keys).filter(F.col("kh_x") < F.col("kh_y"))
+    # SHUFFLE_HASH: Spark's default picks SortMergeJoin here, which sorts
+    # BOTH multi-million-row band relations per partition — the dominant
+    # memory cost of the hottest stage.  A shuffled hash join builds one
+    # ~(rows/partitions) map instead (band rows are ~40 B, so the build
+    # side per partition is MBs whenever partitions are sized sanely,
+    # which the 100-TB design rule already requires); salting + AQE skew
+    # split keep any hot bucket from blowing up a single build.
+    joined = x.join(y.hint("SHUFFLE_HASH"), join_keys).filter(
+        F.col("kh_x") < F.col("kh_y")
+    )
     if row_filter is not None:
         joined = row_filter(joined)
     pairs = joined.groupBy("kh_x", "kh_y").agg(
