@@ -180,12 +180,18 @@ def candidate_pairs(
         # caller estimates on the hashed pairs and joins keys back itself
         # (the estimate-before-join-back plan: see lazo_pairs)
         return pairs
+    # SHUFFLE_HASH: the lookup side is one small row per key — hash-build
+    # it instead of sorting the pair relation twice (a broadcast would
+    # not survive 10^12 keys; AQE still upgrades to broadcast when the
+    # runtime size allows)
     lookup = sketches.select(F.xxhash64("key").alias("kh"), "key")
     with_keys = pairs.join(
-        lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
+        lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx")
+        .hint("SHUFFLE_HASH"),
         "kh_x",
     ).join(
-        lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky"),
+        lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky")
+        .hint("SHUFFLE_HASH"),
         "kh_y",
     )
     x_first = F.col("kx") < F.col("ky")
@@ -395,11 +401,14 @@ def lazo_pairs(
             engine="sql", key_cols=("kh_x", "kh_y"),
         )
         lookup = sketches.select(F.xxhash64("key").alias("kh"), "key")
+        # SHUFFLE_HASH on the lookup side: see candidate_pairs join-back
         with_keys = est.join(
-            lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
+            lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx")
+            .hint("SHUFFLE_HASH"),
             "kh_x",
         ).join(
-            lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky"),
+            lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky")
+            .hint("SHUFFLE_HASH"),
             "kh_y",
         )
         x_first = F.col("kx") < F.col("ky")

@@ -76,7 +76,9 @@ def delta_pairs(
         "pos", "bh", F.col("key").alias("key_y"), F.col("card").alias("card_y")
     )
     pairs = (
-        x.join(y, ["pos", "bh"])
+        # hash-build the NEW (delta) side — the smaller relation by
+        # construction; see candidate_pairs for why not sort-merge
+        x.hint("SHUFFLE_HASH").join(y, ["pos", "bh"])
         .filter(F.col("key_x") != F.col("key_y"))
         .select(
             F.least("key_x", "key_y").alias("kx"),
