@@ -73,7 +73,7 @@ def simhash_candidate_pairs(
         "pos", "bh", F.col("key").alias("key_y"), F.col("simhash").alias("sim_y")
     )
     return (
-        x.join(y, ["pos", "bh"])
+        x.join(y.hint("SHUFFLE_HASH"), ["pos", "bh"])  # no sort of band rows
         .filter(F.col("key_x") < F.col("key_y"))
         .select("key_x", "key_y", "sim_x", "sim_y")
         .distinct()

@@ -217,7 +217,9 @@ def _fused_code_candidates(
     # every copy through two joins.  The distinct's shuffle is on the
     # already-pruned candidate relation — strictly smaller than what it
     # saves downstream.
-    return x.join(y, "code").filter(keep).select(lx, ly).distinct()
+    # hash-build the (possibly query-pruned) left side; broadcast still
+    # wins via AQE when the runtime size allows
+    return x.hint("SHUFFLE_HASH").join(y, "code").filter(keep).select(lx, ly).distinct()
 
 
 def lsh_topk(

@@ -89,7 +89,7 @@ def substring_candidates(
     x = fp.select(F.col("key").alias("key_x"), "gram")
     y = fp.select(F.col("key").alias("key_y"), "gram")
     return (
-        x.join(y, "gram")
+        x.join(y.hint("SHUFFLE_HASH"), "gram")  # no sort of fingerprint rows
         .filter(F.col("key_x") < F.col("key_y"))
         .groupBy("key_x", "key_y")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
