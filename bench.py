@@ -17,7 +17,7 @@ importance so an external timeout still leaves the north-rule numbers:
      streams — BASELINE.md "Measured"), per-query budget guard.
 A SIGTERM handler emits the partial JSON if an external timeout fires,
 so the driver always gets a parseable line.  SPARK_GRAFT_BENCH_BUDGET
-(sec, default 540) trims sections when exceeded.
+(sec, default 840) trims sections when exceeded.
 """
 from __future__ import annotations
 
@@ -282,7 +282,10 @@ def scaling_section(out: dict) -> None:
     while (
         reps_run < max_reps
         and (contended() or current_eff() < 0.55)
-        and _left() > rep_cost  # spark-only retry is cheaper than a rep
+        # reserve ~300s so a contended retry can never starve the
+        # flagship + headline sweep (r3 rehearsal: a noisy window made
+        # retries eat the whole budget and the sweep emitted nothing)
+        and _left() > rep_cost + 300
     ):
         one_rep(modes=("spark",))
         reps_run += 1
@@ -374,7 +377,7 @@ def main() -> None:
     _partial["flagship"] = flag
     # best-of-2 when budget remains: single-shot flagship wall swings
     # 33 -> 121 s under co-tenant steal on this box
-    if _left() > 1.3 * flag["seconds"] + 120:
+    if _left() > 1.3 * flag["seconds"] + 180:
         flag2 = flagship_and_index_bench(min(cpus, 8), code_sf, False)
         if flag2["seconds"] < flag["seconds"]:
             lvb = flag.get("lazo_vs_base")
