@@ -32,7 +32,8 @@ def winnow_grams(text: str, L: int = 32, w: int = 8) -> list[str]:
     n = len(text)
     if n < L:
         return [text] if text else []
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    raw = text.encode("utf-8", "surrogatepass")
+    b = np.frombuffer(raw, dtype=np.uint8)
     if len(b) < L:
         return [text]
     # polynomial rolling hash over bytes, vectorized via cumulative trick
@@ -53,7 +54,6 @@ def winnow_grams(text: str, L: int = 32, w: int = 8) -> list[str]:
     # decode positions back to char-space: operate on bytes; return byte
     # slices re-decoded (safe: we only join on equality)
     out = set()
-    raw = text.encode("utf-8", "surrogatepass")
     for p in picks:
         out.add(raw[p : p + L].decode("utf-8", "replace"))
     return list(out)

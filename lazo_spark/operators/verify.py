@@ -118,7 +118,8 @@ def exact_pairs(
     a = sh.select(F.col("key").alias("key_x"), "shingle")
     b = sh.select(F.col("key").alias("key_y"), "shingle")
     ix = (
-        a.join(b, "shingle")
+        # hash-build, not sort-merge: see operators/lazo.candidate_pairs
+        a.join(b.hint("SHUFFLE_HASH"), "shingle")
         .filter(F.col("key_x") < F.col("key_y"))
         .groupBy("key_x", "key_y")
         .agg(F.count(F.lit(1)).alias("ix"))
