@@ -129,3 +129,22 @@ def test_ann_query_filter_below_code_join(spark):
     # parents): the semi-join must appear below the code join
     assert min(semi) > min(code_join), plan
     assert out.count() >= 0
+
+
+def test_band_join_avoids_sort_merge(spark, docs):
+    """The pair path must hash-build, never sort-merge: with broadcast
+    disabled (as at real scale, where no side fits a broadcast) the
+    SHUFFLE_HASH hints must hold — a SortMergeJoin here sorts both
+    multi-million-row band relations per partition, the round-3-measured
+    dominant memory cost of the hottest stage."""
+    from lazo_spark.operators.lazo import lazo_pairs
+    from lazo_spark.operators.sketch import sketch_stage
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sk = sketch_stage(_keyed(docs), LazoConfig(jcx_threshold=0.8))
+        plan = _plan(lazo_pairs(sk, LazoConfig(jcx_threshold=0.8), salt=True))
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
