@@ -637,6 +637,34 @@ def q_incremental_delta_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Brute-force exact embedding near-dup pairs (cosine >= 0.3) — the
+    ground-truth counterpart of embedding_near_dups, oracle-expressible
+    (DuckDB list_cosine_similarity), value-hash-checked.  Capped to the
+    first 2000 vectors so the cross product stays bounded at any sf
+    (the LSH path is the scale path; this is the verification baseline)."""
+    from lazo_spark.operators.similarity import _dot, _norm
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = e.withColumnRenamed("id", "id_x").withColumnRenamed("v", "vx")
+    b = e.withColumnRenamed("id", "id_y").withColumnRenamed("v", "vy")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_x") < F.col("id_y"))
+        .select(
+            "id_x",
+            "id_y",
+            (_dot(F.col("vx"), F.col("vy")) / (_norm(F.col("vx")) * _norm(F.col("vy")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_x", "id_y", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     # params derived from corpus size + the dedup threshold
     # (derive_ann_params): planes ~log2(n/bucket), tables sized to hold
@@ -672,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "media_exact_dups": q_media_exact_dups,
@@ -871,6 +900,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS key,
                    len(list_distinct({_TOKS})) AS cardinality
             FROM documents WHERE length(trim(text)) > 0
+        """,
+        "embedding_near_dups_exact": """
+            SELECT a.vec_id AS id_x, b.vec_id AS id_y,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
         """,
         "top_ngrams": f"""
             WITH bg AS ({_BIGRAMS})
