@@ -37,7 +37,11 @@ def shingle(content: str, mode: str = "token_ngram:3") -> list[str]:
         return []
     if mode.startswith("token_ngram"):
         n = int(mode.split(":")[1]) if ":" in mode else 3
-        toks = _WS.split(content.strip())
+        # strip ONLY the _WS byte set (bare .strip() would also remove
+        # \x1c-\x1f and Unicode spaces at the edges, which the
+        # byte-level vectorized kernel deliberately treats as token
+        # bytes — the two definitions must agree on every input)
+        toks = _WS.split(content.strip(_ASCII_WS))
         toks = [t for t in toks if t]
         if len(toks) < n:
             return [" ".join(toks)] if toks else []
@@ -54,7 +58,7 @@ def shingle(content: str, mode: str = "token_ngram:3") -> list[str]:
                 out.add(word[i : i + n])
         return list(out)
     if mode == "word":
-        return list({t for t in _WS.split(content.strip()) if t})
+        return list({t for t in _WS.split(content.strip(_ASCII_WS)) if t})
     raise ValueError(f"unknown shingle mode: {mode}")
 
 
@@ -103,10 +107,18 @@ for _b in b"\n\r\x0b\x0c\x1c\x1d\x1e":
     _LINE_LOOKUP[_b] = True
 
 # line-mode "hard" separators: line breaks + the strippable bytes; a
-# stripped line spans from its first hard-free run to its last
+# stripped line spans from its first hard-free run to its last.  The
+# strippable set must be EXACTLY the ASCII bytes str.strip() removes:
+# \t \n \v \f \r space (all in _LINE_LOOKUP or added here) plus
+# \x1c \x1d \x1e (line separators already) and \x1f — unit separator,
+# which IS Python whitespace but NOT a splitlines boundary.  Interior
+# hard bytes stay inside the line span (the span runs first-word-start
+# to last-word-end), so adding \x1f only affects edge stripping —
+# matching str.strip exactly.
 _HARD_LOOKUP = _LINE_LOOKUP.copy()
 _HARD_LOOKUP[ord(" ")] = True
 _HARD_LOOKUP[ord("\t")] = True
+_HARD_LOOKUP[0x1F] = True
 
 # char_ngram mode splits on single space ONLY (reference
 # StringUtils.java:14-29 does content.toLowerCase().split(" ") — tabs and

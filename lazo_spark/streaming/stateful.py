@@ -36,6 +36,15 @@ OUT_SCHEMA = "key string, cardinality long, signature array<long>"
 # NORMAL (data = 2^18 6-bit registers packed 10 per long).  Sparse
 # converts to normal at the clearspring threshold, so per-key state is
 # BOUNDED at ~26k longs (~210 KB) regardless of stream length.
+#
+# STATE FORMAT v2 — VERSIONED / BREAKING.  v1 (pre round-3) stored
+# (signature, prefixes); Spark's state-store schema compatibility check
+# rejects a restart of a v1 checkpoint against this schema at query
+# start (StateSchemaNotCompatible), before any user code runs — an
+# in-process legacy-tuple shim therefore cannot fire.  Restarting an
+# old stream requires a fresh checkpoint directory (replay the source,
+# or re-seed state from a batch `sketch_stage` snapshot of the corpus).
+STATE_FORMAT_VERSION = 2
 STATE_SCHEMA = "signature array<long>, mode long, data array<long>"
 
 _REGS_PER_LONG = 10  # 6-bit registers, 10 per int64
@@ -103,7 +112,11 @@ def _fold_batch(
     if mode == 0:
         enc = np.union1d(np.asarray(data, dtype=np.int64), encode_hash(h64))
         flag = (enc & np.int64(1)) != 0
-        idx25 = np.where(flag, enc >> np.int64(7), enc >> np.int64(1))
+        # mask off the int32 sign-extension of flag-encoded entries
+        # (encode_hash wraps idx25 >= 2^24 negative; see hll.py)
+        idx25 = np.where(flag, enc >> np.int64(7), enc >> np.int64(1)) & np.int64(
+            (1 << SP) - 1
+        )
         v = len(np.unique(idx25))
         if v <= SPARSE_THRESHOLD:
             changed = bool((merged != sig).any()) or len(enc) != len(data)

@@ -23,6 +23,10 @@ NASTY = [
     "émoji ünïcode tökens æøå",           # multi-byte UTF-8 payloads
     "tab\tsep\tvals\tonly",
     "\x0b vertical \x0c formfeed",
+    "a \x1f\nb",                          # \x1f: strippable, NOT a line break
+    "\x1fedge strip\x1f",                 # \x1f at document edges
+    "int\x1ferior\x1ftokens stay",        # interior \x1f inside a token/line
+    "\x1c fs \x1d gs \x1e rs \x1f us",    # all four separator-control bytes
 ]
 
 
@@ -92,7 +96,7 @@ def test_segment_modes_random_text_with_unicode(mode):
     pieces = [
         "foo", "BAR", "baz()", "x=1;", "{", "}", "if", "Émile", "ÅNGSTRÖM",
         "tab\there", "line\nbreak", "crlf\r\n", "u2028 sep", "nel\x85nel",
-        "nbsp\xa0pad", "中文词", " ", "  ", "\t",
+        "nbsp\xa0pad", "中文词", " ", "  ", "\t", "u\x1fs", "\x1fedge",
     ]
     docs = []
     for _ in range(150):
