@@ -423,6 +423,93 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_real_decode(spark, sf_dir):
+    """REAL media decode (NumPy BMP/WAV container parsers — no codec
+    libraries; lazo_spark/functions/media_codecs.py): payloads are
+    synthesized deterministically from doc_id (two-tone bottom-up BMPs
+    with 4-byte-padded rows; square-wave 16-bit PCM WAVs), then decoded
+    by the real parsers, with per-media stats out.  The oracle
+    recomputes every stat in closed form from doc_id alone — a decoder
+    that ignores BMP row padding, forgets the bottom-up flip, or
+    misparses the WAV fmt chunk changes first_val/mean_val and fails
+    the value-hash compare."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        # payload synthesis = fixture generation (per-row encode, like
+        # any test-data builder); the pipeline under test is the decode
+        from lazo_spark.functions.media_codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 5 + i % 4, 4 + 2 * (i % 3)
+                    top = (i % 256, (i * 7) % 256, (i * 13) % 256)
+                    bot = ((i * 3) % 256, (i * 5) % 256, (i * 11) % 256)
+                    img = np.empty((h, w, 3), dtype=np.uint8)
+                    img[: h // 2] = top
+                    img[h // 2 :] = bot
+                    payloads.append(encode_bmp(img))
+                else:
+                    n = 64 + (i % 50) * 2
+                    v = 256 * (1 + i % 100)
+                    s = np.empty(n, dtype=np.int16)
+                    s[0::2] = v
+                    s[1::2] = -v
+                    payloads.append(encode_wav(s, 16000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+
+    def decode(batches):
+        from lazo_spark.functions.media_codecs import decode_any
+
+        for pdf in batches:
+            mids, kinds, ws, hs, ns, firsts, means = [], [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                kind, dec = decode_any(bytes(p))
+                mids.append(int(mid))
+                kinds.append(kind)
+                if kind == "image":
+                    ws.append(dec.shape[1])
+                    hs.append(dec.shape[0])
+                    ns.append(None)
+                    firsts.append(float(dec[0, 0, 0]))
+                    means.append(float(dec[:, :, 0].astype(np.float64).mean()))
+                else:
+                    samples, _rate = dec
+                    mono = samples[:, 0].astype(np.float64)
+                    ws.append(None)
+                    hs.append(None)
+                    ns.append(len(mono))
+                    firsts.append(float(mono[0]))
+                    means.append(float(np.sqrt(np.mean(mono * mono))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "kind": kinds,
+                    "width": pd.Series(ws, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int64"),
+                    "n_samples": pd.Series(ns, dtype="Int64"),
+                    "first_val": pd.Series(firsts, dtype="float64"),
+                    "mean_val": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        decode,
+        "media_id long, kind string, width long, height long, "
+        "n_samples long, first_val double, mean_val double",
+    )
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling plan: explode every-10th frame index from
     typed metadata."""
@@ -509,7 +596,15 @@ def q_fuzzy_theta(spark, sf_dir):
             F.sha2(F.col("tok"), 256).alias("sha"),
         )
     )
-    out = fuzzy_candidates(toks, LazoConfig(), n=4, jcx_floor=0.5)
+    # persist the token prep: fuzzy_candidates scans its input for the
+    # sketch pass and the key lookup, and each uncached scan would
+    # re-run the corpus-wide aggregation above.  Safe to release before
+    # returning — the result comes back localCheckpoint-materialized.
+    toks = toks.persist()
+    try:
+        out = fuzzy_candidates(toks, LazoConfig(), n=4, jcx_floor=0.5)
+    finally:
+        toks.unpersist()
     return out.select("key_x", "key_y", F.round("m", 6).alias("m"))
 
 
@@ -705,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "media_exact_dups": q_media_exact_dups,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "media_frame_sample": q_media_frame_sample,
         "nation_order_totals": q_nation_order_totals,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -965,6 +1061,19 @@ def oracle_sql() -> dict[str, str]:
                    ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
                    octet_length(encode(text)) AS n_bytes,
                    16 AS feat_dim
+            FROM documents
+        """,
+        "media_real_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   (CASE WHEN doc_id % 2 = 0 THEN 5 + doc_id % 4 END)::BIGINT AS width,
+                   (CASE WHEN doc_id % 2 = 0 THEN 4 + 2 * (doc_id % 3) END)::BIGINT AS height,
+                   (CASE WHEN doc_id % 2 = 1 THEN 64 + (doc_id % 50) * 2 END)::BIGINT AS n_samples,
+                   CASE WHEN doc_id % 2 = 0 THEN (doc_id % 256)::DOUBLE
+                        ELSE (256 * (1 + doc_id % 100))::DOUBLE / 32768.0 END AS first_val,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN ((doc_id % 256) + (doc_id * 3) % 256)::DOUBLE / 2.0
+                        ELSE (256 * (1 + doc_id % 100))::DOUBLE / 32768.0 END AS mean_val
             FROM documents
         """,
         "media_frame_sample": """

@@ -53,18 +53,75 @@ HEADLINE = [
     "token_stats",         # text-analysis family
 ]
 
+# `value` semantics are pinned (round-1/2 convention): sum of FIRST-pASS
+# per-query sweep times, flagship excluded.  Best-of-2 lives under
+# value_best_of / queries (round-3 added the second warm pass);
+# methodology_version lets consumers normalize across rounds.
+METHODOLOGY_VERSION = 4
+
 _partial: dict = {
     "metric": "bench_total_wall",
     "value": None,
     "unit": "sec",
     "queries": {},
     "sf": None,
+    "methodology_version": METHODOLOGY_VERSION,
     "incomplete": True,
 }
 
 
+def _compact(out: dict) -> dict:
+    """A <=~1200-char digest of the summary: the driver's tail capture is
+    2000 chars, and round 3's single full-summary line overflowed it
+    (BENCH_r03.json parsed=null).  The digest carries every headline
+    number; the full structure is in BENCH_SUMMARY.json and the earlier
+    full stdout line."""
+    c = {
+        k: out.get(k)
+        for k in (
+            "metric", "value", "value_best_of", "unit", "sf",
+            "methodology_version", "queries", "incomplete",
+        )
+        if k in out
+    }
+    sc = out.get("scaling")
+    if sc:
+        c["scaling"] = {
+            "primary": sc.get("primary"),
+            "efficiency": sc.get("efficiency"),
+            "work_inflation": sc.get("work_inflation"),
+            "normalized_efficiency": sc.get("normalized_efficiency"),
+            "kernel_envelope_efficiency": sc.get("kernel_envelope_efficiency"),
+            "n_files_per_sec": (sc.get("n") or {}).get("files_per_sec"),
+            "n4_files_per_sec": (sc.get("n4") or {}).get("files_per_sec"),
+            "contended": sc.get("contended"),
+        }
+    fl = out.get("flagship")
+    if fl:
+        c["flagship"] = {
+            k: fl.get(k)
+            for k in ("files", "pairs", "verified_pairs", "clusters",
+                      "seconds", "files_per_sec")
+        }
+    if out.get("query_errors"):
+        c["query_errors"] = {k: v[:40] for k, v in out["query_errors"].items()}
+    c["full_summary"] = "BENCH_SUMMARY.json"
+    return c
+
+
 def _emit(out: dict) -> None:
+    """Emit order matters: full summary line first, then the file (the
+    durable machine-parseable artifact), then the compact line LAST so
+    the driver's 2000-char tail capture always ends with one complete
+    parseable JSON line."""
     print(json.dumps(out), flush=True)
+    try:
+        with open(os.path.join(REPO, "BENCH_SUMMARY.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except Exception:
+        pass  # read-only checkout must not kill the emit
+    print(json.dumps(_compact(out)), flush=True)
 
 
 def _on_term(signum, frame):  # external timeout: still emit parseable JSON
@@ -87,6 +144,8 @@ def run_queries(spark, sf_dir: str, out: dict, passes: int = 2) -> dict[str, flo
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    first: dict[str, float] = {}
+    out["queries_first_pass"] = first
     skipped: list[str] = []
     plan = [n for _ in range(max(1, passes)) for n in HEADLINE]
     for name in plan:
@@ -116,9 +175,12 @@ def run_queries(spark, sf_dir: str, out: dict, passes: int = 2) -> dict[str, flo
                 )
                 break
         el = round(time.time() - t0, 3)
+        if name not in first:
+            first[name] = el
         if name not in timings or el < timings[name]:
             timings[name] = el
         _partial["queries"] = dict(timings)
+        _partial["queries_first_pass"] = dict(first)
         print(f"# {name}: {n} rows in {el}s", file=sys.stderr, flush=True)
     if skipped:
         out["queries_skipped"] = skipped
@@ -355,6 +417,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "sf": sf,
+        "methodology_version": METHODOLOGY_VERSION,
     }
 
     # 1. the north-rule scaling evidence first — it must survive any
@@ -403,10 +466,14 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass  # dead gateway: the emit below must still happen
-    # headline value = sum of best-of per-query times, flagship excluded
-    # (round-2 convention; the raw two-pass sweep wall is in
-    # sweep_wall_seconds)
-    out["value"] = round(sum(timings.values()), 3)
+    # headline value = sum of FIRST-pass per-query times, flagship
+    # excluded (the round-1/2 convention — kept stable so cross-round
+    # comparisons of `value` measure code, not methodology).  The
+    # best-of-2 sum is value_best_of; `queries` stays best-of (round-3
+    # convention).
+    out["value"] = round(sum(out["queries_first_pass"].values()), 3)
+    out["value_best_of"] = round(sum(timings.values()), 3)
+    out["methodology_version"] = METHODOLOGY_VERSION
     timings["flagship_code_dedup"] = flag["seconds"]
     out["queries"] = timings
 

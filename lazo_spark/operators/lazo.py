@@ -119,6 +119,7 @@ def candidate_pairs(
     max_pos: int | None = None,
     row_filter=None,
     hashed_keys: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
@@ -140,16 +141,26 @@ def candidate_pairs(
     row_filter: optional callback applied to the raw join rows
     (pos, card_x, card_y, ...) BEFORE the pair aggregation — used for the
     lossless threshold pushdown (see lazo_pairs).
+
+    extra_cols: additional sketch columns that scope the self-join (a
+    band row only matches rows with equal values) and ride through the
+    pair aggregation into the output — the fuzzy bank runs ALL its
+    slots through ONE plan by tagging rows with their slot id
+    (extra_cols=("size",)).  Only supported with hashed_keys (the one
+    caller) and without salting (salt bucket counts are per (pos, bh)).
     """
+    if extra_cols and (salt or not hashed_keys):
+        raise ValueError("extra_cols requires hashed_keys=True, salt=False")
     hashes = F.col("band_hashes")
     if max_pos is not None:
         hashes = F.slice(hashes, 1, max_pos)
     bands = sketches.select(
+        *extra_cols,
         F.xxhash64("key").alias("kh"),
         F.col("cardinality").alias("card"),
         F.posexplode(hashes).alias("pos", "bh"),
     )
-    join_keys = ["pos", "bh"]
+    join_keys = [*extra_cols, "pos", "bh"]
     if salt and config.bucket_cap:
         bands = salt_hot_buckets(bands, config.bucket_cap, key_col="kh")
         join_keys = ["pos", "bh", "salt"]
@@ -171,7 +182,7 @@ def candidate_pairs(
     )
     if row_filter is not None:
         joined = row_filter(joined)
-    pairs = joined.groupBy("kh_x", "kh_y").agg(
+    pairs = joined.groupBy(*extra_cols, "kh_x", "kh_y").agg(
         F.min("pos").alias("min_pos"),
         F.first("card_x").alias("card_x"),
         F.first("card_y").alias("card_y"),
@@ -221,12 +232,15 @@ def estimate_candidates(
     engine: str = "sql",
     metrics_acc: dict | None = None,
     key_cols: tuple[str, str] = ("key_x", "key_y"),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign sweep thresholds from min_pos, run the float32 estimation +
     ECH correction, and apply the final filter.  key_cols names the pair
     identity columns to carry through (string keys by default; the
     flagship plan estimates on xxhash64 pair ids before the key
-    join-back).
+    join-back).  carry_cols: extra input columns passed through
+    unchanged (sql engine only — used by the fused fuzzy-bank plan to
+    keep the slot id on each estimated pair).
 
     metrics_acc: optional dict of Spark accumulators (keys corrections,
     js_impactful, jcx_impactful, magnitude) filled with the reference's
@@ -270,7 +284,7 @@ def estimate_candidates(
                 )
         return (
             pairs.select(
-                key_cols[0], key_cols[1],
+                key_cols[0], key_cols[1], *carry_cols,
                 rx.js.alias("js"), rx.jcx.alias("jcx"), rx.jcy.alias("jcy"),
                 th.alias("th"), F.col("min_pos"),
                 rx.corrected.alias("corrected"),
@@ -283,9 +297,14 @@ def estimate_candidates(
     mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
 
     d, ech = config.d, config.ech
-    schema = (
-        "key_x string, key_y string, js float, jcx float, jcy float, "
-        "th float, min_pos int"
+    # pair-id + carry column types come from the input relation (string
+    # keys on the default path; xxhash64 longs + slot ints on the fused
+    # fuzzy path)
+    in_types = dict(pairs.dtypes)
+    id_cols = [*key_cols, *carry_cols]
+    schema = ", ".join(
+        [f"{c} {in_types[c]}" for c in id_cols]
+        + ["js float", "jcx float", "jcy float", "th float", "min_pos int"]
     )
 
     # mapInPandas estimates AND filters in one vectorized pass — a scalar
@@ -322,8 +341,7 @@ def estimate_candidates(
                 metrics_acc["magnitude"].add(float(rx.magnitude))
             out = pd.DataFrame(
                 {
-                    "key_x": pdf["key_x"],
-                    "key_y": pdf["key_y"],
+                    **{c: pdf[c] for c in id_cols},
                     "js": rx.js,
                     "jcx": rx.jcx,
                     "jcy": rx.jcy,
@@ -334,7 +352,7 @@ def estimate_candidates(
             yield out[keep]
 
     return pairs.select(
-        "key_x", "key_y", "min_pos", "card_x", "card_y"
+        *id_cols, "min_pos", "card_x", "card_y"
     ).mapInPandas(run, schema)
 
 

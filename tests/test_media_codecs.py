@@ -1,0 +1,152 @@
+"""Real NumPy media codecs: BMP / PPM / PGM / WAV roundtrips, format
+quirks (row padding, bottom-up vs top-down, comments, 8-bit PCM,
+chunk walking), and the 16-dim feature definitions."""
+import struct
+
+import numpy as np
+import pytest
+
+from lazo_spark.functions.media_codecs import (
+    audio_features,
+    decode_any,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    features_for_payload,
+    image_features,
+    sniff_media,
+)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 4), (5, 3), (7, 2), (33, 9)])
+def test_bmp_roundtrip_incl_padded_widths(w, h):
+    """Widths not divisible by 4 exercise the 4-byte row padding."""
+    rng = np.random.RandomState(w * 100 + h)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_bottom_up_row_order():
+    """Encoder writes bottom-up; a decoder that forgets to flip returns
+    the rows reversed — pin with an asymmetric two-tone image."""
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[:2] = [200, 10, 30]   # top half
+    img[2:] = [5, 60, 250]    # bottom half
+    out = decode_bmp(encode_bmp(img))
+    assert tuple(out[0, 0]) == (200, 10, 30)
+    assert tuple(out[3, 0]) == (5, 60, 250)
+
+
+def test_bmp_top_down_negative_height():
+    """Negative biHeight = top-down storage, no flip."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # encode_bmp(img[::-1]) physically stores img's rows top-first;
+    # patching height to -2 declares that storage top-down, so the
+    # decoder must NOT flip: result == img
+    payload = bytearray(encode_bmp(img[::-1]))
+    struct.pack_into("<i", payload, 22, -2)
+    assert np.array_equal(decode_bmp(bytes(payload)), img)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bpp 0
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+
+
+@pytest.mark.parametrize("shape", [(3, 4, 3), (5, 7, 3), (2, 2)])
+def test_pnm_roundtrip(shape):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_pnm_header_comments_and_whitespace():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# a comment\n 2\t2 # trailing\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.RandomState(2)
+    s = rng.randint(-32768, 32767, size=(400, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert out.shape == (400, 2)
+    assert np.allclose(out, s.astype(np.float32) / 32768.0)
+
+
+def test_wav_8bit_and_extra_chunks():
+    """8-bit unsigned PCM + a LIST chunk before data (chunk walking)."""
+    samples = np.array([0, 128, 255, 64], dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body += b"data" + struct.pack("<I", len(samples)) + samples.tobytes()
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = decode_wav(payload)
+    assert rate == 16000
+    assert np.allclose(out[:, 0], (samples.astype(np.float32) - 128) / 128)
+
+
+def test_sniff_and_decode_any():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert sniff_media(encode_bmp(img)) == "bmp"
+    assert sniff_media(encode_ppm(img)) == "pnm"
+    assert sniff_media(encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    assert sniff_media(b"garbage") is None
+    kind, arr = decode_any(encode_ppm(img))
+    assert kind == "image" and arr.shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError):
+        decode_any(b"\x89PNG\r\n")  # compressed container -> needs codec
+
+
+def test_image_features_closed_form():
+    img = np.full((8, 8, 3), 51, dtype=np.uint8)  # 51/255 = 0.2
+    f = image_features(img)
+    assert f.shape == (16,) and f.dtype == np.float32
+    assert f[0] == pytest.approx(8 / 4096) and f[1] == pytest.approx(8 / 4096)
+    assert np.allclose(f[2:5], 0.2) and np.allclose(f[5:8], 0.0)
+    assert f[8:].sum() == pytest.approx(1.0)  # histogram density
+    # all luma in one bin
+    assert (f[8:] > 0).sum() == 1
+
+
+def test_audio_features_closed_form():
+    s = np.tile(np.array([0.5, -0.5], dtype=np.float32), 800)[:, None]
+    f = audio_features(s, 16000)
+    assert f.shape == (16,)
+    assert f[2] == pytest.approx(0.0)       # mean of square wave
+    assert f[4] == pytest.approx(0.5)       # rms
+    assert f[5] == pytest.approx(1.0, rel=1e-2)  # zcr alternates every sample
+    assert np.allclose(f[6:], 0.5, atol=1e-5)    # flat envelope
+
+
+def test_features_for_payload_dispatch():
+    img = features_for_payload(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    wav = features_for_payload(encode_wav(np.zeros(16, dtype=np.int16)))
+    assert img.shape == wav.shape == (16,)
+
+
+def test_extract_features_real_mode_spark(spark):
+    """extract_features(mode='real') end-to-end over mixed real
+    containers in one binary column."""
+    from lazo_spark.operators.multimodal import extract_features
+
+    img = encode_bmp(np.full((3, 5, 3), 100, dtype=np.uint8))
+    wav = encode_wav(np.full(320, 16384, dtype=np.int16), 16000)
+    df = spark.createDataFrame(
+        [
+            ("i1", "image", bytearray(img), {}),
+            ("a1", "audio", bytearray(wav), {}),
+        ],
+        "media_id string, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_features(df, mode="real").collect()}
+    assert rows["i1"].features[2] == pytest.approx(100 / 255.0)
+    assert rows["a1"].features[2] == pytest.approx(0.5)
+    assert rows["i1"].n_bytes == len(img)

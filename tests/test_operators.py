@@ -94,6 +94,51 @@ def test_winnow_guarantee():
     assert ga & gb, "winnowing must select a shared gram for shared substring"
 
 
+def _scalar_gram_hash(g: str) -> int:
+    """The batch kernel's key for one gram string: poly(bytes)*base+len,
+    recomputed independently (same formula as winnow_gram_hashes)."""
+    b = g.encode("utf-8", "surrogatepass")
+    base = np.uint64(1000003)
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for byte in b:
+            h = h * base + np.uint64(byte)
+        return int((h * base + np.uint64(len(b))).view(np.int64))
+
+
+def test_winnow_batch_kernel_matches_scalar():
+    """winnow_gram_hashes (one ragged pass per Arrow batch) must select
+    exactly the scalar reference's grams for every document — including
+    short docs (< L bytes), docs with fewer windows than w (leftmost
+    argmin), empty/None docs, and interleavings of all of these."""
+    from lazo_spark.operators.suffix import winnow_gram_hashes
+
+    rng = np.random.RandomState(5)
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(400))
+    docs = [
+        "",
+        None,
+        "tiny",                      # < L
+        base[:16],                   # exactly L
+        base[:18],                   # L < len, m <= w
+        base[:100] + "SHARED-FRAGMENT-BLOCK" + base[100:200],
+        "x" * 200,                   # degenerate: all-identical hashes
+        base[180:][::-1],
+        "p" * 15,                    # L-1 bytes
+    ]
+    for _ in range(40):  # random lengths straddling every branch
+        n = int(rng.randint(0, 120))
+        docs.append("".join(chr(97 + c) for c in rng.randint(0, 26, size=n)))
+    L, w = 16, 4
+    h, off = winnow_gram_hashes(docs, L, w)
+    assert len(off) == len(docs) + 1
+    for i, d in enumerate(docs):
+        got = set(h[off[i] : off[i + 1]].tolist())
+        want = {_scalar_gram_hash(g) for g in winnow_grams(d or "", L, w)}
+        assert got == want, f"row {i}: {d!r}"
+        assert len(got) == off[i + 1] - off[i]  # distinct per doc
+
+
 def test_substring_candidates_and_verify(spark):
     base = "".join(chr(97 + (i * 11) % 26) for i in range(400))
     shared = "SHARED-VENDORED-BLOCK-" + "x" * 40
@@ -140,11 +185,30 @@ def test_multimodal_features_and_frame_plan(spark):
     assert dups == {("m1", "m2")}
 
 
-def test_multimodal_real_mode_raises():
+def test_multimodal_real_mode_unsupported_container_raises():
     from lazo_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"x", "image", mode="real")
+        decode_media(b"x", "image", mode="real")  # no sniffable container
+
+
+def test_multimodal_real_mode_decodes_supported_containers():
+    """mode='real' actually decodes BMP and WAV (no codec libs needed)."""
+    import numpy as np
+
+    from lazo_spark.functions.media_codecs import encode_bmp, encode_wav
+    from lazo_spark.operators.multimodal import decode_media
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    f = decode_media(encode_bmp(img), "image", mode="real")
+    assert f.shape == (16,) and f.dtype == np.float32
+    assert f[2] == pytest.approx(200 / 255.0)  # mean R
+    assert f[5] == pytest.approx(0.0)  # std R
+
+    wav = encode_wav(np.full(1600, 8192, dtype=np.int16), 16000)
+    g = decode_media(wav, "audio", mode="real")
+    assert g.shape == (16,)
+    assert g[2] == pytest.approx(0.25)  # mean amplitude 8192/32768
 
 
 def test_multimodal_fake_batch_matches_scalar():
@@ -162,17 +226,14 @@ def test_multimodal_fake_batch_matches_scalar():
 
 
 def test_multimodal_injected_decoder(spark):
-    """mode='real' works end-to-end when a batch decoder is injected
-    (the codec plug-point), and fails at PLAN BUILD without one."""
+    """An injected batch decoder (the codec plug-point for compressed
+    formats) overrides the built-in real decoder end-to-end."""
     from lazo_spark.operators.multimodal import extract_features
 
     df = spark.createDataFrame(
         [("m1", "image", bytearray(b"xy"), {})],
         "media_id string, media_type string, payload binary, meta map<string,string>",
     )
-
-    with pytest.raises(NotImplementedError):
-        extract_features(df, mode="real")
 
     def dummy_decoder(payloads, media_types):
         import numpy as np

@@ -78,6 +78,74 @@ def test_fuzzy_candidates_smoke(spark):
     assert ("a", "b") in got
 
 
+def test_fuzzy_fused_plan_matches_per_slot_replica(spark):
+    """The round-4 single-plan fuzzy bank (slot-tagged band join, one
+    aggregation, literal theta map) must reproduce the per-slot
+    composition of lazo_pairs + BaseIndex theta math exactly."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark import StorageLevel
+
+    from lazo_spark.operators.fuzzy import (
+        _bank_sizes,
+        fused_ngram_sketches,
+        fuzzy_candidates,
+    )
+    from lazo_spark.operators.lazo import lazo_pairs
+
+    rows = [
+        ("a", "hello world foo bar baz"),
+        ("b", "hello world foo bar qux"),
+        ("c", "hello word foul bar quux"),
+        ("d", "totally different content here"),
+        ("e", "tote diff cont her"),
+    ]
+    df = spark.createDataFrame(rows, "key string, content string").withColumn(
+        "sha", F.sha2("content", 256)
+    )
+    cfg = LazoConfig()
+    n, jcx_floor = 3, 0.1
+
+    # replica of the round-3 per-slot loop (public APIs only)
+    sk = fused_ngram_sketches(df, cfg, n).persist(StorageLevel.MEMORY_AND_DISK)
+    per_pair: dict = {}
+    for size in _bank_sizes(n):
+        cands = lazo_pairs(
+            sk.filter(F.col("size") == size).drop("size"),
+            cfg, js_threshold=0.0, jcx_threshold=jcx_floor, engine="sql",
+        ).select("key_x", "key_y", "jcx").collect()
+        card = len(cands)
+        aggr = sum(r.jcx for r in cands)
+        if not card or not aggr:
+            continue
+        factor = (
+            math.log(card / aggr) / math.log(card) if card > 1 else None
+        )
+        for r in cands:
+            per_pair.setdefault((r.key_x, r.key_y), []).append(
+                r.jcx * factor if factor is not None else None
+            )
+    sk.unpersist()
+    want = {
+        k: (sum(t for t in ts if t is not None) / len([t for t in ts if t is not None]))
+        if any(t is not None for t in ts)
+        else None
+        for k, ts in per_pair.items()
+    }
+
+    got = {
+        (r.key_x, r.key_y): r.m
+        for r in fuzzy_candidates(df, cfg, n=n, jcx_floor=jcx_floor).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(want[k], rel=1e-6), k
+
+
 def test_read_corpus_parquet_and_iceberg_gate(spark, tmp_path):
     from lazo_spark.sources.iceberg import iceberg_available, read_corpus
 
