@@ -356,6 +356,66 @@ def q_dedup_clusters_exact(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """Flagship END-TO-END shape with the REAL LSH candidate stage kept
+    in-plan, made oracle-expressible by exact post-verification: sha256
+    collapse -> Lazo sketch + banded LSH candidates at a widened
+    estimation floor (jcx 0.5) -> exact bigram-hash verification at
+    jcx >= 0.8 -> connected components -> member expansion.
+
+    Verified pairs = (exact pairs at 0.8) INTERSECT candidates, so the
+    DuckDB oracle (brute-force pairs at 0.8 -> recursive-CTE CC) matches
+    exactly iff the candidate stage misses nothing.  The widened floor
+    makes that robust: a true jcx >= 0.8 pair is lost only if BOTH
+    estimated directions fall below 0.5 — far outside the estimator's
+    error band (the recall gate, tests/test_reference_recall.py, pins
+    the candidate stage's recall independently).  Unlike
+    dedup_clusters_exact (which replaces the candidate stage with brute
+    force), a green hash-match here covers the LSH candidate stage's
+    output DOWNSTREAM through verification, CC, and membership
+    (round-3 verdict item 7)."""
+    from lazo_spark.operators.sketch import collapse_exact_duplicates
+    from lazo_spark.operators.verify import verify_candidates
+
+    docs = (
+        _docs_capped(spark, sf_dir)
+        .select(F.col("doc_id").alias("key"), F.col("text").alias("content"))
+        .withColumn("sha", F.sha2("content", 256))
+    )
+    reps, membership = collapse_exact_duplicates(docs)
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    # sketch_stage's Arrow schema declares `key string` — feed it string
+    # keys (a long slips through the kernel as an int64 Arrow vector and
+    # every downstream string read dies with getUTF8String unsupported);
+    # cast back to long BEFORE CC so min-labels are numeric like the
+    # oracle's least().  Collapse ran on LONG keys above: rep = numeric
+    # MIN, matching the oracle even for multi-member sha groups.
+    reps_s = reps.select(
+        F.col("key").cast("string").alias("key"), "content", "sha"
+    )
+    cands = lazo_pairs(sketch_stage(reps_s, cfg).persist(), cfg)
+    verified = verify_candidates(
+        cands, reps_s, "key", "content", "token_ngram:2", jcx_threshold=0.8
+    )
+    comp = connected_components(
+        verified.select(
+            F.col("key_x").cast("long").alias("key_x"),
+            F.col("key_y").cast("long").alias("key_y"),
+        )
+    )
+    return (
+        membership.join(
+            comp.withColumnRenamed("key", "rep_key"), "rep_key", "left"
+        )
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.coalesce(F.col("cluster"), F.col("rep_key"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+
+
 def q_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
     sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg).persist()
@@ -798,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "media_exact_dups": q_media_exact_dups,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
@@ -855,7 +916,7 @@ _BIGRAM_PAIR_SCORES = _bigram_pair_scores_sql("documents")
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "exact_dedup": """
             SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS group_size
@@ -1123,3 +1184,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 3
         """,
     }
+    # LSH-candidates -> exact-verify -> CC equals the brute-force
+    # pipeline whenever the candidate stage misses nothing (see
+    # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
+    sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
+    return sql

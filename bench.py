@@ -188,11 +188,28 @@ def run_queries(spark, sf_dir: str, out: dict, passes: int = 2) -> dict[str, flo
     return timings
 
 
-def flagship_and_index_bench(cpus: int, sf: float, with_index_bench: bool) -> dict:
+def flagship_and_index_bench(
+    cpus: int, sf: float, with_index_bench: bool, passes: int = 2
+) -> dict:
     """Flagship dedup pipeline wall time + files/sec, plus (budget
     permitting) the timed Lazo-vs-Base index comparison on a sample of
     the same sketches (reference IndexBenchmark.java:38-83: same sketch
-    set, GCD-shared flagship bands vs per-threshold standard banding)."""
+    set, GCD-shared flagship bands vs per-threshold standard banding).
+
+    Measures STEADY-STATE, honestly: the sketch kernel is pre-warmed
+    across every Python worker (their NumPy pages fault at ~6 MB/s on
+    this VM — a one-time cost a long-lived deployment pays once per
+    executor, not per job; see tools/scaling_probe.py), then up to
+    ``passes`` timed runs execute in the SAME session with
+    ``spark.catalog.clearCache()`` BEFORE EACH — a repeated run of the
+    identical plan would otherwise be served from the previous pass's
+    persisted stage relations by Spark's cache-manager plan matching,
+    which times cache reads, not the pipeline.  Pass 1 additionally
+    absorbs first-use janino compilation of the estimate trees; best-of
+    is reported, with the first pass kept under seconds_pass1 and the
+    pass count under timed_passes.  Round 3 timed one cold session per
+    probe (JVM/fork startup inside the number) and a second full cold
+    session for the retry."""
     from lazo_spark.config import LazoConfig
     from lazo_spark.plans.pipeline import run_dedup
     from lazo_spark.session import get_spark
@@ -202,34 +219,47 @@ def flagship_and_index_bench(cpus: int, sf: float, with_index_bench: bool) -> di
     spark = get_spark(
         f"bench-local{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(8, cpus),
-        # small scan splits: the sketch stage is CPU-bound, and the 10k
-        # zstd corpus is ONE 128m partition otherwise (one busy worker)
-        extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
+        # small scan splits: the sketch stage is CPU-bound, and at 2m
+        # the ~9 MB zstd corpus splits into only 5 parts for 8 cores
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
         src = spark.read.parquet(os.path.join(path, "files.parquet"))
         n_files = src.count()
         cfg = LazoConfig(jcx_threshold=0.8)
-        # pre-warm every Python worker + the codegen cache before the
-        # timer (fresh daemon-forked workers fault their NumPy working
-        # set at ~6 MB/s on this VM — long-lived executors at fleet scale
-        # never re-pay this; see tools/scaling_probe.py)
+        # pre-warm the sketch kernel across every Python worker (the
+        # dominant per-worker cold cost; see docstring)
         from lazo_spark.operators.sketch import sketch_stage, with_key_and_sha
 
         sketch_stage(
             with_key_and_sha(src.limit(1024 * cpus).repartition(cpus)), cfg
         ).count()
-        t0 = time.time()
+        # pass 1 absorbs the remaining first-use costs (janino compile of
+        # the estimate trees, shuffle machinery); later passes are warm.
+        # A separate end-to-end warmup run was tried and dropped: it
+        # costs the same ~60-100 s it saves, and warmup plans don't share
+        # codegen with differently-shaped plans anyway.
+        timed = []
+        n_pairs = n_verified = n_clusters = None
         # containment threshold 0.8: a realistic dedup setting (the
         # reference CLI takes this as an argument).  At 0.5 the reference
         # semantics pass every extreme-cardinality-ratio pair (clamped
         # bounds average to exactly 0.5), which is a pathology, not dedup.
-        result = run_dedup(spark, src, cfg, verify_threshold=0.8)
-        n_pairs = result["pairs"].count()
-        n_verified = result["verified_pairs"].count()
-        n_clusters = result["clusters"].select("cluster").distinct().count()
-        elapsed = time.time() - t0
+        for p in range(max(1, passes)):
+            if p > 0 and (_left() < 1.5 * min(timed) + 150):
+                break
+            # drop every persisted relation from the warmup/previous
+            # pass: an identical re-run would otherwise read the prior
+            # pass's cached stage outputs (plan-matching cache manager)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            result = run_dedup(spark, src, cfg, verify_threshold=0.8)
+            n_pairs = result["pairs"].count()
+            n_verified = result["verified_pairs"].count()
+            n_clusters = result["clusters"].select("cluster").distinct().count()
+            timed.append(time.time() - t0)
+        elapsed = min(timed)
         out = {
             "cpus": cpus,
             "files": n_files,
@@ -237,6 +267,8 @@ def flagship_and_index_bench(cpus: int, sf: float, with_index_bench: bool) -> di
             "verified_pairs": n_verified,
             "clusters": n_clusters,
             "seconds": round(elapsed, 3),
+            "seconds_pass1": round(timed[0], 3),
+            "timed_passes": len(timed),
             "files_per_sec": round(n_files / elapsed, 1),
         }
         if with_index_bench and _left() > 90:
@@ -434,20 +466,15 @@ def main() -> None:
     # input) — 32 numpy workers thrash the single memory bus.  8 is the
     # honest best single-box configuration (BASELINE.md "Measured").
     code_sf = min(sf, 0.01)
+    # timed passes run INSIDE one session with clearCache between them
+    # (round 3 spun a second cold session per retry — paying JVM/fork
+    # startup twice to measure it twice); pass 1 absorbs first-use
+    # costs, passes 2-3 sample the warm steady state (best-of dodges
+    # co-tenant steal windows)
     flag = flagship_and_index_bench(
-        min(cpus, 8), code_sf, with_index_bench=_left() > 150
+        min(cpus, 8), code_sf, with_index_bench=_left() > 150, passes=3
     )
     _partial["flagship"] = flag
-    # best-of-2 when budget remains: single-shot flagship wall swings
-    # 33 -> 121 s under co-tenant steal on this box
-    if _left() > 1.3 * flag["seconds"] + 180:
-        flag2 = flagship_and_index_bench(min(cpus, 8), code_sf, False)
-        if flag2["seconds"] < flag["seconds"]:
-            lvb = flag.get("lazo_vs_base")
-            flag = flag2
-            if lvb is not None:
-                flag["lazo_vs_base"] = lvb
-        _partial["flagship"] = flag
     out["flagship"] = flag
 
     # 3. headline per-operator queries, 8-thread session (see above)

@@ -91,18 +91,29 @@ def max_useful_band(
     return max(1, min(config.k, max_band))
 
 
-def salt_hot_buckets(bands: DataFrame, cap: int, key_col: str = "key") -> DataFrame:
+def salt_hot_buckets(
+    bands: DataFrame,
+    cap: int,
+    key_col: str = "key",
+    bucket_cols: tuple[str, ...] = ("pos", "bh"),
+) -> DataFrame:
     """Split band buckets larger than `cap` into sub-buckets by a salt on
     the key hash.  Pairs are then only formed within a sub-bucket —
     a bounded, explicit recall/scale tradeoff for pathological buckets
     (the north rule's 'salted repartition to defuse hot-bucket skew').
     Exact-duplicate collapse upstream already removed structural skew, so
-    at sane caps this fires only on adversarial corpora."""
-    counts = bands.groupBy("pos", "bh").agg(F.count(F.lit(1)).alias("n"))
+    at sane caps this fires only on adversarial corpora.
+
+    bucket_cols: the columns identifying one LSH bucket — (pos, bh) on
+    band_explode output, ("bhp",) on the packed candidate_pairs rows."""
+    bucket_cols = list(bucket_cols)
+    counts = bands.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
     hot = counts.filter(F.col("n") > cap).withColumn(
         "nsplits", F.ceil(F.col("n") / cap).cast("int")
     )
-    out = bands.join(F.broadcast(hot.select("pos", "bh", "nsplits")), ["pos", "bh"], "left")
+    out = bands.join(
+        F.broadcast(hot.select(*bucket_cols, "nsplits")), bucket_cols, "left"
+    )
     return out.withColumn(
         "salt",
         F.when(
@@ -110,6 +121,16 @@ def salt_hot_buckets(bands: DataFrame, cap: int, key_col: str = "key") -> DataFr
             F.pmod(F.xxhash64(F.col(key_col)), F.col("nsplits")).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("nsplits")
+
+
+# packed band-row layout (see candidate_pairs): low bits cardinality,
+# high bits band position.  57 cardinality bits: a shingle set's size is
+# bounded by the document's byte length, so 2^57 is unreachable.  pos
+# (< k <= 64, 6 bits) lands in bits 57-62 — the sign bit stays 0, so the
+# arithmetic shiftright unpack cannot sign-extend (pos << 58 would push
+# pos >= 32 into bit 63).
+_CARD_BITS = 57
+_CARD_MASK = (1 << _CARD_BITS) - 1
 
 
 def candidate_pairs(
@@ -154,31 +175,63 @@ def candidate_pairs(
     hashes = F.col("band_hashes")
     if max_pos is not None:
         hashes = F.slice(hashes, 1, max_pos)
-    bands = sketches.select(
+    # PACKED band rows: UnsafeRow pads every field to 8 bytes, so
+    # narrowing dtypes (card int64->int32) saves nothing on THE shuffle —
+    # removing fields does.  pos (< k <= 64, 6 bits) and cardinality
+    # (< 2^57: bounded by document bytes, enforced nowhere because no
+    # real corpus approaches it) pack into one long, and the two-column
+    # (pos, bh) join key collapses to xxhash64(pos, bh): 4 fixed-width
+    # slots -> 3 (~25% fewer shuffled bytes pre-compression) and one
+    # 8-byte key comparison instead of two in the hash join.  A bhp
+    # collision merging two buckets adds spurious CANDIDATES only (same
+    # ~n^2/2^64 story as the kh collision above, and the estimation
+    # filter + optional exact verification still apply); it can never
+    # drop a true candidate.
+    exploded = sketches.select(
         *extra_cols,
         F.xxhash64("key").alias("kh"),
         F.col("cardinality").alias("card"),
         F.posexplode(hashes).alias("pos", "bh"),
     )
-    join_keys = [*extra_cols, "pos", "bh"]
+    bands = exploded.select(
+        *extra_cols,
+        "kh",
+        (
+            F.shiftleft(F.col("pos").cast("long"), _CARD_BITS) + F.col("card")
+        ).alias("pc"),
+        F.xxhash64("pos", "bh").alias("bhp"),
+    )
+    join_keys = [*extra_cols, "bhp"]
     if salt and config.bucket_cap:
-        bands = salt_hot_buckets(bands, config.bucket_cap, key_col="kh")
-        join_keys = ["pos", "bh", "salt"]
+        bands = salt_hot_buckets(
+            bands, config.bucket_cap, key_col="kh", bucket_cols=("bhp",)
+        )
+        join_keys = ["bhp", "salt"]
     x = bands.select(
-        *join_keys, F.col("kh").alias("kh_x"), F.col("card").alias("card_x")
+        *join_keys, F.col("kh").alias("kh_x"), F.col("pc").alias("pc_x")
     )
     y = bands.select(
-        *join_keys, F.col("kh").alias("kh_y"), F.col("card").alias("card_y")
+        *join_keys, F.col("kh").alias("kh_y"), F.col("pc").alias("pc_y")
     )
     # SHUFFLE_HASH: Spark's default picks SortMergeJoin here, which sorts
     # BOTH multi-million-row band relations per partition — the dominant
     # memory cost of the hottest stage.  A shuffled hash join builds one
-    # ~(rows/partitions) map instead (band rows are ~40 B, so the build
+    # ~(rows/partitions) map instead (band rows are ~32 B, so the build
     # side per partition is MBs whenever partitions are sized sanely,
     # which the 100-TB design rule already requires); salting + AQE skew
     # split keep any hot bucket from blowing up a single build.
     joined = x.join(y.hint("SHUFFLE_HASH"), join_keys).filter(
         F.col("kh_x") < F.col("kh_y")
+    )
+    # unpack AFTER the join (fuses into the join stage's codegen): pos is
+    # the x side's — equal on both sides by construction of bhp
+    joined = joined.select(
+        *extra_cols,
+        "kh_x",
+        "kh_y",
+        F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int").alias("pos"),
+        F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
+        F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
     )
     if row_filter is not None:
         joined = row_filter(joined)

@@ -78,8 +78,26 @@ def _fold_batch(
     pdfs: Iterator[pd.DataFrame],
     state,
     config: LazoConfig,
+    timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
-    """Fold one key's micro-batch values into its sketch state."""
+    """Fold one key's micro-batch values into its sketch state.
+
+    With a ProcessingTime timeout configured, an idle key's invocation
+    (no data, ``state.hasTimedOut``) EVICTS the state silently: the next
+    value for that key re-creates the sketch from scratch — an explicit
+    TTL/retention policy, not a correctness mechanism (the batch path
+    re-derives any evicted sketch).  Live keys re-arm the timer each
+    batch they receive data.  Data always wins over an expired timer:
+    the eviction branch fires only when the invocation carries NO values
+    (draining first costs nothing — Spark already grouped this key's
+    batch rows), so a key that expires and receives data in the same
+    batch folds normally instead of dropping the batch."""
+    values: list[str] = []
+    for pdf in pdfs:
+        values.extend(pdf["value"].tolist())
+    if timeout_ms is not None and state.hasTimedOut and not values:
+        state.remove()
+        return
     from ..functions.hll import (
         SM_SPARSE,
         SP,
@@ -92,9 +110,10 @@ def _fold_batch(
     from ..functions.shingles import shingle_hashes
     from ..functions.sketch_kernels import LONG_MAX, minhash_sigs
 
-    values: list[str] = []
-    for pdf in pdfs:
-        values.extend(pdf["value"].tolist())
+    def commit(new_state) -> None:
+        state.update(new_state)
+        if timeout_ms is not None:  # re-arm the TTL on every touch
+            state.setTimeoutDuration(timeout_ms)
     if state.exists:
         sig_list, mode, data = state.get
         sig = np.array(sig_list, dtype=np.int64)
@@ -120,7 +139,7 @@ def _fold_batch(
         v = len(np.unique(idx25))
         if v <= SPARSE_THRESHOLD:
             changed = bool((merged != sig).any()) or len(enc) != len(data)
-            state.update((merged.tolist(), 0, enc.tolist()))
+            commit((merged.tolist(), 0, enc.tolist()))
             if not changed:
                 return
             card = int(np.rint(SM_SPARSE * np.log(SM_SPARSE / (SM_SPARSE - v))))
@@ -132,7 +151,7 @@ def _fold_batch(
         # functions/hll.regs_from_encoded); state size is bounded from
         # here on
         regs = regs_from_encoded(enc)
-        state.update((merged.tolist(), 1, _pack_regs(regs)))
+        commit((merged.tolist(), 1, _pack_regs(regs)))
         yield pd.DataFrame(
             {
                 "key": [key[0]],
@@ -146,7 +165,7 @@ def _fold_batch(
     before = regs.copy()
     fold_normal_regs(regs, h64.view(np.uint64))
     changed = bool((merged != sig).any()) or bool((regs != before).any())
-    state.update((merged.tolist(), 1, _pack_regs(regs)))
+    commit((merged.tolist(), 1, _pack_regs(regs)))
     if not changed:
         return
     yield pd.DataFrame(
@@ -162,8 +181,17 @@ def stateful_sketch_stream(
     stream_df,
     config: LazoConfig | None = None,
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int | None = None,
 ):
     """stream_df(key, value) -> streaming DataFrame of updated sketches.
+
+    timeout="ProcessingTimeTimeout" + timeout_duration_ms: per-key TTL —
+    a key idle for that long is EVICTED from the state store (its next
+    value re-creates the sketch from scratch); every batch that touches
+    a key re-arms its timer.  This bounds total state for unbounded key
+    churn (web-scale crawl streams where most keys are never seen
+    again); sizing guidance: state is ~8*(k + |sparse|) bytes per key,
+    capped ~210 KB after the NORMAL-mode handoff.
 
     Usage::
 
@@ -173,9 +201,14 @@ def stateful_sketch_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     config = config or LazoConfig()
+    if timeout == "ProcessingTimeTimeout" and timeout_duration_ms is None:
+        raise ValueError("ProcessingTimeTimeout requires timeout_duration_ms")
+    timeout_ms = (
+        timeout_duration_ms if timeout == "ProcessingTimeTimeout" else None
+    )
 
     def fold(key, pdfs, state):
-        return _fold_batch(key, pdfs, state, config)
+        return _fold_batch(key, pdfs, state, config, timeout_ms=timeout_ms)
 
     timeout_conf = {
         "NoTimeout": GroupStateTimeout.NoTimeout,

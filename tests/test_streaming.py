@@ -131,6 +131,115 @@ def test_stateful_sketch_stream(spark, tmp_path):
     assert latest["k2"][0] == 1
 
 
+def test_stateful_timeout_evicts_and_refolds(spark, tmp_path):
+    """ProcessingTimeTimeout TTL: an idle key's state is evicted, and a
+    later value for it re-creates the sketch FROM SCRATCH (eviction is a
+    retention policy — the re-fold must look like a brand-new key, not a
+    continuation).
+
+    ONE continuous processingTime-trigger query: with processing-time
+    timeouts registered, Spark keeps running (empty) micro-batches so
+    expired timers can fire — which also means trigger(availableNow)
+    NEVER terminates such a query (shouldRunAnotherBatch stays true);
+    the earlier revision of this test learned that the hard way."""
+    import numpy as np
+
+    from lazo_spark.functions.shingles import shingle_hashes
+    from lazo_spark.functions.sketch_kernels import minhash_sigs
+    from lazo_spark.streaming.stateful import stateful_sketch_stream
+
+    src_dir = str(tmp_path / "vals")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+    cfg = LazoConfig()
+
+    def feed(rows):
+        spark.createDataFrame(rows, "key string, value string").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    def k2_rows():
+        try:
+            return [
+                r
+                for r in spark.read.parquet(out_dir).collect()
+                if r["key"] == "k2"
+            ]
+        except Exception:  # sink dir not created yet
+            return []
+
+    def wait_for(pred, seconds=120):
+        deadline = time.time() + seconds
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(2)
+        return False
+
+    feed([("k1", f"v{i}") for i in range(10)] + [("k2", "x")])
+    stream = spark.readStream.schema("key string, value string").parquet(src_dir)
+    q = (
+        stateful_sketch_stream(
+            stream, cfg, timeout="ProcessingTimeTimeout",
+            timeout_duration_ms=500,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_for(lambda: len(k2_rows()) >= 1), "batch 1 never emitted"
+        # k2 now idles past the TTL: an empty micro-batch fires its
+        # timer and evicts the state (silently — no emission)
+        time.sleep(3)
+        feed([("k2", "y")])
+        assert wait_for(lambda: len(k2_rows()) >= 2), "re-fold never emitted"
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out_dir).collect()
+    k2_cards = sorted(r["cardinality"] for r in rows if r["key"] == "k2")
+    # pre-eviction {x} -> 1; post-eviction {y} -> 1 (NOT 2: the state
+    # was dropped, so y did NOT merge into {x, y})
+    assert k2_cards == [1, 1], k2_cards
+    h1, off = shingle_hashes(["y"], "line", cfg.seed)
+    fresh_y = minhash_sigs(h1, off, cfg.k, cfg.seed)[0]
+    h1x, offx = shingle_hashes(["x"], "line", cfg.seed)
+    sig_x = minhash_sigs(h1x, offx, cfg.k, cfg.seed)[0]
+    sigs = {tuple(r["signature"]) for r in rows if r["key"] == "k2"}
+    # the y emission must equal the FRESH sketch of {y}, not
+    # min-merge(sig_x, fresh_y) — proves re-creation, not continuation
+    assert tuple(fresh_y.tolist()) in sigs
+    merged = np.minimum(sig_x, fresh_y)
+    assert (merged == fresh_y).all() or tuple(merged.tolist()) not in sigs
+    # k1 was fed once and then only evicted (silent): exactly one
+    # emission, never a second
+    k1_cards = [r["cardinality"] for r in rows if r["key"] == "k1"]
+    assert k1_cards == [10], k1_cards
+
+
+def test_fold_batch_timeout_branch_evicts():
+    """Unit: a hasTimedOut invocation removes state and emits nothing."""
+    from lazo_spark.streaming.stateful import _fold_batch
+
+    class TimedOutState:
+        hasTimedOut = True
+        exists = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = TimedOutState()
+    out = list(_fold_batch(("k",), iter([]), st, LazoConfig(), timeout_ms=500))
+    assert out == [] and st.removed
+
+
 def test_stateful_normal_mode_handoff():
     """Past the clearspring sparse threshold (196,608 distinct prefixes)
     the per-key state must convert to packed 2^18 NORMAL registers —
