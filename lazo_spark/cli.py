@@ -166,7 +166,9 @@ def main(argv: list[str] | None = None) -> dict:
         "master": spark.sparkContext.master,
         "config_fingerprint": config.fingerprint(),
         "stage_metrics": {
-            k: v for k, v in pipe.metrics.items() if isinstance(v, (int, float))
+            k: v
+            for k, v in pipe.finalize_metrics().items()
+            if isinstance(v, (int, float))
         },
     }
     if args.metrics_out:

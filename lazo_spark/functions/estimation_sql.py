@@ -12,223 +12,300 @@ Float32 parity notes (verified empirically in tests/test_estimation_sql):
     innocuous for +,-,*,/ when p' >= 2p+2; 53 >= 2*24+2).
   * CAST(float AS BIGINT) truncates toward zero = Java (long) = np.trunc.
 
-The exhaustive grid test compares every output column of these
-expressions against estimate_pairs over the full cardinality grid x all
-sweep thresholds, bit-for-bit.
+Construction notes (round-4 rework, in two layers):
+
+1. TEXT, not Column chains.  The trees have thousands of nodes and each
+   pyspark Column operation is a py4j round-trip: measured ~2.1 s to
+   build the keep_either predicate and ~2.3 s for the estimate columns
+   PER QUERY on the driver.  SQL text generation is microseconds,
+   memoized per parameter set, and handed to Catalyst via selectExpr.
+
+2. STAGED named intermediates, not one giant expression.  A single
+   nested expression duplicates every shared subterm (least(q,c) alone
+   appeared ~40x), which (a) made every downstream DataFrame operation
+   re-analyze a huge tree (Dataset construction analyzes eagerly: ~3 ms
+   x hundreds of py4j calls), (b) made AQE re-optimize the same giant
+   tree at every stage boundary, and (c) recomputed the duplicates per
+   ROW at runtime — FilterExec has no subexpression elimination, and
+   the keep predicate runs on every raw band-join row, the hottest
+   filter in the engine.  Instead the computation is laid out as a
+   pipeline of narrow projections over named temporaries (__est_*);
+   each subterm is computed once per row, both containment directions
+   share the symmetric core (least/greatest/alpha/intersections), and
+   CollapseProject keeps multi-use non-cheap aliases materialized.
+
+The exhaustive grid test compares every output column against
+estimate_pairs over the full cardinality grid x all sweep thresholds,
+bit-for-bit, so the staged layout is verified end-to-end, not trusted.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import DataFrame
+
+#: prefix of every temporary column added by with_estimates
+EST_PREFIX = "__est_"
 
 
-def _f(x) -> Column:
+def _f(x) -> str:
     """float32 literal (rounded through numpy so the literal itself is
-    the same float32 value the kernel uses)."""
-    return F.lit(float(np.float32(x))).cast("float")
+    the same float32 value the kernel uses).  The D suffix makes the
+    text parse as a DOUBLE literal (repr round-trips the exact double);
+    an unsuffixed decimal would parse as DECIMAL and convert
+    differently."""
+    return f"CAST({float(np.float32(x))!r}D AS FLOAT)"
 
 
-def _fdiv(num: Column, den: Column) -> Column:
+def _fdiv(num: str, den: str) -> str:
     """float32 division (Spark promotes to double; cast back = IEEE
     float32 single-rounding equivalent)."""
-    return (num / den).cast("float")
+    return f"CAST((({num}) / ({den})) AS FLOAT)"
 
 
-def _safe_div(num: Column, den: Column) -> Column:
+def _safe_div(num: str, den: str) -> str:
     """float32 num/den with 0 where den <= 0 (reference ternaries);
-    num/den are BIGINT columns."""
-    return F.when(
-        den > 0, _fdiv(num.cast("float"), den.cast("float"))
-    ).otherwise(_f(0.0))
+    num/den are BIGINT fragments."""
+    div = _fdiv(f"CAST(({num}) AS FLOAT)", f"CAST(({den}) AS FLOAT)")
+    return f"(CASE WHEN ({den}) > 0 THEN {div} ELSE {_f(0.0)} END)"
 
 
-def _alpha(min_c: Column, max_c: Column, t: Column) -> Column:
+def _alpha(mc: str, xc: str, t: str) -> str:
     """getAlpha (LazoIndex.java:477-480): (long)((minC - t*maxC)/(1+t)),
     all float32."""
-    v = _fdiv(min_c.cast("float") - t * max_c.cast("float"), _f(1.0) + t)
-    return v.cast("bigint")
+    v = _fdiv(
+        f"(CAST({mc} AS FLOAT) - ({t} * CAST({xc} AS FLOAT)))",
+        f"({_f(1.0)} + {t})",
+    )
+    return f"CAST({v} AS BIGINT)"
 
 
-@dataclass
-class EstimateCols:
-    js: Column
-    jcx: Column
-    jcy: Column
-    keep: Column
-    corrected: Column
+def _chain(c_x: str, v_x: str, c_y: str, v_y: str, other: str) -> str:
+    """The reference's if/else-if correction ladder (LazoIndex.java:393-438)."""
+    return f"(CASE WHEN {c_x} THEN {v_x} WHEN {c_y} THEN {v_y} ELSE {other} END)"
 
 
-def _build_estimates(
-    th: Column,
-    query_card: Column,
-    candidate_card: Column,
+@lru_cache(maxsize=512)
+def _stage_texts(
     d: float,
+    js_threshold: float,
+    jcx_threshold: float,
     ech: bool,
-    need_js: bool,
-    need_jcx: bool,
-    need_jcy: bool,
-) -> tuple[Column | None, Column | None, Column | None, Column]:
-    """Shared expression builder: returns (avg_js, avg_jcx, avg_jcy,
-    corrected), materializing ONLY the requested averages.
+    need_est: bool,
+    need_keep_q: bool,
+    need_keep_c: bool,
+) -> tuple[tuple[tuple[str, str], ...], ...]:
+    """Build the staged column plan as ((name, sql), ...) per stage.
 
-    Tree size matters operationally, not just aesthetically: these
-    expressions are inlined into whole-stage-codegen'd join/filter
-    stages, and janino hard-fails methods > 64 KB (the stage then runs
-    interpreted).  Each unneeded average drops its whole when/otherwise
-    correction chain; the ECH *conditions* are always built when ech is
-    on because every chain branches on them.
+    All names carry EST_PREFIX; stage k may reference any name from
+    stages < k plus the caller-provided __est_t / __est_q / __est_c.
+    Direction q treats __est_q as the query (the reference's x side);
+    direction c swaps.  Only the averages a requested output actually
+    needs are materialized — at a threshold of 0 the keep condition is
+    unconditionally satisfied (estimates are non-negative: alpha <= minC
+    always; ECH numerators stay positive since the float32 bound*card
+    overshoot is < 1 ulp of minC) and its whole correction chain is
+    dropped, mirroring the minimal-tree rule the bit-parity grid test
+    pins at js_t = 0 / jcx_t = 0.
     """
-    q = query_card.cast("bigint")
-    c = candidate_card.cast("bigint")
-    lower_t = th
-    upper_t = th + _f(d)
-    min_c = F.least(q, c)
-    max_c = F.greatest(q, c)
+    p = EST_PREFIX
+    js_q = need_est or (need_keep_q and js_threshold > 0.0)
+    jcx_q = need_est or (need_keep_q and jcx_threshold > 0.0)
+    jcy_q = need_est
+    js_c = need_keep_c and js_threshold > 0.0
+    jcx_c = need_keep_c and jcx_threshold > 0.0
+    dir_q = js_q or jcx_q or jcy_q
+    dir_c = js_c or jcx_c
+    need_js = js_q or js_c
+    # ECH conditions branch on all four uncorrected containment bounds
+    need_rq = jcx_q or (ech and (dir_q or dir_c))
+    need_rc = jcy_q or jcx_c or (ech and (dir_q or dir_c))
 
-    a_lo = _alpha(min_c, max_c, lower_t)
-    a_up = _alpha(min_c, max_c, upper_t)
-    ix_lo = min_c - a_lo
-    ix_up = min_c - a_up
+    s1 = [(f"{p}tu", f"({p}t + {_f(d)})"),
+          (f"{p}mc", f"least({p}q, {p}c)"),
+          (f"{p}xc", f"greatest({p}q, {p}c)")]
+    s2 = [(f"{p}alo", _alpha(f"{p}mc", f"{p}xc", f"{p}t")),
+          (f"{p}aup", _alpha(f"{p}mc", f"{p}xc", f"{p}tu"))]
+    s3 = [(f"{p}ixlo", f"({p}mc - {p}alo)"),
+          (f"{p}ixup", f"({p}mc - {p}aup)")]
+    s4 = []
+    if need_js:
+        s4 += [(f"{p}jslo", _safe_div(f"{p}ixlo", f"({p}xc + {p}alo)")),
+               (f"{p}jsup", _safe_div(f"{p}ixup", f"({p}xc + {p}aup)"))]
+    if need_rq:
+        s4 += [(f"{p}rqlo", _safe_div(f"{p}ixlo", f"{p}q")),
+               (f"{p}rqup", _safe_div(f"{p}ixup", f"{p}q"))]
+    if need_rc:
+        s4 += [(f"{p}rclo", _safe_div(f"{p}ixlo", f"{p}c")),
+               (f"{p}rcup", _safe_div(f"{p}ixup", f"{p}c"))]
+    if ech and (dir_q or dir_c):
+        # the ECH clamp bounds (jcx_max/jcy_max of each direction)
+        s4.append((f"{p}bq", f"least({_safe_div(f'{p}mc', f'{p}q')}, {_f(1.0)})"))
+        s4.append((f"{p}bc", f"least({_safe_div(f'{p}mc', f'{p}c')}, {_f(1.0)})"))
 
-    js_lo = _safe_div(ix_lo, max_c + a_lo) if need_js else None
-    js_up = _safe_div(ix_up, max_c + a_up) if need_js else None
-    jcx_lo = _safe_div(ix_lo, q)
-    jcx_up = _safe_div(ix_up, q)
-    jcy_lo = _safe_div(ix_lo, c)
-    jcy_up = _safe_div(ix_up, c)
+    stages = [tuple(s1), tuple(s2), tuple(s3), tuple(s4)]
+    avg = lambda lo, up: _fdiv(f"({lo} + {up})", _f(2.0))  # noqa: E731
+    outs: list[tuple[str, str]] = []
 
-    jcx_max = F.least(_safe_div(min_c, q), _f(1.0))
-    jcy_max = F.least(_safe_div(min_c, c), _f(1.0))
-
-    corrected = F.lit(False)
     if ech:
         # correctEstimate (LazoIndex.java:490-493): (long)(minC - bound*card)
-        ca_x = (min_c.cast("float") - jcx_max * q.cast("float")).cast("bigint")
-        ca_y = (min_c.cast("float") - jcy_max * c.cast("float")).cast("bigint")
-
-        # upper bound corrections (LazoIndex.java:393-413)
-        cond_x_up = (jcx_up > jcx_max) & (jcx_max > 0)
-        cond_y_up = (~cond_x_up) & (jcy_up > jcy_max) & (jcy_max > 0)
-        # lower bound corrections (LazoIndex.java:415-438)
-        cond_x_lo = (jcx_lo > jcx_max) & (jcx_max > 0)
-        cond_y_lo = (~cond_x_lo) & (jcy_lo > jcy_max) & (jcy_max > 0)
-
+        s5 = [(f"{p}caq",
+               f"CAST((CAST({p}mc AS FLOAT) - ({p}bq * CAST({p}q AS FLOAT))) AS BIGINT)"),
+              (f"{p}cac",
+               f"CAST((CAST({p}mc AS FLOAT) - ({p}bc * CAST({p}c AS FLOAT))) AS BIGINT)")]
+        # upper/lower bound trigger conditions (LazoIndex.java:393-438);
+        # the y-condition embeds NOT x-condition, so they sit one stage later
+        s6, s7 = [], []
+        if dir_q:
+            s6 += [(f"{p}qxup", f"(({p}rqup > {p}bq) AND ({p}bq > 0))"),
+                   (f"{p}qxlo", f"(({p}rqlo > {p}bq) AND ({p}bq > 0))")]
+            s7 += [(f"{p}qyup",
+                    f"((NOT {p}qxup) AND ({p}rcup > {p}bc) AND ({p}bc > 0))"),
+                   (f"{p}qylo",
+                    f"((NOT {p}qxlo) AND ({p}rclo > {p}bc) AND ({p}bc > 0))")]
+        if dir_c:
+            s6 += [(f"{p}cxup", f"(({p}rcup > {p}bc) AND ({p}bc > 0))"),
+                   (f"{p}cxlo", f"(({p}rclo > {p}bc) AND ({p}bc > 0))")]
+            s7 += [(f"{p}cyup",
+                    f"((NOT {p}cxup) AND ({p}rqup > {p}bq) AND ({p}bq > 0))"),
+                   (f"{p}cylo",
+                    f"((NOT {p}cxlo) AND ({p}rqlo > {p}bq) AND ({p}bq > 0))")]
+        # corrected values, shared by both directions (q's "other side"
+        # correction IS c's "own side" one and vice versa)
         if need_js:
-            js_corr_x = _safe_div(min_c - ca_x, max_c + ca_x)
-            js_corr_y = _safe_div(min_c - ca_y, max_c + ca_y)
-            js_up = (
-                F.when(cond_x_up, js_corr_x).when(cond_y_up, js_corr_y).otherwise(js_up)
-            )
-            js_lo = (
-                F.when(cond_x_lo, js_corr_x).when(cond_y_lo, js_corr_y).otherwise(js_lo)
-            )
-        if need_jcx:
-            jcx_up = (
-                F.when(cond_x_up, jcx_max)
-                .when(cond_y_up, _safe_div(min_c - ca_y, q))
-                .otherwise(jcx_up)
-            )
-            jcx_lo = (
-                F.when(cond_x_lo, jcx_max)
-                .when(cond_y_lo, _safe_div(min_c - ca_y, q))
-                .otherwise(jcx_lo)
-            )
-        if need_jcy:
-            jcy_up = (
-                F.when(cond_x_up, _safe_div(min_c - ca_x, c))
-                .when(cond_y_up, jcy_max)
-                .otherwise(jcy_up)
-            )
-            jcy_lo = (
-                F.when(cond_x_lo, _safe_div(min_c - ca_x, c))
-                .when(cond_y_lo, jcy_max)
-                .otherwise(jcy_lo)
-            )
-        corrected = cond_x_up | cond_y_up | cond_x_lo | cond_y_lo
+            s7 += [(f"{p}jscq", _safe_div(f"({p}mc - {p}caq)", f"({p}xc + {p}caq)")),
+                   (f"{p}jscc", _safe_div(f"({p}mc - {p}cac)", f"({p}xc + {p}cac)"))]
+        if jcx_q:
+            s7.append((f"{p}vqc", _safe_div(f"({p}mc - {p}cac)", f"{p}q")))
+        if jcy_q or jcx_c:
+            s7.append((f"{p}vcq", _safe_div(f"({p}mc - {p}caq)", f"{p}c")))
 
-    avg = lambda lo, up: _fdiv(lo + up, _f(2.0))  # noqa: E731
-    return (
-        avg(js_lo, js_up) if need_js else None,
-        avg(jcx_lo, jcx_up) if need_jcx else None,
-        avg(jcy_lo, jcy_up) if need_jcy else None,
-        corrected,
-    )
+        # per-direction corrected lo/up, then averages
+        s8 = []
+        if js_q:
+            s8 += [(f"{p}jsupq", _chain(f"{p}qxup", f"{p}jscq", f"{p}qyup", f"{p}jscc", f"{p}jsup")),
+                   (f"{p}jsloq", _chain(f"{p}qxlo", f"{p}jscq", f"{p}qylo", f"{p}jscc", f"{p}jslo"))]
+        if jcx_q:
+            s8 += [(f"{p}jcxupq", _chain(f"{p}qxup", f"{p}bq", f"{p}qyup", f"{p}vqc", f"{p}rqup")),
+                   (f"{p}jcxloq", _chain(f"{p}qxlo", f"{p}bq", f"{p}qylo", f"{p}vqc", f"{p}rqlo"))]
+        if jcy_q:
+            s8 += [(f"{p}jcyupq", _chain(f"{p}qxup", f"{p}vcq", f"{p}qyup", f"{p}bc", f"{p}rcup")),
+                   (f"{p}jcyloq", _chain(f"{p}qxlo", f"{p}vcq", f"{p}qylo", f"{p}bc", f"{p}rclo"))]
+        if js_c:
+            s8 += [(f"{p}jsupc", _chain(f"{p}cxup", f"{p}jscc", f"{p}cyup", f"{p}jscq", f"{p}jsup")),
+                   (f"{p}jsloc", _chain(f"{p}cxlo", f"{p}jscc", f"{p}cylo", f"{p}jscq", f"{p}jslo"))]
+        if jcx_c:
+            s8 += [(f"{p}jcxupc", _chain(f"{p}cxup", f"{p}bc", f"{p}cyup", f"{p}vcq", f"{p}rcup")),
+                   (f"{p}jcxloc", _chain(f"{p}cxlo", f"{p}bc", f"{p}cylo", f"{p}vcq", f"{p}rclo"))]
+        stages += [tuple(s5), tuple(s6), tuple(s7), tuple(s8)]
+        if js_q:
+            outs.append((f"{p}js", avg(f"{p}jsloq", f"{p}jsupq")))
+        if jcx_q:
+            outs.append((f"{p}jcx", avg(f"{p}jcxloq", f"{p}jcxupq")))
+        if jcy_q:
+            outs.append((f"{p}jcy", avg(f"{p}jcyloq", f"{p}jcyupq")))
+        if js_c:
+            outs.append((f"{p}js_c", avg(f"{p}jsloc", f"{p}jsupc")))
+        if jcx_c:
+            outs.append((f"{p}jcx_c", avg(f"{p}jcxloc", f"{p}jcxupc")))
+        if need_est:
+            outs.append((f"{p}corrected",
+                         f"({p}qxup OR {p}qyup OR {p}qxlo OR {p}qylo)"))
+    else:
+        if js_q:
+            outs.append((f"{p}js", avg(f"{p}jslo", f"{p}jsup")))
+        if jcx_q:
+            outs.append((f"{p}jcx", avg(f"{p}rqlo", f"{p}rqup")))
+        if jcy_q:
+            outs.append((f"{p}jcy", avg(f"{p}rclo", f"{p}rcup")))
+        if js_c:
+            outs.append((f"{p}js_c", avg(f"{p}jslo", f"{p}jsup")))
+        if jcx_c:
+            outs.append((f"{p}jcx_c", avg(f"{p}rclo", f"{p}rcup")))
+        if need_est:
+            outs.append((f"{p}corrected", "false"))
+    stages.append(tuple(outs))
+
+    keeps = []
+    if need_keep_q:
+        conds = []
+        if js_threshold > 0.0:
+            conds.append(f"({p}js >= {_f(js_threshold)})")
+        if jcx_threshold > 0.0:
+            conds.append(f"({p}jcx >= {_f(jcx_threshold)})")
+        keeps.append((f"{p}keep_q", "(" + " AND ".join(conds) + ")" if conds else "true"))
+    if need_keep_c:
+        conds = []
+        if js_threshold > 0.0:
+            conds.append(f"({p}js_c >= {_f(js_threshold)})")
+        if jcx_threshold > 0.0:
+            conds.append(f"({p}jcx_c >= {_f(jcx_threshold)})")
+        keeps.append((f"{p}keep_c", "(" + " AND ".join(conds) + ")" if conds else "true"))
+    if keeps:
+        stages.append(tuple(keeps))
+    return tuple(s for s in stages if s)
 
 
-def estimate_cols(
-    th: Column,
-    query_card: Column,
-    candidate_card: Column,
+def with_estimates(
+    df: DataFrame,
+    th: str,
+    query_card: str,
+    candidate_card: str,
     d: float = 0.05,
     js_threshold: float = 0.0,
     jcx_threshold: float = 0.0,
     ech: bool = True,
-) -> EstimateCols:
-    """Column-expression twin of estimation.estimate_pairs.
+    estimates: bool = True,
+    keeps: tuple[str, ...] = ("q",),
+) -> DataFrame:
+    """Append the staged estimation columns to df.
 
-    th: FloatType lower-bound threshold; cards: BIGINT.  Returns the
-    averaged js/jcx/jcy (float32), the final-filter boolean, and the
-    ECH-correction flag.
+    th / query_card / candidate_card are SQL fragments (column names or
+    expressions) over df.  Adds (subject to flags):
+      __est_t                      the materialized threshold
+      __est_js/__est_jcx/__est_jcy direction-q averaged estimates
+      __est_corrected              ECH trigger flag (direction q)
+      __est_keep_q / __est_keep_c  per-direction final-filter booleans
+    plus internal temporaries, all EST_PREFIX'd — callers select/drop.
     """
-    avg_js, avg_jcx, avg_jcy, corrected = _build_estimates(
-        th, query_card, candidate_card, d, ech,
-        need_js=True, need_jcx=True, need_jcy=True,
+    p = EST_PREFIX
+    stages = _stage_texts(
+        d, js_threshold, jcx_threshold, ech,
+        need_est=estimates,
+        need_keep_q="q" in keeps,
+        need_keep_c="c" in keeps,
     )
-    keep = (avg_js >= _f(js_threshold)) & (avg_jcx >= _f(jcx_threshold))
-    return EstimateCols(avg_js, avg_jcx, avg_jcy, keep, corrected)
+    df = df.selectExpr(
+        "*",
+        f"({th}) AS {p}t",
+        f"CAST(({query_card}) AS BIGINT) AS {p}q",
+        f"CAST(({candidate_card}) AS BIGINT) AS {p}c",
+    )
+    for stage in stages:
+        df = df.selectExpr("*", *[f"{sql} AS {name}" for name, sql in stage])
+    return df
 
 
-def _keep_one(
-    th: Column,
-    query_card: Column,
-    candidate_card: Column,
+def drop_estimates(df: DataFrame) -> DataFrame:
+    """Drop every EST_PREFIX temporary."""
+    return df.drop(*[c for c in df.columns if c.startswith(EST_PREFIX)])
+
+
+def filter_keep_either(
+    df: DataFrame,
+    th: str,
+    card_x: str,
+    card_y: str,
     d: float,
     js_threshold: float,
     jcx_threshold: float,
     ech: bool,
-) -> Column:
-    """Minimal-tree keep predicate for one direction.
-
-    Every estimate is non-negative (alpha <= minC always; ECH numerators
-    stay positive since the float32 bound*card overshoot is < 1 ulp of
-    minC), so a threshold of 0 is unconditionally satisfied and its whole
-    subtree — including the ECH js correction chain, the biggest one —
-    can be dropped.  The bit-parity grid test covers keep at js_t = 0 and
-    jcx_t = 0 against the kernel, which checks both conditions literally.
-    """
-    need_js = js_threshold > 0.0
-    need_jcx = jcx_threshold > 0.0
-    if not (need_js or need_jcx):
-        return F.lit(True)
-    avg_js, avg_jcx, _, _ = _build_estimates(
-        th, query_card, candidate_card, d, ech,
-        need_js=need_js, need_jcx=need_jcx, need_jcy=False,
-    )
-    conds = []
-    if need_js:
-        conds.append(avg_js >= _f(js_threshold))
-    if need_jcx:
-        conds.append(avg_jcx >= _f(jcx_threshold))
-    out = conds[0]
-    for extra in conds[1:]:
-        out = out & extra
-    return out
-
-
-def keep_either_col(
-    th: Column,
-    card_x: Column,
-    card_y: Column,
-    d: float,
-    js_threshold: float,
-    jcx_threshold: float,
-    ech: bool,
-) -> Column:
-    """Undirected keep predicate: pair passes if either containment
+) -> DataFrame:
+    """Keep rows passing the undirected predicate: either containment
     direction passes (mirrors the pandas path's rx.keep | ry.keep).
+    Output columns = input columns.
 
     Monotone in th for fixed cardinalities (estimates are non-decreasing
     in th; ECH clamps to th-independent bounds), which makes the per-row
@@ -236,11 +313,13 @@ def keep_either_col(
     failing at its own position's threshold implies failure at the
     pair's min_pos threshold whenever that row IS the min, and all
     larger positions fail too.
-
-    Built from the minimal trees (_keep_one) so the predicate stays
-    small enough for the band-join stage to remain inside whole-stage
-    codegen (janino rejects methods > 64 KB).
     """
-    kx = _keep_one(th, card_x, card_y, d, js_threshold, jcx_threshold, ech)
-    ky = _keep_one(th, card_y, card_x, d, js_threshold, jcx_threshold, ech)
-    return kx | ky
+    if js_threshold <= 0.0 and jcx_threshold <= 0.0:
+        return df
+    cols = df.columns
+    p = EST_PREFIX
+    est = with_estimates(
+        df, th, card_x, card_y, d, js_threshold, jcx_threshold, ech,
+        estimates=False, keeps=("q", "c"),
+    )
+    return est.filter(f"{p}keep_q OR {p}keep_c").select(*cols)

@@ -150,9 +150,9 @@ def fuzzy_candidates(
 
     from pyspark import StorageLevel
 
-    from ..functions.estimation_sql import keep_either_col
+    from ..functions.estimation_sql import filter_keep_either
     from .lazo import (
-        _minpos_threshold_col,
+        _minpos_threshold_sql,
         candidate_pairs,
         estimate_candidates,
         max_useful_band,
@@ -164,12 +164,9 @@ def fuzzy_candidates(
     def prefilter(joined: DataFrame) -> DataFrame:
         # lossless either-direction pushdown onto raw join rows (same
         # monotone argument as lazo_pairs; identical for every slot)
-        th_row = _minpos_threshold_col(config, F.col("pos"))
-        return joined.filter(
-            keep_either_col(
-                th_row, F.col("card_x"), F.col("card_y"),
-                config.d, 0.0, jcx_floor, config.ech,
-            )
+        return filter_keep_either(
+            joined, _minpos_threshold_sql(config, "pos"),
+            "card_x", "card_y", config.d, 0.0, jcx_floor, config.ech,
         )
 
     hp = candidate_pairs(

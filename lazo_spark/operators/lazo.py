@@ -268,11 +268,13 @@ def candidate_pairs(
     )
 
 
-def _minpos_threshold_col(config: LazoConfig, pos_col) -> "F.Column":
-    """element_at over the (float32) min_pos -> sweep-threshold table."""
+def _minpos_threshold_sql(config: LazoConfig, pos_sql: str) -> str:
+    """element_at over the (float32) min_pos -> sweep-threshold table,
+    as a SQL fragment (the estimation trees are text-built — see
+    functions/estimation_sql.py construction note)."""
     mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
-    arr = F.array(*[F.lit(float(v)).cast("float") for v in mapping])
-    return F.element_at(arr, pos_col + 1)
+    items = ", ".join(f"CAST({float(v)!r}D AS FLOAT)" for v in mapping)
+    return f"element_at(array({items}), ({pos_sql}) + 1)"
 
 
 def estimate_candidates(
@@ -318,33 +320,28 @@ def estimate_candidates(
         engine = "pandas"
 
     if engine == "sql":
-        from ..functions.estimation_sql import _keep_one, estimate_cols
+        from ..functions.estimation_sql import EST_PREFIX, with_estimates
 
-        th = _minpos_threshold_col(config, F.col("min_pos"))
-        cx, cy = F.col("card_x"), F.col("card_y")
-        # keep predicates use the minimal trees (_keep_one) rather than
-        # the full estimate trees: the stage must stay under janino's
-        # 64 KB method limit or the whole fused stage loses codegen
-        if direction == "y":
-            rx = estimate_cols(th, cy, cx, config.d, js_t, jcx_t, config.ech)
-            keep = _keep_one(th, cy, cx, config.d, js_t, jcx_t, config.ech)
-        else:
-            rx = estimate_cols(th, cx, cy, config.d, js_t, jcx_t, config.ech)
-            keep = _keep_one(th, cx, cy, config.d, js_t, jcx_t, config.ech)
-            if direction == "either":
-                keep = keep | _keep_one(
-                    th, cy, cx, config.d, js_t, jcx_t, config.ech
-                )
-        return (
-            pairs.select(
-                key_cols[0], key_cols[1], *carry_cols,
-                rx.js.alias("js"), rx.jcx.alias("jcx"), rx.jcy.alias("jcy"),
-                th.alias("th"), F.col("min_pos"),
-                rx.corrected.alias("corrected"),
-                keep.alias("_keep"),
-            )
-            .filter(F.col("_keep"))
-            .drop("_keep")
+        th = _minpos_threshold_sql(config, "min_pos")
+        # direction q of the staged plan = the reference's query side;
+        # keep predicates stay minimal (threshold-0 subtrees dropped) so
+        # the fused stage remains small for janino/codegen
+        qc, cc = ("card_y", "card_x") if direction == "y" else ("card_x", "card_y")
+        keeps = ("q", "c") if direction == "either" else ("q",)
+        est = with_estimates(
+            pairs, th, qc, cc, config.d, js_t, jcx_t, config.ech,
+            estimates=True, keeps=keeps,
+        )
+        p = EST_PREFIX
+        keep = F.col(f"{p}keep_q")
+        if direction == "either":
+            keep = keep | F.col(f"{p}keep_c")
+        return est.filter(keep).select(
+            key_cols[0], key_cols[1], *carry_cols,
+            F.col(f"{p}js").alias("js"), F.col(f"{p}jcx").alias("jcx"),
+            F.col(f"{p}jcy").alias("jcy"),
+            F.col(f"{p}t").alias("th"), F.col("min_pos"),
+            F.col(f"{p}corrected").alias("corrected"),
         )
 
     mapping = minpos_to_threshold(config.k, config.d, config.fp_rate, config.fn_rate)
@@ -439,15 +436,12 @@ def lazo_pairs(
         # evaluation the reference sweep would have run
         engine = "pandas"
     if engine == "sql" and corrections_acc is None:
-        from ..functions.estimation_sql import keep_either_col
+        from ..functions.estimation_sql import filter_keep_either
 
         def prefilter(joined: DataFrame) -> DataFrame:
-            th_row = _minpos_threshold_col(config, F.col("pos"))
-            return joined.filter(
-                keep_either_col(
-                    th_row, F.col("card_x"), F.col("card_y"),
-                    config.d, js_t, jcx_t, config.ech,
-                )
+            return filter_keep_either(
+                joined, _minpos_threshold_sql(config, "pos"),
+                "card_x", "card_y", config.d, js_t, jcx_t, config.ech,
             )
 
     # NOTE: the row prefilter keeps either-direction passers — a superset

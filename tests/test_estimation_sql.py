@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from lazo_spark.functions.estimation import estimate_pairs
-from lazo_spark.functions.estimation_sql import estimate_cols, keep_either_col
+from lazo_spark.functions.estimation_sql import EST_PREFIX, with_estimates
 from lazo_spark.operators.lazo import _cardinality_grid
 
 
@@ -39,18 +39,18 @@ def test_sql_estimation_bit_parity(spark, ech, js_t, jcx_t):
         0.05, js_t, jcx_t, ech,
     )
     df = spark.createDataFrame(pdf)
-    cols = estimate_cols(
-        F.col("th").cast("float"), F.col("q"), F.col("c"),
+    p = EST_PREFIX
+    est = with_estimates(
+        df, "CAST(th AS FLOAT)", "q", "c",
         0.05, js_t, jcx_t, ech,
+        estimates=True, keeps=("q", "c"),
     )
-    keep_e = keep_either_col(
-        F.col("th").cast("float"), F.col("q"), F.col("c"),
-        0.05, js_t, jcx_t, ech,
-    )
-    out = df.select(
-        cols.js.alias("js"), cols.jcx.alias("jcx"), cols.jcy.alias("jcy"),
-        cols.keep.alias("keep"), cols.corrected.alias("corrected"),
-        keep_e.alias("keep_either"),
+    out = est.select(
+        F.col(f"{p}js").alias("js"), F.col(f"{p}jcx").alias("jcx"),
+        F.col(f"{p}jcy").alias("jcy"),
+        F.col(f"{p}keep_q").alias("keep"),
+        F.col(f"{p}corrected").alias("corrected"),
+        (F.col(f"{p}keep_q") | F.col(f"{p}keep_c")).alias("keep_either"),
     ).toPandas()
 
     got_js = out["js"].to_numpy(np.float32)
