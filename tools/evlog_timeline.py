@@ -1,0 +1,112 @@
+"""Analyze a Spark event log: per-job wall/gap breakdown and per-stage
+task concurrency for the MEASURED job group.
+
+Usage: python tools/evlog_timeline.py EVLOG_DIR [CPUS]
+Prints jobs in submission order with wall, gap-since-previous-job,
+and per-stage (task_count, task_seconds, stage_wall, tail = stage_wall
+- task_seconds/cpus ideal).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+
+def load_events(evlog_dir: str):
+    files = sorted(glob.glob(os.path.join(evlog_dir, "*", "events*"))) + sorted(
+        f for f in glob.glob(os.path.join(evlog_dir, "*")) if os.path.isfile(f)
+    )
+    for f in files:
+        if f.endswith(".zstd"):
+            raw = subprocess.run(["zstd", "-dc", f], capture_output=True, check=True).stdout
+        else:
+            with open(f, "rb") as fh:
+                raw = fh.read()
+        for line in raw.decode(errors="replace").splitlines():
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                continue
+
+
+def main() -> None:
+    evlog, cpus = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    jobs = {}          # id -> {start, end, stages, measured}
+    stages = {}        # id -> {submit, complete, tasks, task_ms, name}
+    for e in load_events(evlog):
+        ev = e.get("Event")
+        if ev == "SparkListenerJobStart":
+            props = e.get("Properties") or {}
+            jobs[e["Job ID"]] = {
+                "start": e["Submission Time"], "end": None,
+                "stages": e.get("Stage IDs", []),
+                "measured": props.get("spark.jobGroup.id") == "MEASURED",
+            }
+        elif ev == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]]["end"] = e["Completion Time"]
+        elif ev == "SparkListenerStageSubmitted":
+            si = e["Stage Info"]
+            stages[si["Stage ID"]] = {
+                "submit": si.get("Submission Time"),
+                "complete": None,
+                "tasks": 0, "task_ms": 0.0,
+                "name": si.get("Stage Name", "")[:48],
+            }
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            s = stages.setdefault(si["Stage ID"], {"tasks": 0, "task_ms": 0.0, "name": ""})
+            s["submit"] = si.get("Submission Time") or s.get("submit")
+            s["complete"] = si.get("Completion Time")
+        elif ev == "SparkListenerTaskEnd":
+            s = stages.get(e.get("Stage ID"))
+            if s is not None:
+                s["tasks"] += 1
+                m = e.get("Task Metrics") or {}
+                s["task_ms"] += m.get("Executor Run Time", 0)
+
+    measured = sorted(
+        (jid, j) for jid, j in jobs.items() if j["measured"] and j["end"]
+    )
+    if not measured:
+        print("no MEASURED jobs found")
+        return
+    t_first = measured[0][1]["start"]
+    t_last = max(j["end"] for _, j in measured)
+    total_wall = (t_last - t_first) / 1000.0
+    total_task = sum(
+        stages[s]["task_ms"] for _, j in measured for s in j["stages"] if s in stages
+    ) / 1000.0
+    print(f"MEASURED window: wall={total_wall:.2f}s task={total_task:.1f}s "
+          f"util={total_task/(cpus*total_wall):.3f} (cpus={cpus})")
+    prev_end = None
+    gap_total = 0.0
+    for jid, j in measured:
+        gap = (j["start"] - prev_end) / 1000.0 if prev_end else 0.0
+        gap_total += max(gap, 0.0)
+        wall = (j["end"] - j["start"]) / 1000.0
+        print(f"job {jid}: wall={wall:7.2f}s gap_before={gap:6.2f}s")
+        for sid in sorted(j["stages"]):
+            s = stages.get(sid)
+            if not s or s.get("complete") is None or s.get("submit") is None:
+                if s:
+                    print(f"    stage {sid}: SKIPPED ({s['name']})")
+                continue
+            swall = (s["complete"] - s["submit"]) / 1000.0
+            tsec = s["task_ms"] / 1000.0
+            ideal = tsec / cpus
+            print(
+                f"    stage {sid}: tasks={s['tasks']:4d} wall={swall:7.2f}s "
+                f"task_s={tsec:7.1f} ideal={ideal:6.2f}s "
+                f"tail+sched={swall-ideal:6.2f}s  {s['name']}"
+            )
+        prev_end = j["end"]
+    print(f"sum of inter-job gaps: {gap_total:.2f}s "
+          f"({100*gap_total/total_wall:.1f}% of wall)")
+
+
+if __name__ == "__main__":
+    main()
