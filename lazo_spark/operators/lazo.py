@@ -62,16 +62,38 @@ def _cardinality_grid() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def passable_threshold_indices(
+    config: LazoConfig, js_threshold: float, jcx_threshold: float
+) -> list[int]:
+    """Sweep-threshold indices i (th = i*d) at which the estimation +
+    final filter can pass for SOME cardinality combination — evaluated
+    with the *actual* kernel (estimate_pairs, both directions) over a
+    dense cardinality grid.  Estimates are monotone non-decreasing in th
+    for fixed cardinalities, so the unpassable set is a prefix [0, T0):
+    any pair whose assigned sweep threshold lands there fails the final
+    filter regardless of cardinalities and can be pruned at candidate
+    generation without changing the output.
+    """
+    n = int(1 / config.d)
+    mn, mx = _cardinality_grid()
+    out = []
+    for i in range(n):
+        th = np.full(len(mn), np.float32(config.d) * np.float32(i), dtype=np.float32)
+        rx = estimate_pairs(th, mn, mx, config.d, js_threshold, jcx_threshold, config.ech)
+        ry = estimate_pairs(th, mx, mn, config.d, js_threshold, jcx_threshold, config.ech)
+        if (rx.keep | ry.keep).any():
+            out.append(i)
+    return out
+
+
 def max_useful_band(
     config: LazoConfig, js_threshold: float, jcx_threshold: float
 ) -> int:
     """Largest band position that can contribute a PASSING pair — a
-    lossless pushdown: for each sweep threshold th, run the *actual*
-    estimation + filter (estimate_pairs, both directions) over a dense
-    cardinality grid; if no cardinality combination can pass, pairs whose
-    minimum matching position maps to th can never appear in the output,
-    so band positions beyond every passable config's band count are
-    pruned before the self-join.
+    lossless pushdown: pairs whose minimum matching position maps to an
+    unpassable sweep threshold (passable_threshold_indices) can never
+    appear in the output, so band positions beyond every passable
+    config's band count are pruned before the self-join.
 
     E.g. at jcx_t = 0.8 (ECH on): th = 0 can reach avg jcx of at most
     1/2, so positions >= 32 are pruned (64 -> 32 band rows).
@@ -79,15 +101,9 @@ def max_useful_band(
     from ..functions.banding import banding_table
 
     table = banding_table(config.k, config.d, config.fp_rate, config.fn_rate)
-    n = int(1 / config.d)
-    mn, mx = _cardinality_grid()
     max_band = 0
-    for i in range(n):
-        th = np.full(len(mn), np.float32(config.d) * np.float32(i), dtype=np.float32)
-        rx = estimate_pairs(th, mn, mx, config.d, js_threshold, jcx_threshold, config.ech)
-        ry = estimate_pairs(th, mx, mn, config.d, js_threshold, jcx_threshold, config.ech)
-        if (rx.keep | ry.keep).any():
-            max_band = max(max_band, table[i][0])
+    for i in passable_threshold_indices(config, js_threshold, jcx_threshold):
+        max_band = max(max_band, table[i][0])
     return max(1, min(config.k, max_band))
 
 

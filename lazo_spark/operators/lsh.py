@@ -79,7 +79,8 @@ def merge_sketch_groups(sketches: DataFrame, group_col: str) -> DataFrame:
 
 
 def multi_threshold_base_pairs(
-    sketches: DataFrame, config, js_threshold=None, jcx_threshold=None
+    sketches: DataFrame, config, js_threshold=None, jcx_threshold=None,
+    prune: bool = True,
 ) -> DataFrame:
     """LazoIndexBase path (reference LazoIndexBase.java:28-245): one
     independent standard-banding LSH index per threshold, descending
@@ -92,13 +93,31 @@ def multi_threshold_base_pairs(
     benchmark baseline demonstrating the GCD-sharing win (the reference's
     IndexBenchmark/VariousTest comparison): ~Σ bands (≈370 rows/key at
     k=64, d=0.05) versus 64 (or fewer, pruned) band rows per key.
+
+    Threshold configs whose sweep threshold can never pass the final
+    estimation filter are skipped (passable_threshold_indices — the same
+    lossless monotonicity pushdown as the flagship's max_useful_band):
+    a pair whose MAX matched index lands in the unpassable prefix fails
+    the filter for every cardinality, and dropping prefix configs never
+    changes the max for pairs that also match a passable config.  This
+    matters beyond latency: the lowest configs are rows=1 bands (bucket
+    key = one raw minhash value), whose buckets explode quadratically on
+    corpora with common shingles — the flagship prunes them, and an
+    unpruned baseline would measure that pathology, not banding layout.
     """
     from ..functions.banding import banding_table, minpos_to_threshold
-    from ..operators.lazo import estimate_candidates
+    from ..operators.lazo import estimate_candidates, passable_threshold_indices
 
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
     table = banding_table(config.k, config.d, config.fp_rate, config.fn_rate)
     n_th = int(1 / config.d)
-    configs = [(i, *table[i]) for i in range(n_th)]
+    idxs = (
+        passable_threshold_indices(config, js_t, jcx_t)
+        if prune
+        else list(range(n_th))
+    )
+    configs = [(i, *table[i]) for i in idxs]
     schema = "key string, card long, th_idx int, band int, seg_hash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,8 +151,10 @@ def multi_threshold_base_pairs(
         "th_idx", "band", "seg_hash",
         F.col("key").alias("key_y"), F.col("card").alias("card_y"),
     )
+    # SHUFFLE_HASH: both sides are multi-100k-row relations; the default
+    # SortMergeJoin pays per-partition sorts that dominate this stage
     pairs = (
-        x.join(y, ["th_idx", "band", "seg_hash"])
+        x.join(y.hint("SHUFFLE_HASH"), ["th_idx", "band", "seg_hash"])
         .filter(F.col("key_x") < F.col("key_y"))
         .groupBy("key_x", "key_y")
         .agg(

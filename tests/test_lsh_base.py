@@ -50,3 +50,40 @@ def test_base_index_finds_near_dups(spark):
     }
     assert ("x", "y") in pairs
     assert not any("z" in p for p in pairs)
+
+
+def test_base_index_threshold_pruning_lossless(spark):
+    """Dropping unpassable-prefix threshold configs must not change the
+    final filtered pair set (monotonicity: the unpassable sweep
+    thresholds form a prefix, and max matched index over the remaining
+    configs is unchanged for any pair that survives the filter)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    base = rng.sample(vocab, 80)
+    for i in range(30):
+        toks = list(base)
+        # progressively mutate so pairs span the whole threshold sweep
+        for _ in range(i * 4):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((f"k{i}", " ".join(toks)))
+    df = _docs(spark, rows)
+    sk = sketch_stage(df, CFG).persist()
+    sk.count()
+    cfg = LazoConfig(shingle_mode="word", jcx_threshold=0.6, js_threshold=0.3)
+
+    def key(r):
+        return (r.key_x, r.key_y, round(r.th, 6), r.min_pos)
+
+    pruned = sorted(
+        key(r) for r in multi_threshold_base_pairs(sk, cfg).collect()
+    )
+    full = sorted(
+        key(r)
+        for r in multi_threshold_base_pairs(sk, cfg, prune=False).collect()
+    )
+    sk.unpersist()
+    assert pruned == full
+    assert len(pruned) > 0
