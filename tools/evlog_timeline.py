@@ -1,10 +1,12 @@
 """Analyze a Spark event log: per-job wall/gap breakdown and per-stage
 task concurrency for the MEASURED job group.
 
-Usage: python tools/evlog_timeline.py EVLOG_DIR [CPUS]
+Usage: python tools/evlog_timeline.py EVLOG_DIR [CPUS] [JOBGROUP_PREFIX]
 Prints jobs in submission order with wall, gap-since-previous-job,
 and per-stage (task_count, task_seconds, stage_wall, tail = stage_wall
-- task_seconds/cpus ideal).
+- task_seconds/cpus ideal).  JOBGROUP_PREFIX defaults to MEASURED (the
+scaling probes' tag); pass another prefix (or '' for ALL jobs) to
+analyze ad-hoc runs tagged via setJobGroup.
 """
 from __future__ import annotations
 
@@ -34,6 +36,7 @@ def load_events(evlog_dir: str):
 
 def main() -> None:
     evlog, cpus = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    group_prefix = sys.argv[3] if len(sys.argv) > 3 else "MEASURED"
     jobs = {}          # id -> {start, end, stages, measured}
     stages = {}        # id -> {submit, complete, tasks, task_ms, name}
     for e in load_events(evlog):
@@ -43,7 +46,8 @@ def main() -> None:
             jobs[e["Job ID"]] = {
                 "start": e["Submission Time"], "end": None,
                 "stages": e.get("Stage IDs", []),
-                "measured": props.get("spark.jobGroup.id") == "MEASURED",
+                "measured": (props.get("spark.jobGroup.id") or "").startswith(group_prefix),
+                "group": props.get("spark.jobGroup.id") or "",
             }
         elif ev == "SparkListenerJobEnd":
             if e["Job ID"] in jobs:
@@ -88,7 +92,7 @@ def main() -> None:
         gap = (j["start"] - prev_end) / 1000.0 if prev_end else 0.0
         gap_total += max(gap, 0.0)
         wall = (j["end"] - j["start"]) / 1000.0
-        print(f"job {jid}: wall={wall:7.2f}s gap_before={gap:6.2f}s")
+        print(f"job {jid} [{j.get('group','')}]: wall={wall:7.2f}s gap_before={gap:6.2f}s")
         for sid in sorted(j["stages"]):
             s = stages.get(sid)
             if not s or s.get("complete") is None or s.get("submit") is None:
