@@ -8,17 +8,21 @@ Structure (round-4 rework — round 2 put scaling first for timeout
 safety, but a contended round-4 run showed the opposite failure: the
 scaling retries + flagship ate the internal budget and the sweep
 starved, skipping 7 of 9 queries and recording two contended-window
-times as the round's numbers).  The cheap section now runs first:
+times as the round's numbers).  Required-artifact sections run first,
+cheapest first; adaptive retries spend only leftover budget:
+  0. Sketch-speed kernels (pure NumPy, ~5 s).
   1. HEADLINE query subset (one per operator family), one session
      capped at 8 threads (this box degrades past ~8 concurrent
      streams — BASELINE.md "Measured"), workers pre-warmed before the
-     timer, best-of-2 passes, ~150-200 s healthy.
-  2. N-vs-4N scaling evidence (2 vs 8 pinned cores, 1 rep + adaptive
-     spark-leg retries while the result looks contended/noise-trashed
-     and budget remains).
-  3. Flagship dedup throughput (10k-file code corpus), then the timed
-     Lazo-vs-Base index comparison (IndexBenchmark.java:38-83 parity)
-     and the sketch-speed kernels if budget remains.
+     timer, best-of-2 passes, ~150-250 s healthy.
+  2. N-vs-4N scaling evidence (2 vs 8 pinned cores, ONE rep,
+     best-so-far published after every leg).
+  3. Flagship dedup throughput (10k-file code corpus), best-of up to
+     3 warm never-cache-fed passes in one session.
+  4. Scaling retries (spark legs only) while the rep-1 window looks
+     contended/noise-trashed and budget remains.
+  5. Timed Lazo-vs-Base index comparison (IndexBenchmark.java:38-83
+     parity) if budget remains.
 A SIGTERM handler emits the partial JSON if an external timeout fires,
 so the driver always gets a parseable line.  SPARK_GRAFT_BENCH_BUDGET
 (sec, default 840) trims sections when exceeded.
@@ -66,6 +70,17 @@ HEADLINE = [
 # first-pass numbers no longer carry 30-90 s of VM fault noise.
 # methodology_version lets consumers normalize across rounds.
 METHODOLOGY_VERSION = 5
+
+_SCALING_NOTE = (
+    "cores pinned with taskset (local[N] alone does not bound Python "
+    "workers).  primary = normalized_efficiency = "
+    "utilization@4N/utilization@N = raw efficiency x work_inflation, "
+    "measured on identical work via event-log task CPU totals; "
+    "work_inflation is this one-bus VM's contention on the SAME work "
+    "and does not exist across cluster nodes.  kernel legs = bare "
+    "NumPy sketch under pinned multiprocessing (secondary envelope "
+    "evidence)."
+)
 
 _partial: dict = {
     "metric": "bench_total_wall",
@@ -364,7 +379,7 @@ def index_bench(cpus: int, sf: float) -> dict:
         spark.stop()
 
 
-def scaling_section(out: dict) -> None:
+def scaling_section(out: dict) -> dict:
     """N vs 4N scaling evidence (BASELINE.md): sketch+LSH files/sec at
     2 vs 8 cores with the WHOLE process tree pinned via taskset.
     Pinning matters: local[N] bounds JVM task slots only — Python UDF
@@ -374,10 +389,14 @@ def scaling_section(out: dict) -> None:
     (local[32] is reproducibly no faster than local[8] even idle); past
     saturation added cores measure the memory bus, not the dataflow — a
     real cluster scales across nodes with independent buses.  The bare
-    NumPy kernel probe is reported as that hardware envelope.  One rep
-    by default; a second interleaved rep runs only when the first looks
-    contended (co-tenant CPU steal, ±2-3x measured on this box) AND
-    budget remains."""
+    NumPy kernel probe is reported as that hardware envelope.
+
+    Runs exactly ONE rep and publishes best-so-far into out/_partial
+    after EVERY completed leg, so an external timeout can never erase
+    finished probes.  Returns a state dict; scaling_retries() spends
+    LEFTOVER budget on extra spark reps after the flagship section has
+    run (a contended rep-1 window used to trigger retries here, which
+    starved the flagship out of the artifact entirely)."""
     import shutil
     import subprocess
 
@@ -387,9 +406,6 @@ def scaling_section(out: dict) -> None:
     # fraction (driver scheduling, shuffle setup) is negligible — the
     # probes already warm every worker before the timer (scaling_probe.py)
     scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.1"))
-    # retries are spark-legs-only (~200 s each) and guarded by the
-    # budget reserve below, so allow up to 2 of them
-    max_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     # generate/cache the corpus BEFORE the probes so corpus synthesis
     # doesn't run under a 2-core taskset budget
     cached_code_files_path(scaling_sf)
@@ -409,6 +425,68 @@ def scaling_section(out: dict) -> None:
 
     best: dict = {}
     mode_cost: dict = {}
+    state = {"best": best, "mode_cost": mode_cost, "reps": 0}
+
+    def contended() -> bool:
+        # a kernel leg slower on MORE pinned cores, or visible steal,
+        # means a co-tenant contended the measurement window
+        kl = best.get(("kernel", n_lo))
+        kh = best.get(("kernel", n_hi))
+        return (
+            kl is not None
+            and kh is not None
+            and kh["files_per_sec"] < kl["files_per_sec"]
+        ) or max((r.get("steal_pct", 0) for r in best.values()), default=0) > 2.0
+
+    def publish() -> None:
+        """Rebuild out['scaling'] from whatever legs have finished —
+        called after EVERY probe so an external SIGTERM mid-section
+        still leaves the completed measurements in the artifact."""
+        lo, hi = best.get(("spark", n_lo)), best.get(("spark", n_hi))
+        kl, kh = best.get(("kernel", n_lo)), best.get(("kernel", n_hi))
+        # DECOMPOSITION (the declared primary metric): wall-clock
+        # scaling on ONE box factors exactly into
+        #   raw_eff = (task_cpu@N / task_cpu@4N)
+        #             * (utilization@4N / utilization@N)
+        # where task_cpu is summed Executor Run Time over the timed
+        # jobs and utilization = task_cpu / (cores * wall).  The timed
+        # section does IDENTICAL logical work at both core counts
+        # (bit-identical pair output), so the first factor —
+        # work_inflation^-1 — is pure machine contention: each unit of
+        # work costs more under 4N concurrent memory streams on this
+        # single-bus VM.  The second factor is the DATAFLOW scaling
+        # signal (did the plan keep 4N cores busy?), and it is what
+        # transfers to a multi-node cluster, where each node runs N
+        # streams against its own memory bus and per-work cost stays at
+        # the N-stream level.  normalized_efficiency reports that
+        # second factor.
+        eff = inflation = normalized = hw = None
+        if lo and hi:
+            eff = round(hi["files_per_sec"] / (4 * lo["files_per_sec"]), 3)
+            if lo.get("task_seconds") and hi.get("task_seconds"):
+                inflation = round(hi["task_seconds"] / lo["task_seconds"], 3)
+                normalized = round(
+                    hi["core_utilization"] / lo["core_utilization"], 3
+                )
+        if kl and kh:
+            hw = round(kh["files_per_sec"] / (4 * kl["files_per_sec"]), 3)
+        out["scaling"] = {
+            "contended": contended(),
+            "reps": state["reps"],
+            "phase": "sketch-lsh",
+            "pinned": have_taskset,
+            "primary": "normalized_efficiency",
+            "n": lo,
+            "n4": hi,
+            "efficiency": eff,
+            "work_inflation": inflation,
+            "normalized_efficiency": normalized,
+            "kernel_n": kl,
+            "kernel_n4": kh,
+            "kernel_envelope_efficiency": hw,
+            "note": _SCALING_NOTE,
+        }
+        _partial["scaling"] = out["scaling"]
 
     def one_rep(modes=("spark", "kernel")) -> None:
         for mode in modes:
@@ -418,97 +496,51 @@ def scaling_section(out: dict) -> None:
                 k = (mode, cpus)
                 if k not in best or r["files_per_sec"] > best[k]["files_per_sec"]:
                     best[k] = r
+                publish()
             mode_cost[mode] = time.time() - m0
 
-    def contended() -> bool:
-        # a kernel leg slower on MORE pinned cores, or visible steal,
-        # means a co-tenant contended the measurement window
-        return (
-            best[("kernel", n_hi)]["files_per_sec"]
-            < best[("kernel", n_lo)]["files_per_sec"]
-            or max(r.get("steal_pct", 0) for r in best.values()) > 2.0
-        )
-
     def current_eff() -> float:
-        return best[("spark", n_hi)]["files_per_sec"] / (
-            4 * best[("spark", n_lo)]["files_per_sec"]
-        )
+        lo, hi = best.get(("spark", n_lo)), best.get(("spark", n_hi))
+        if not (lo and hi):
+            return 0.0
+        return hi["files_per_sec"] / (4 * lo["files_per_sec"])
 
     def current_norm() -> float:
-        lo, hi = best[("spark", n_lo)], best[("spark", n_hi)]
-        if lo.get("core_utilization") and hi.get("core_utilization"):
+        lo, hi = best.get(("spark", n_lo)), best.get(("spark", n_hi))
+        if lo and hi and lo.get("core_utilization") and hi.get("core_utilization"):
             return hi["core_utilization"] / lo["core_utilization"]
         return 1.0
 
-    one_rep()
-    reps_run = 1
-    # retry (best-of legs, spark only — the kernel envelope is cheap but
-    # stable) while the result looks contended or noise-trashed — ±2-3x
-    # co-tenant noise is routine on this box, but the CALM raw
-    # efficiency is ~0.67-0.75 (bus-bound) and the calm normalized
-    # (primary) is >= 0.8, so a primary below 0.78 means a contended leg
-    # got kept, not a real dataflow regression.  The sweep already ran
-    # (round-4 reorder), so the reserve only needs to cover a minimum
-    # useful flagship section (~170 s: session + warmup + one pass).
-    while (
-        reps_run < max_reps
-        and (contended() or current_eff() < 0.55 or current_norm() < 0.78)
-        and _left() > mode_cost.get("spark", 240.0) + 170
-    ):
-        one_rep(modes=("spark",))
-        reps_run += 1
-
-    lo, hi = best[("spark", n_lo)], best[("spark", n_hi)]
-    eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
-    hw = best[("kernel", n_hi)]["files_per_sec"] / (
-        4 * best[("kernel", n_lo)]["files_per_sec"]
+    state.update(
+        one_rep=one_rep, contended=contended,
+        current_eff=current_eff, current_norm=current_norm, publish=publish,
     )
-    # DECOMPOSITION (the declared primary metric): wall-clock scaling on
-    # ONE box factors exactly into
-    #   raw_eff = (task_cpu@N / task_cpu@4N) * (utilization@4N / utilization@N)
-    # where task_cpu is summed Executor Run Time over the timed jobs and
-    # utilization = task_cpu / (cores * wall).  The timed section does
-    # IDENTICAL logical work at both core counts (bit-identical pair
-    # output), so the first factor — work_inflation^-1 — is pure machine
-    # contention: each unit of work costs more under 4N concurrent
-    # memory streams on this single-bus VM.  The second factor is the
-    # DATAFLOW scaling signal (did the plan keep 4N cores busy?), and it
-    # is what transfers to a multi-node cluster, where each node runs N
-    # streams against its own memory bus and per-work cost stays at the
-    # N-stream level.  normalized_efficiency reports that second factor.
-    inflation = None
-    normalized = None
-    if lo.get("task_seconds") and hi.get("task_seconds"):
-        inflation = round(hi["task_seconds"] / lo["task_seconds"], 3)
-        normalized = round(
-            hi["core_utilization"] / lo["core_utilization"], 3
+    state["reps"] = 1
+    one_rep()
+    return state
+
+
+def scaling_retries(out: dict, state: dict) -> None:
+    """Retry contended/noise-trashed scaling legs (best-of merge, spark
+    only — the kernel envelope is cheap but stable) with whatever budget
+    is LEFT after the required sections: ±2-3x co-tenant noise is
+    routine on this box, but the CALM raw efficiency is ~0.67-0.75
+    (bus-bound) and the calm normalized (primary) is >= 0.8, so a
+    primary below 0.78 means a contended leg got kept, not a real
+    dataflow regression."""
+    max_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    while (
+        state["reps"] < max_reps
+        and (
+            state["contended"]()
+            or state["current_eff"]() < 0.55
+            or state["current_norm"]() < 0.78
         )
-    out["scaling"] = {
-        "contended": contended(),
-        "reps": reps_run,
-        "phase": "sketch-lsh",
-        "pinned": have_taskset,
-        "primary": "normalized_efficiency",
-        "n": lo,
-        "n4": hi,
-        "efficiency": round(eff, 3),
-        "work_inflation": inflation,
-        "normalized_efficiency": normalized,
-        "kernel_n": best[("kernel", n_lo)],
-        "kernel_n4": best[("kernel", n_hi)],
-        "kernel_envelope_efficiency": round(hw, 3),
-        "note": (
-            "cores pinned with taskset (local[N] alone does not bound "
-            "Python workers).  primary = normalized_efficiency = "
-            "utilization@4N/utilization@N = raw efficiency x "
-            "work_inflation, measured on identical work via event-log "
-            "task CPU totals; work_inflation is this one-bus VM's "
-            "contention on the SAME work and does not exist across "
-            "cluster nodes.  kernel legs = bare NumPy sketch under "
-            "pinned multiprocessing (secondary envelope evidence)."
-        ),
-    }
-    _partial["scaling"] = out["scaling"]
+        and _left() > state["mode_cost"].get("spark", 240.0) + 60
+    ):
+        state["one_rep"](modes=("spark",))
+        state["reps"] += 1
+        state["publish"]()
 
 
 def main() -> None:
@@ -526,7 +558,19 @@ def main() -> None:
         "methodology_version": METHODOLOGY_VERSION,
     }
 
-    # 1. headline per-operator queries FIRST — the cheapest section
+    # 0. sketch-speed kernel comparison (reference SketchSpeed.java:42-50
+    # analogue: MinHash vs OPH at fixed cardinality/sketch count) — pure
+    # single-threaded NumPy, ~5 s, no Spark session; runs first so it is
+    # in the artifact no matter where an external timeout lands
+    try:
+        from tools.bench_kernels import run_python
+
+        out["sketch_speed"] = run_python(card=10_000, sketches=200, k=64)
+        _partial["sketch_speed"] = out["sketch_speed"]
+    except Exception as e:  # never let a diagnostic kill the emit
+        out["sketch_speed_error"] = str(e)[:200]
+
+    # 1. headline per-operator queries — the cheapest Spark section
     # (~150-200 s healthy) and the one a contended scaling/flagship
     # window starved in round 4 (7 of 9 queries skipped, two
     # contended-window times recorded as the round's numbers).
@@ -557,10 +601,13 @@ def main() -> None:
     _partial["value_best_of"] = out["value_best_of"]
     out["queries"] = timings
 
-    # 2. the north-rule scaling evidence (SIGTERM partial emit carries
-    # whatever finished if an external timeout fires mid-probe)
+    # 2. the north-rule scaling evidence, ONE rep (per-leg publishing:
+    # the SIGTERM partial emit carries every finished probe); contention
+    # retries are deferred until after the flagship section so they can
+    # only spend leftover budget, never starve a required section
+    scaling_state = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        scaling_section(out)
+        scaling_state = scaling_section(out)
 
     # 3. flagship throughput on the code corpus at a bench-friendly scale
     # (candidate volume grows ~quadratically with corpus size at fixed
@@ -577,7 +624,12 @@ def main() -> None:
     timings["flagship_code_dedup"] = flag["seconds"]
     _partial["queries"] = dict(timings)
 
-    # 4. Lazo-vs-Base index comparison — after the sweep, own session,
+    # 4. contended scaling legs get their retries now, from leftover
+    # budget only — every required section is already in the artifact
+    if scaling_state is not None:
+        scaling_retries(out, scaling_state)
+
+    # 5. Lazo-vs-Base index comparison — after the sweep, own session,
     # so a slow leg only costs its own budget
     if _left() > 90:
         try:
@@ -585,18 +637,6 @@ def main() -> None:
             _partial["flagship"] = flag
         except Exception as e:
             flag["lazo_vs_base_error"] = str(e)[:200]
-
-    # 5. sketch-speed kernel comparison (reference SketchSpeed.java:42-50
-    # analogue: MinHash vs OPH at fixed cardinality/sketch count) — a few
-    # seconds, only if budget remains
-    if _left() > 30:
-        try:
-            from tools.bench_kernels import run_python
-
-            out["sketch_speed"] = run_python(card=10_000, sketches=200, k=64)
-            _partial["sketch_speed"] = out["sketch_speed"]
-        except Exception as e:  # never let a diagnostic kill the emit
-            out["sketch_speed_error"] = str(e)[:200]
 
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)
