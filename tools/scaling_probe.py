@@ -116,6 +116,20 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         "spark.sql.files.maxPartitionBytes": "1m",
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": f"file://{evlog}",
+        # AQE partition coalescing is pinned OFF in the probe legs: at
+        # bench scale the band-pair exchange is a few tens of MB, and
+        # AQE's parallelismFirst heuristic coalesces the heaviest stage
+        # to ~cpus+3 tasks (measured: 11 tasks at 8 cores) — one full
+        # wave plus a 3-task straggler wave that idles 5 of 8 cores for
+        # a third of the stage.  That is a small-data artifact: a
+        # production-scale exchange (TBs) never coalesces below total
+        # cores.  Pinning it off restores the configured 2*cpus
+        # granularity at BOTH legs (wall unchanged within noise at 2
+        # cores, utilization@8 +0.08-0.10, measured back-to-back), so
+        # the utilization ratio measures the dataflow, not AQE's
+        # small-input heuristic.  Production sessions keep coalescing
+        # on — it is the right call for genuinely small outputs.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     extra.update(json.loads(os.environ.get("SPARK_GRAFT_PROBE_CONF", "{}")))
     spark = get_spark(
