@@ -131,6 +131,12 @@ def q_fingerprint(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composed pre-training admission gate (exact-dedup keep-first +
+    language gate + token band + stopword floor) in one plan."""
+    return T.corpus_filter(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
     docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
@@ -804,16 +810,22 @@ def q_embedding_near_dups_exact(spark, sf_dir):
     e = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))  # once per row, not per pair
+    a = e.select(
+        F.col("id").alias("id_x"), F.col("v").alias("vx"),
+        F.col("nrm").alias("nx"),
     )
-    a = e.withColumnRenamed("id", "id_x").withColumnRenamed("v", "vx")
-    b = e.withColumnRenamed("id", "id_y").withColumnRenamed("v", "vy")
+    b = e.select(
+        F.col("id").alias("id_y"), F.col("v").alias("vy"),
+        F.col("nrm").alias("ny"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_x") < F.col("id_y"))
         .select(
             "id_x",
             "id_y",
-            (_dot(F.col("vx"), F.col("vy")) / (_norm(F.col("vx")) * _norm(F.col("vy")))).alias("cosine"),
+            (_dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
         .select("id_x", "id_y", F.round("cosine", 6).alias("cosine"))
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "corpus_filter": q_corpus_filter,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
@@ -969,6 +982,32 @@ def oracle_sql() -> dict[str, str]:
                                       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
                   END AS grams
               FROM (SELECT doc_id, {_TOKS} AS arr FROM documents))
+        """,
+        "corpus_filter": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id AS key,
+                len({_TOKS})::BIGINT AS n_tokens,
+                round(len(list_filter({_TOKS}, t -> lower(t) IN ({", ".join("'" + s + "'" for s in T.STOPWORDS)}))) * 1.0
+                      / greatest(len({_TOKS}), 1), 4) AS stopword_ratio,
+                CASE WHEN len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','is','of')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','les')))
+                      AND len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','is','of')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('der','die','und','das')))
+                     THEN 'en'
+                     WHEN len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','les')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('der','die','und','das')))
+                     THEN 'fr' ELSE 'de' END AS pred_lang
+              FROM m WHERE doc_id = keeper
+            )
+            SELECT key, n_tokens, stopword_ratio, pred_lang
+            FROM f
+            WHERE pred_lang = 'en' AND n_tokens BETWEEN 20 AND 90
+              AND stopword_ratio >= 0.03
         """,
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js

@@ -120,3 +120,62 @@ def subword_stats(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
             n * F.lit(100.0) / F.greatest(F.length(c), F.lit(1)), 6
         ).alias("subwords_per_100_chars"),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.03,
+) -> DataFrame:
+    """Composed pre-training admission gate, the filter chain every
+    training-data pipeline runs before tokenization: exact-dedup
+    keep-first (min key per sha256), language-ID gate, token-length
+    band, stopword-ratio floor — ONE plan, one job.
+
+    Scale shape: every quality feature is a Column expression fused
+    into the scan (no UDF, no extra pass over content); the only
+    shuffle is the sha256 window, hash-partitioned by digest —
+    skew-free by construction, since identical documents collapse into
+    one group and distinct digests are uniform.  At 100 TB the window
+    can be replaced by the groupBy-keeper + semi-join form, but the
+    window keeps content single-pass here.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(content_col)
+    keeper = F.min(key_col).over(Window.partitionBy(F.sha2(c, 256)))
+    toks = _tokens(c)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    stopword_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    low = _tokens(F.lower(c))
+    counts = {}
+    for lg, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lg] = F.size(F.filter(low, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when(
+            (counts["en"] >= counts["fr"]) & (counts["en"] >= counts["de"]), "en"
+        )
+        .when(counts["fr"] >= counts["de"], "fr")
+        .otherwise("de")
+    )
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        keeper.alias("keeper"),
+        n_tokens.cast("long").alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+    )
+    return scored.filter(
+        (F.col("key") == F.col("keeper"))
+        & (F.col("pred_lang") == lang)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).drop("keeper")

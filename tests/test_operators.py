@@ -317,3 +317,30 @@ def test_pairwise_lcp_matches_kasai():
         q = sa[1:].astype(np.int64)
         got = pairwise_lcp(levels, p, q, len(s))
         assert got.tolist() == kasai[1:].tolist(), s
+
+
+def test_corpus_filter_gates(spark):
+    """Each admission gate fires independently; the survivor's metrics
+    match a direct Python replica of the column expressions."""
+    from lazo_spark.operators.text import STOPWORDS, corpus_filter
+
+    good = (
+        "the cat sat on the mat and the dog ran to the park "
+        "with a friend because it was sunny and warm"
+    )
+    rows = [
+        (1, good),                                   # survives
+        (2, good),                                   # exact dup -> dropped
+        (3, "le chat et la maison et les arbres le jardin la porte "
+            "et les fleurs le chien la table et les livres le vin"),  # fr
+        (4, "too short even with the and of stopwords here"),          # < 20 toks
+        (5, " ".join(f"w{i}" for i in range(30))),   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_filter(df, "doc_id", "text").collect()
+    assert [r.key for r in out] == [1]
+    toks = good.split()
+    n_stop = sum(t.lower() in STOPWORDS for t in toks)
+    assert out[0].n_tokens == len(toks)
+    assert out[0].stopword_ratio == round(n_stop / len(toks), 4)
+    assert out[0].pred_lang == "en"

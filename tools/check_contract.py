@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness check: runs every
 __spark_entry__.queries() entry at a given sf and compares against
 oracle_sql() via DuckDB (row count + order-insensitive value hash,
-columns sorted by name).  Usage: python tools/check_contract.py [sf_dir]
+columns sorted by name).  Usage:
+  python tools/check_contract.py [sf_dir] [query_name ...]
+With query names given, only those queries run (fast re-check loop).
 """
 from __future__ import annotations
 
@@ -34,7 +36,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from lazo_spark.session import get_spark
 
@@ -47,6 +49,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -92,4 +96,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf_dir) else 0)
+    sys.exit(1 if main(sf_dir, only=sys.argv[2:] or None) else 0)

@@ -60,7 +60,18 @@ def _measured_task_seconds(evlog_dir: str) -> float | None:
     work costs under 4N concurrent memory streams — pure machine
     contention, zero dataflow content."""
     import glob
-    import subprocess
+
+    def _read(f: str) -> bytes:
+        with open(f, "rb") as fh:
+            raw = fh.read()
+        if f.endswith(".zstd"):
+            # no zstd CLI in this sandbox — pyarrow's streaming codec
+            # handles Spark's zstd-framed event logs
+            import pyarrow as pa
+
+            with pa.CompressedInputStream(pa.BufferReader(raw), "zstd") as s:
+                raw = s.read()
+        return raw
 
     try:
         files = sorted(glob.glob(os.path.join(evlog_dir, "*", "events*"))) + sorted(
@@ -69,13 +80,7 @@ def _measured_task_seconds(evlog_dir: str) -> float | None:
         measured_stages: set[int] = set()
         total_ms = 0.0
         for f in files:
-            if f.endswith(".zstd"):
-                raw = subprocess.run(
-                    ["zstd", "-dc", f], capture_output=True, check=True
-                ).stdout
-            else:
-                with open(f, "rb") as fh:
-                    raw = fh.read()
+            raw = _read(f)
             for line in raw.decode(errors="replace").splitlines():
                 try:
                     e = json.loads(line)
@@ -116,6 +121,10 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         "spark.sql.files.maxPartitionBytes": "1m",
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": f"file://{evlog}",
+        # plain-text event logs: the work-inflation instrument parses
+        # them, and this sandbox has no zstd CLI (pyarrow fallback
+        # exists, but uncompressed is cheaper to parse anyway)
+        "spark.eventLog.compress": "false",
         # AQE partition coalescing is pinned OFF in the probe legs: at
         # bench scale the band-pair exchange is a few tens of MB, and
         # AQE's parallelismFirst heuristic coalesces the heaviest stage
