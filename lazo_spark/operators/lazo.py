@@ -239,22 +239,36 @@ def candidate_pairs(
     joined = x.join(y.hint("SHUFFLE_HASH"), join_keys).filter(
         F.col("kh_x") < F.col("kh_y")
     )
-    # unpack AFTER the join (fuses into the join stage's codegen): pos is
-    # the x side's — equal on both sides by construction of bhp
-    joined = joined.select(
-        *extra_cols,
-        "kh_x",
-        "kh_y",
-        F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int").alias("pos"),
-        F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
-        F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
-    )
+    # The pair aggregation stays PACKED: cardinality is constant per key,
+    # so the pc longs of one pair's rows differ only in their pos bits
+    # and min(pc) == (min pos << CARD_BITS) | card.  The agg exchange
+    # (the second-hottest shuffle) therefore carries 4 longs instead of
+    # kh_x/kh_y/pos/card_x/card_y, and the partial (map-side) aggregate
+    # is two longwise mins.  The unpack runs on |pairs| rows after the
+    # combine, not |join rows| before it.  row_filter still sees the
+    # unpacked (pos, card_x, card_y) columns — that projection fuses
+    # into the join stage's codegen and is dropped before the exchange.
     if row_filter is not None:
-        joined = row_filter(joined)
-    pairs = joined.groupBy(*extra_cols, "kh_x", "kh_y").agg(
-        F.min("pos").alias("min_pos"),
-        F.first("card_x").alias("card_x"),
-        F.first("card_y").alias("card_y"),
+        unpacked = joined.select(
+            "*",
+            F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int").alias("pos"),
+            F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
+            F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
+        )
+        joined = row_filter(unpacked).select(
+            *extra_cols, "kh_x", "kh_y", "pc_x", "pc_y"
+        )
+    pairs = (
+        joined.groupBy(*extra_cols, "kh_x", "kh_y")
+        .agg(F.min("pc_x").alias("pc_x"), F.min("pc_y").alias("pc_y"))
+        .select(
+            *extra_cols,
+            "kh_x",
+            "kh_y",
+            F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int").alias("min_pos"),
+            F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
+            F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
+        )
     )
     if hashed_keys:
         # caller estimates on the hashed pairs and joins keys back itself
