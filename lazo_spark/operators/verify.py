@@ -161,10 +161,8 @@ def verify_candidates(
     cands = candidates.select("key_x", "key_y")
     # shingle ARRAYS, computed once, only for keys that appear in a
     # candidate pair (semi-join pruning): the shingle set stays packed in
-    # one row per key, so the candidate join moves |cands| + |cand keys|
-    # rows instead of an exploded |key|x|shingles| relation, and the
-    # intersection is a codegen'd array_intersect per pair — no extra
-    # shuffle.  For corpora of bounded-size documents (code files) this
+    # one row per key and the intersection is a codegen'd array_intersect
+    # per pair.  For corpora of bounded-size documents (code files) this
     # beats the exploded equi-join by ~100x; exact_pairs above keeps the
     # exploded form, which scales to unbounded document sizes.
     cand_keys = (
@@ -179,39 +177,35 @@ def verify_candidates(
     # files).
     width = max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
     sh = (
-        df.join(cand_keys, df[key_col] == cand_keys["key"], "left_semi")
+        # SHUFFLE_HASH on the key-list build side: the default sort-merge
+        # semi-join sorts the content-carrying corpus partition-wise
+        df.join(cand_keys.hint("SHUFFLE_HASH"), df[key_col] == cand_keys["key"], "left_semi")
         .repartition(width)
         .select(
             F.col(key_col).alias("key"),
             shingle_hashes_udf(F.col(content_col), mode).alias("sh"),
         )
     )
-    # melt -> ONE join -> pivot-agg (instead of joining sh once per pair
-    # side): sh is scanned a single time so the shingle UDF — the
-    # dominant verify cost — runs exactly once per key (two separate
-    # joins recomputed it per side; persist() cannot help, both scans
-    # race the first materialization inside one job).  The agg also
-    # repartitions by PAIR, so a rep key appearing in many pairs no
-    # longer concentrates its array_intersect work on one task
-    # (measured 6.3 s wall on 0.8 s ideal; AQE skew split won't fire —
-    # the hot partition is small in bytes, expensive in compute).
-    sides = cands.select(
-        "key_x",
-        "key_y",
-        F.explode(
-            F.array(
-                F.struct(F.lit("x").alias("side"), F.col("key_x").alias("key")),
-                F.struct(F.lit("y").alias("side"), F.col("key_y").alias("key")),
-            )
-        ).alias("s"),
-    ).select("key_x", "key_y", F.col("s.side").alias("side"), F.col("s.key").alias("key"))
+    # Two SHUFFLE_HASH joins with the intersect computed INLINE in the
+    # second join's stage.  An earlier revision used melt -> one join ->
+    # pivot-agg to run the shingle UDF once; at 100k files that agg
+    # exchange shuffled BOTH full shingle arrays once per pair
+    # (2.2M x ~3 KB ≈ 7 GB — 70% of the flagship wall lived here) and
+    # hash-aggregated array values.  In the two-join form each pair
+    # moves only sx through the second exchange (half the array
+    # traffic), sy arrives via the sh-side shuffle (once per key), the
+    # arrays never pass through an aggregation, and the UDF STILL runs
+    # once: both joins shuffle the identical sh subtree by key, so
+    # Catalyst's ReuseExchange executes it once and the second join
+    # reads the reused exchange (plan-shape asserted in tests).
+    # Pair-skew note: the second join is keyed on key_y, so a hot rep's
+    # intersect work spreads across partitions by key_y; a single hot
+    # key_y is bounded by AQE skew split on the shuffled j1 side.
+    sx = sh.select(F.col("key").alias("key_x"), F.col("sh").alias("sx"))
+    sy = sh.select(F.col("key").alias("key_y"), F.col("sh").alias("sy"))
     out = (
-        sides.join(sh.hint("SHUFFLE_HASH"), "key")
-        .groupBy("key_x", "key_y")
-        .agg(
-            F.first(F.when(F.col("side") == "x", F.col("sh")), ignorenulls=True).alias("sx"),
-            F.first(F.when(F.col("side") == "y", F.col("sh")), ignorenulls=True).alias("sy"),
-        )
+        cands.join(sx.hint("SHUFFLE_HASH"), "key_x")
+        .join(sy.hint("SHUFFLE_HASH"), "key_y")
         .select(
             "key_x",
             "key_y",

@@ -148,3 +148,33 @@ def test_band_join_avoids_sort_merge(spark, docs):
         assert "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_verify_plan_hash_builds_and_keeps_arrays_out_of_aggs(spark, docs):
+    """The verify stage must (a) hash-build every join with broadcast
+    disabled (the semi-join's sort otherwise sorts the content-carrying
+    corpus) and (b) never pass shingle ARRAYS through an aggregation:
+    an earlier melt->pivot-agg form shuffled both full arrays once per
+    pair (~7 GB at 100k files, 70% of the flagship wall) — the two-join
+    form computes array_intersect inline in the second join's stage."""
+    from lazo_spark.operators.verify import verify_candidates
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keyed = _keyed(docs)
+        cands = keyed.select(F.col("key").alias("key_x")).crossJoin(
+            keyed.select(F.col("key").alias("key_y"))
+        ).filter(F.col("key_x") < F.col("key_y")).limit(20)
+        v = verify_candidates(
+            cands, keyed, "key", "content", "token_ngram:2", jcx_threshold=0.8
+        )
+        plan = _plan(v)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+        # no aggregate operator consumes the shingle arrays: the only
+        # HashAggregates allowed are the key-distinct (no agg functions)
+        import re
+        for m in re.finditer(r"HashAggregate.*Functions \[([^\]]*)\]", plan):
+            assert m.group(1).strip() == "", m.group(0)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
