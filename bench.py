@@ -329,12 +329,17 @@ def flagship_bench(cpus: int, sf: float, passes: int = 2) -> dict:
 def index_bench(cpus: int, sf: float) -> dict:
     """Timed Lazo-vs-Base index comparison (reference
     IndexBenchmark.java:38-83: same sketch set, GCD-shared flagship
-    bands vs per-threshold standard banding) on a 2k-sketch sample of
+    bands vs per-threshold standard banding) on a 5k-sketch sample of
     the code corpus.  The comparison point is per-key band-row volume
-    (32 pruned vs ~100 pruned baseline rows per key at jcx 0.8),
-    identical on a sample.  Runs in its own session AFTER the query
-    sweep so a slow leg can only cost its own budget, never starve the
-    sweep (round 4: a 69 s/leg run skipped 7 sweep queries)."""
+    (32 pruned vs ~100 pruned baseline rows per key at jcx 0.8) — the
+    artifact reports BOTH analytic row volumes next to the wall times,
+    because at bench scale the fixed per-job floor (~1-1.5 s: task
+    scheduling, exchange setup) can rival the row-volume term and a
+    bare `speedup` number then measures scheduling noise (a 2k-sketch
+    round-4 window recorded 0.69x).  Runs in its own session AFTER the
+    query sweep so a slow leg can only cost its own budget, never
+    starve the sweep (round 4: a 69 s/leg run skipped 7 sweep
+    queries)."""
     from lazo_spark.config import LazoConfig
     from lazo_spark.operators.lazo import lazo_pairs
     from lazo_spark.operators.lsh import multi_threshold_base_pairs
@@ -352,10 +357,29 @@ def index_bench(cpus: int, sf: float) -> dict:
     try:
         cfg = LazoConfig(jcx_threshold=0.8)
         src = spark.read.parquet(os.path.join(path, "files.parquet"))
+        n_sketches = 5000
         sample = sketch_stage(
-            with_key_and_sha(src.limit(2000).repartition(cpus)), cfg
+            with_key_and_sha(src.limit(n_sketches).repartition(cpus)), cfg
         ).persist()
-        sample.count()
+        n_sketches = sample.count()
+        # analytic per-key band-row volumes — the structural quantity the
+        # two layouts differ in (identical sketches, identical output
+        # filter): flagship = pruned single-position bands, baseline =
+        # Σ bands over the passable per-threshold configs
+        from lazo_spark.functions.banding import banding_table
+        from lazo_spark.operators.lazo import (
+            max_useful_band,
+            passable_threshold_indices,
+        )
+
+        lazo_rows_per_key = max_useful_band(cfg, cfg.js_threshold, cfg.jcx_threshold)
+        table = banding_table(cfg.k, cfg.d, cfg.fp_rate, cfg.fn_rate)
+        base_rows_per_key = sum(
+            table[i][0]
+            for i in passable_threshold_indices(
+                cfg, cfg.js_threshold, cfg.jcx_threshold
+            )
+        )
         # best-of-2 per leg: the first lazo run otherwise absorbs the
         # whole session's first-use janino/codegen cost (~10-20 s) and
         # the comparison measures warm-up order, not banding layout.
@@ -373,7 +397,9 @@ def index_bench(cpus: int, sf: float) -> dict:
                 break
         sample.unpersist()
         return {
-            "sketches": 2000,
+            "sketches": n_sketches,
+            "lazo_band_rows_per_key": lazo_rows_per_key,
+            "base_band_rows_per_key": base_rows_per_key,
             "lazo_pairs": lazo_n,
             "lazo_seconds": round(lazo_s, 3),
             "base_pairs": base_n,

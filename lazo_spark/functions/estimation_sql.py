@@ -323,3 +323,107 @@ def filter_keep_either(
         estimates=False, keeps=("q", "c"),
     )
     return est.filter(f"{p}keep_q OR {p}keep_c").select(*cols)
+
+
+# relative + absolute slack dominating every float32 rounding / long
+# truncation step in the exact kernel (each f32 op errs by <= 2^-24
+# relative, the alpha truncation by <= 1 absolute, and the ECH
+# corrected-alpha chain by <= 1 more); grid-pinned far beyond these
+# margins in tests/test_estimation_sql.py
+_BOUND_REL = "1.0001D"
+_BOUND_ABS = "4.0D"
+
+
+def keep_bound_sql(
+    th: str,
+    card_x: str,
+    card_y: str,
+    d: float,
+    js_threshold: float,
+    jcx_threshold: float,
+) -> str:
+    """SQL text for a CHEAP sound relaxation of the either-direction keep
+    predicate: true for every row the exact predicate keeps (either
+    direction, ECH on or off), plus a small slack margin — a handful of
+    double-precision ops instead of the full staged estimation trees.
+
+    Derivation (see functions/estimation._alpha): with mc = min(q, c),
+    xc = max(q, c), tu = th + d,
+
+        alpha_up = trunc((mc - tu*xc)/(1+tu)) >= (mc - tu*xc)/(1+tu) - 1
+
+    so with T0 = tu*(mc+xc)/(1+tu) and U0 = (mc+xc)/(1+tu), every final
+    (averaged, ECH-corrected or not) estimate obeys
+        avg_jcx(dir q) <= min(mc, T0 + 1) / q    (ECH clamps at mc/q;
+                                                  without ECH alpha_up<0
+                                                  forces the clamp's own
+                                                  trigger ix_up > mc
+                                                  only when ECH is on,
+                                                  but jcx <= ix_up/q
+                                                  <= (T0+1)/q always)
+        avg_js <= (T0 + 1)/(U0 - 1)              (js = (mc-a)/(xc+a) is
+                                                  decreasing in a and
+                                                  a >= U0 - xc - 1), and
+        avg_js <= (mc' + 1)/xc when ECH corrects (clamped at ~mc/max_c)
+    so with T = T0 inflated by the slack margins:
+        keep_q OR keep_c
+            ==> T >= jcx_t * mc          (the OR collapses: the weaker
+                                          denominator is mc itself)
+            AND (min(mc, T) >= js_t * xc OR T >= js_t * (U0 - abs_slack))
+    Monotone in th (T is increasing in tu), so the per-row pre-aggregation
+    pushdown argument in operators/lazo.lazo_pairs applies unchanged; the
+    exact pair-level filter (estimate_candidates) still decides keeps, so
+    swapping this in for filter_keep_either is output-identical (pinned by
+    tests/test_engine_equivalence.py).
+
+    Why not the exact predicate per row: pushed into the band join it is
+    inlined into the join's non-equi condition as one giant expression —
+    measured ~11 us per join row (2.7 s of the 3.9 s candidate stage at
+    5k sketches) versus the ~free inequality here.
+    """
+    if js_threshold <= 0.0 and jcx_threshold <= 0.0:
+        return "true"
+    mc = f"least(CAST(({card_x}) AS DOUBLE), CAST(({card_y}) AS DOUBLE))"
+    xc = f"greatest(CAST(({card_x}) AS DOUBLE), CAST(({card_y}) AS DOUBLE))"
+    tu = f"(CAST(({th}) AS DOUBLE) + {float(d)!r}D)"
+    t_bound = (
+        f"({tu} * (__kb_mc + __kb_xc) / (1.0D + {tu}) * {_BOUND_REL}"
+        f" + {_BOUND_ABS})"
+    )
+    conds = []
+    if jcx_threshold > 0.0:
+        conds.append(f"__kb_t >= {float(jcx_threshold)!r}D * __kb_mc")
+    if js_threshold > 0.0:
+        # two sound js upper bounds OR'd (either may be the tight one):
+        # the ECH-clamped ~mc/xc form, and the threshold form
+        # (T0+1)/(U0-1) <= T/(U0-abs) that holds when negative alpha
+        # shrinks the union below xc (reachable with ECH off)
+        conds.append(
+            f"(least(__kb_mc * {_BOUND_REL} + {_BOUND_ABS}, __kb_t)"
+            f" >= {float(js_threshold)!r}D * __kb_xc"
+            f" OR __kb_t >= {float(js_threshold)!r}D *"
+            f" ((__kb_mc + __kb_xc) / (1.0D + {tu}) - {_BOUND_ABS}))"
+        )
+    body = " AND ".join(conds)
+    # one inline substitution layer: mc/xc/t are each tiny, so the
+    # expanded text stays a handful of ops even without named columns
+    body = body.replace("__kb_t", t_bound)
+    body = body.replace("__kb_mc", mc).replace("__kb_xc", xc)
+    return f"({body})"
+
+
+def filter_keep_bound(
+    df: DataFrame,
+    th: str,
+    card_x: str,
+    card_y: str,
+    d: float,
+    js_threshold: float,
+    jcx_threshold: float,
+) -> DataFrame:
+    """filter_keep_either's cheap sound relaxation (keep_bound_sql) as a
+    DataFrame filter — the production row-level prefilter."""
+    sql = keep_bound_sql(th, card_x, card_y, d, js_threshold, jcx_threshold)
+    if sql == "true":
+        return df
+    return df.filter(sql)

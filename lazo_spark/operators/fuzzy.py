@@ -150,7 +150,7 @@ def fuzzy_candidates(
 
     from pyspark import StorageLevel
 
-    from ..functions.estimation_sql import filter_keep_either
+    from ..functions.estimation_sql import filter_keep_bound
     from .lazo import (
         _minpos_threshold_sql,
         candidate_pairs,
@@ -163,10 +163,11 @@ def fuzzy_candidates(
 
     def prefilter(joined: DataFrame) -> DataFrame:
         # lossless either-direction pushdown onto raw join rows (same
-        # monotone argument as lazo_pairs; identical for every slot)
-        return filter_keep_either(
+        # monotone argument as lazo_pairs; identical for every slot).
+        # Cheap bound, not the exact trees: see lazo_pairs' prefilter.
+        return filter_keep_bound(
             joined, _minpos_threshold_sql(config, "pos"),
-            "card_x", "card_y", config.d, 0.0, jcx_floor, config.ech,
+            "card_x", "card_y", config.d, 0.0, jcx_floor,
         )
 
     hp = candidate_pairs(
@@ -177,8 +178,7 @@ def fuzzy_candidates(
     # tested), but the giant estimate expression trees cost real
     # driver-side Catalyst time on EVERY run — for this 5-slot fused
     # plan the vectorized NumPy kernel keeps the plan small.  The row
-    # prefilter above stays SQL (minimal _keep_one trees, js subtree
-    # elided at js_t=0).
+    # prefilter above stays SQL (the cheap keep_bound inequality).
     est = estimate_candidates(
         hp, config, js_threshold=0.0, jcx_threshold=jcx_floor,
         direction="either", engine="pandas", key_cols=("kh_x", "kh_y"),

@@ -466,12 +466,19 @@ def lazo_pairs(
         # evaluation the reference sweep would have run
         engine = "pandas"
     if engine == "sql" and corrections_acc is None:
-        from ..functions.estimation_sql import filter_keep_either
+        # the CHEAP sound relaxation of the keep predicate, not the exact
+        # staged trees: pushed into the band join the exact predicate is
+        # inlined into the join's non-equi condition (one giant
+        # expression, measured ~11 us/join-row); the bound is a couple of
+        # double ops, prunes almost as hard, and the exact pair-level
+        # filter below still decides keeps — output-identical (pinned by
+        # tests/test_engine_equivalence.py)
+        from ..functions.estimation_sql import filter_keep_bound
 
         def prefilter(joined: DataFrame) -> DataFrame:
-            return filter_keep_either(
+            return filter_keep_bound(
                 joined, _minpos_threshold_sql(config, "pos"),
-                "card_x", "card_y", config.d, js_t, jcx_t, config.ech,
+                "card_x", "card_y", config.d, js_t, jcx_t,
             )
 
     # NOTE: the row prefilter keeps either-direction passers — a superset

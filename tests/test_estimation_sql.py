@@ -84,3 +84,85 @@ def test_keep_monotone_in_threshold():
     # once true at index i, must be true at every j > i
     cum = np.maximum.accumulate(k, axis=0)
     assert (k == cum).all()
+
+
+def _dense_bound_grid() -> tuple[np.ndarray, np.ndarray]:
+    """Denser cardinality grid than _cardinality_grid for the bound
+    soundness sweep: exhaustive small cross-product (where absolute
+    truncation slop is largest relative to the values) plus log-spaced
+    large values at many ratios (where float32 rounding dominates)."""
+    small = np.arange(1, 129, dtype=np.int64)
+    a, b = np.meshgrid(small, small)
+    mn = np.minimum(a, b).ravel()
+    mx = np.maximum(a, b).ravel()
+    big = np.unique(
+        np.concatenate(
+            [
+                np.logspace(0, 16.9, 260, base=2.0).astype(np.int64),
+                np.logspace(17, 56.9, 140, base=2.0).astype(np.int64),
+            ]
+        )
+    )
+    ratios = np.array(
+        [1.0, 1.0001, 1.01, 1.1, 1.25, 1.5, 2.0, 3.0, 5.0, 10.0, 100.0, 1e4]
+    )
+    g_mn = np.repeat(big, len(ratios))
+    g_mx = np.minimum(
+        (g_mn * np.tile(ratios, len(big))).astype(np.float64), 2.0**57 - 1
+    ).astype(np.int64)
+    return (
+        np.concatenate([mn, g_mn]),
+        np.concatenate([mx, np.maximum(g_mx, g_mn)]),
+    )
+
+
+@pytest.mark.parametrize("ech", [True, False])
+@pytest.mark.parametrize(
+    "js_t,jcx_t", [(0.0, 0.8), (0.0, 0.5), (0.5, 0.0), (0.3, 0.7), (0.05, 0.05)]
+)
+def test_keep_bound_is_sound(spark, ech, js_t, jcx_t):
+    """keep_bound_sql (the cheap row-level prefilter) must be TRUE for
+    every (th, q, c) where the exact either-direction keep predicate is
+    true — in EITHER argument order and with ECH on or off.  This is the
+    losslessness condition for swapping it in as lazo_pairs' pushdown
+    filter (the exact pair-level filter still decides final keeps)."""
+    from lazo_spark.functions.estimation_sql import keep_bound_sql
+
+    mn, mx = _dense_bound_grid()
+    ths = [np.float32(0.05) * np.float32(i) for i in range(20)]
+    frames = []
+    for t in ths:
+        tv = np.full(len(mn), t, dtype=np.float32)
+        rx = estimate_pairs(tv, mn, mx, 0.05, js_t, jcx_t, ech)
+        ry = estimate_pairs(tv, mx, mn, 0.05, js_t, jcx_t, ech)
+        keep = rx.keep | ry.keep
+        if not keep.any():
+            continue
+        frames.append(
+            pd.DataFrame(
+                {"th": tv[keep], "q": mn[keep], "c": mx[keep]}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    sql = keep_bound_sql("th", "q", "c", 0.05, js_t, jcx_t)
+    violations = sdf.filter(f"NOT {sql}").count()
+    assert violations == 0, f"{violations} exact-keep rows dropped by bound"
+
+
+def test_keep_bound_prunes(spark):
+    """The bound must actually prune (it is a performance device): at
+    jcx_t = 0.8 the majority of low-threshold similar-size grid rows
+    fail it."""
+    from lazo_spark.functions.estimation_sql import keep_bound_sql
+
+    mn, mx = _dense_bound_grid()
+    pdf = pd.DataFrame(
+        {"th": np.zeros(len(mn), dtype=np.float32), "q": mn, "c": mx}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sql = keep_bound_sql("th", "q", "c", 0.05, 0.0, 0.8)
+    kept = sdf.filter(sql).count()
+    # at th=0, tu=0.05: passing requires (mc+xc)/21 >~ 0.8*mc, i.e. a
+    # ~16x cardinality ratio — rare in this grid
+    assert kept < 0.2 * len(pdf)
