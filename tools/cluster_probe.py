@@ -1,0 +1,206 @@
+"""Standalone-cluster N-vs-4N scaling probe: REAL multi-executor legs.
+
+The bench's default scaling evidence (tools/scaling_probe.py under
+taskset-pinned local[N]) bounds cores faithfully but keeps everything in
+one JVM.  This tool measures the north rule's "N and 4N executors"
+literally on this box:
+
+  1. start a Spark standalone MASTER (separate JVM), then 4 WORKERS
+     (separate JVMs), each offering 2 cores and taskset-pinned to its
+     own physical core pair — four emulated 2-core nodes; executor
+     JVMs and their forked Python workers inherit the pin;
+  2. ship dist/lazo_spark.zip to executors (the spark-submit --py-files
+     deployment mode, via SparkContext.addPyFile);
+  3. run the SAME sketch+LSH workload as the bench probe
+     (scaling_probe.sketch_lsh_throughput) twice:
+       N  leg: spark.cores.max=2, executor.cores=2 -> 1 executor JVM
+       4N leg: spark.cores.max=8, executor.cores=2 -> 4 executor JVMs
+     so the 4N leg's shuffles genuinely cross JVM/process boundaries
+     (netty block transfers, not in-heap handoffs);
+  4. print one JSON line with both legs + raw/normalized efficiency
+     (same decomposition as bench.py's scaling section).
+
+Usage:  python tools/cluster_probe.py [SF]        (default SF=0.1)
+
+Caveats (recorded in the emitted JSON): all "nodes" share this VM's
+single memory bus, so work_inflation is the same co-tenant/bus artifact
+the local probes measure; the driver JVM is unpinned and adds ~1 core
+of scheduling load.  What this adds over the local probe is executor-
+level REALISM (separate JVMs, serialized shuffle blocks over netty,
+--py-files deployment), not bus isolation.
+"""
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MASTER_HOST = "127.0.0.1"
+MASTER_PORT = 7077
+MASTER_UI = 8080
+N_WORKERS = 4
+WORKER_CORES = 2
+
+
+def _spark_class() -> list[str]:
+    import pyspark
+
+    return ["bash", os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-class")]
+
+
+def _build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "lazo_spark.zip")
+    if os.path.exists(zpath):
+        os.remove(zpath)
+    subprocess.run(
+        ["zip", "-qr", zpath, "lazo_spark", "-x", "*__pycache__*"],
+        cwd=REPO, check=True,
+    )
+    return zpath
+
+
+def _master_state() -> dict | None:
+    try:
+        with urllib.request.urlopen(
+            f"http://{MASTER_HOST}:{MASTER_UI}/json/", timeout=2
+        ) as r:
+            return json.loads(r.read())
+    except Exception:
+        return None
+
+
+def _wait(pred, what: str, timeout: float = 60.0) -> dict:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        st = _master_state()
+        if st and pred(st):
+            return st
+        time.sleep(1.0)
+    raise RuntimeError(f"timed out waiting for {what}")
+
+
+def start_cluster() -> list[subprocess.Popen]:
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOG_DIR", "/tmp/lazo-cluster-logs")
+    env.setdefault("MALLOC_MMAP_MAX_", "0")
+    env.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    env["PYSPARK_PYTHON"] = sys.executable
+    os.makedirs(env["SPARK_LOG_DIR"], exist_ok=True)
+    procs: list[subprocess.Popen] = []
+
+    def _spawn(cmd: list[str], log: str) -> subprocess.Popen:
+        out = open(os.path.join(env["SPARK_LOG_DIR"], log), "w")
+        return subprocess.Popen(
+            cmd, env=env, stdout=out, stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+
+    procs.append(
+        _spawn(
+            _spark_class()
+            + ["org.apache.spark.deploy.master.Master",
+               "-h", MASTER_HOST, "-p", str(MASTER_PORT),
+               "--webui-port", str(MASTER_UI)],
+            "master.log",
+        )
+    )
+    _wait(lambda s: s.get("status") == "ALIVE", "master ALIVE")
+    for i in range(N_WORKERS):
+        lo, hi = WORKER_CORES * i, WORKER_CORES * i + WORKER_CORES - 1
+        procs.append(
+            _spawn(
+                ["taskset", "-c", f"{lo}-{hi}"]
+                + _spark_class()
+                + ["org.apache.spark.deploy.worker.Worker",
+                   f"spark://{MASTER_HOST}:{MASTER_PORT}",
+                   "-c", str(WORKER_CORES), "-m", "8g",
+                   "--webui-port", str(MASTER_UI + 1 + i)],
+                f"worker{i}.log",
+            )
+        )
+    _wait(
+        lambda s: sum(w.get("state") == "ALIVE" for w in s.get("workers", []))
+        >= N_WORKERS,
+        f"{N_WORKERS} workers ALIVE",
+        timeout=120.0,
+    )
+    return procs
+
+
+def stop_cluster(procs: list[subprocess.Popen]) -> None:
+    for p in reversed(procs):
+        try:
+            os.killpg(p.pid, signal.SIGTERM)
+        except Exception:
+            pass
+    for p in reversed(procs):
+        try:
+            p.wait(timeout=15)
+        except Exception:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except Exception:
+                pass
+
+
+def run_leg(cores: int, sf: float, zpath: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_PROBE_MASTER"] = f"spark://{MASTER_HOST}:{MASTER_PORT}"
+    env["SPARK_GRAFT_PROBE_PYZIP"] = zpath
+    # driver does scheduling only in cluster legs — keep its heap small
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_probe.py"),
+         "spark", str(cores), str(sf)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    leg = json.loads(res.stdout.strip().splitlines()[-1])
+    leg["executors"] = cores // WORKER_CORES
+    return leg
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    sys.path.insert(0, REPO)
+    from lazo_spark.sources.code_files import cached_code_files_path
+
+    cached_code_files_path(sf)  # synthesize the corpus before the timers
+    zpath = _build_zip()
+    procs = start_cluster()
+    try:
+        lo = run_leg(WORKER_CORES, sf, zpath)          # N = 1 executor
+        hi = run_leg(WORKER_CORES * N_WORKERS, sf, zpath)  # 4N executors
+    finally:
+        stop_cluster(procs)
+    out = {
+        "mode": "standalone-cluster",
+        "sf": sf,
+        "n": lo,
+        "n4": hi,
+        "efficiency": round(hi["files_per_sec"] / (4 * lo["files_per_sec"]), 3),
+    }
+    if lo.get("task_seconds") and hi.get("task_seconds"):
+        out["work_inflation"] = round(
+            hi["task_seconds"] / lo["task_seconds"], 3
+        )
+        out["normalized_efficiency"] = round(
+            out["efficiency"] * out["work_inflation"], 3
+        )
+    out["note"] = (
+        "1 vs 4 two-core executor JVMs on a standalone master; workers "
+        "taskset-pinned to disjoint core pairs (emulated nodes); package "
+        "shipped via addPyFile (--py-files mode); same single memory bus "
+        "caveat as the local probes."
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,13 +141,41 @@ def sketch_lsh_throughput(cpus: int, sf: float) -> dict:
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     extra.update(json.loads(os.environ.get("SPARK_GRAFT_PROBE_CONF", "{}")))
+    # SPARK_GRAFT_PROBE_MASTER: run this leg against a REAL multi-executor
+    # cluster (tools/cluster_probe.py starts a standalone master + pinned
+    # 2-core workers) instead of local[cpus].  `cpus` then means TOTAL
+    # executor cores: spark.cores.max=cpus with 2-core executors gives
+    # cpus/2 separate executor JVMs — the north rule's "N and 4N
+    # executors" measured literally, shuffles crossing JVM boundaries.
+    cluster_master = os.environ.get("SPARK_GRAFT_PROBE_MASTER")
+    if cluster_master:
+        extra.update(
+            {
+                "spark.cores.max": str(cpus),
+                "spark.executor.cores": os.environ.get(
+                    "SPARK_GRAFT_PROBE_EXEC_CORES", "2"
+                ),
+                "spark.executor.memory": os.environ.get(
+                    "SPARK_GRAFT_PROBE_EXEC_MEM", "6g"
+                ),
+                "spark.pyspark.python": sys.executable,
+                "spark.executorEnv.MALLOC_MMAP_MAX_": "0",
+                "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "-1",
+            }
+        )
     spark = get_spark(
-        f"bench-sl-local{cpus}", master=f"local[{cpus}]",
+        f"bench-sl-{'cluster' if cluster_master else 'local'}{cpus}",
+        master=cluster_master or f"local[{cpus}]",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_PROBE_SHUFFLE", 2 * cpus)
         ),
         extra_conf=extra,
     )
+    pyzip = os.environ.get("SPARK_GRAFT_PROBE_PYZIP")
+    if cluster_master and pyzip:
+        # ship the package to executors exactly like spark-submit
+        # --py-files does (north-rule run mode)
+        spark.sparkContext.addPyFile(pyzip)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         src = spark.read.parquet(os.path.join(path, "files.parquet"))
