@@ -676,6 +676,28 @@ def main() -> None:
         except Exception as e:
             flag["lazo_vs_base_error"] = str(e)[:200]
 
+    # 6. REAL multi-executor evidence (tools/cluster_probe.py: standalone
+    # master + four pinned two-core worker JVMs, package shipped the
+    # --py-files way, 1 vs 4 executors) — leftover budget only: every
+    # required section is already in the artifact, and the partial emit
+    # carries this the moment it lands.  SPARK_GRAFT_CLUSTER=0 disables.
+    if os.environ.get("SPARK_GRAFT_CLUSTER", "1") != "0" and _left() > 420:
+        try:
+            import subprocess
+
+            res = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "cluster_probe.py"),
+                 str(float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.1")))],
+                capture_output=True, text=True, check=True,
+                timeout=max(60.0, _left() - 30),
+            )
+            out["scaling_cluster"] = json.loads(
+                res.stdout.strip().splitlines()[-1]
+            )
+            _partial["scaling_cluster"] = out["scaling_cluster"]
+        except Exception as e:
+            out["scaling_cluster_error"] = str(e)[:200]
+
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)
 
