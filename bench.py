@@ -123,6 +123,18 @@ def _compact(out: dict) -> dict:
             "n4_files_per_sec": (sc.get("n4") or {}).get("files_per_sec"),
             "contended": sc.get("contended"),
         }
+    scc = out.get("scaling_cluster")
+    if scc:
+        c["scaling_cluster"] = {
+            "efficiency": scc.get("efficiency"),
+            "normalized_efficiency": scc.get("normalized_efficiency"),
+            "n_files_per_sec": (scc.get("n") or {}).get("files_per_sec"),
+            "n4_files_per_sec": (scc.get("n4") or {}).get("files_per_sec"),
+            "executors": [
+                (scc.get("n") or {}).get("executors"),
+                (scc.get("n4") or {}).get("executors"),
+            ],
+        }
     fl = out.get("flagship")
     if fl:
         c["flagship"] = {

@@ -167,6 +167,10 @@ def run_leg(cores: int, sf: float, zpath: str) -> dict:
 
 
 def main() -> None:
+    # an external timeout/driver SIGTERM must not orphan the daemon JVMs
+    # (they are start_new_session'd so a group signal misses them):
+    # convert to SystemExit so the finally-block stops the cluster
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
     sys.path.insert(0, REPO)
     from lazo_spark.sources.code_files import cached_code_files_path
