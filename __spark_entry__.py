@@ -314,6 +314,32 @@ def q_substring_pairs(spark, sf_dir):
     )
 
 
+def q_substring_pairs_exact(spark, sf_dir):
+    """Winnowing-COMPLETE substring pair set, oracled end-to-end: at
+    min_len = L + w - 1 = 29 the winnowing guarantee (suffix.py:7-10)
+    makes the candidate stage complete, and the suffix-array LCS verify
+    is exact, so the output is precisely {pairs: longest common
+    substring >= 29 bytes} — a deterministic set DuckDB can replicate as
+    "share any 29-gram".  Docs are filtered to pure ASCII on BOTH sides
+    so SQL's char-based substr equals the kernel's byte-based LCS (at
+    sf0.01 every document is ASCII, so this is a no-op at the oracle's
+    compare scale)."""
+    from lazo_spark.operators.suffix import (
+        substring_candidates,
+        verify_substring_pairs,
+    )
+
+    docs = _docs_keyed(spark, sf_dir).filter(
+        F.col("content").rlike(r"\A[\x00-\x7F]*\Z")
+    )
+    cands = substring_candidates(docs, L=24, w=6)
+    out = verify_substring_pairs(cands, docs, min_len=29)
+    kx, ky = F.col("key_x").cast("long"), F.col("key_y").cast("long")
+    return out.select(
+        F.least(kx, ky).alias("key_x"), F.greatest(kx, ky).alias("key_y")
+    ).distinct()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full flagship pipeline incl. exact-dup collapse + clustering on the
     documents table."""
@@ -867,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_raw_pairs": q_lsh_raw_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "substring_pairs_exact": q_substring_pairs_exact,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -1021,6 +1048,25 @@ def oracle_sql() -> dict[str, str]:
         "pair_canonicalize": f"""
             SELECT DISTINCT least(x, y) AS key_x, greatest(x, y) AS key_y
             FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "substring_pairs_exact": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+            ),
+            pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1,
+                        greatest(length(text) - 28, 0))) AS i
+              FROM d
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 29) AS gram
+              FROM pos
+            )
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS key_x,
+                   greatest(a.doc_id, b.doc_id) AS key_y
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
         "cluster_sizes": f"""
             WITH RECURSIVE pairs AS (
