@@ -824,6 +824,39 @@ def q_incremental_delta_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_delta_verified(spark, sf_dir):
+    """Incremental insert path oracled end-to-end (same device as
+    dedup_clusters_lsh): delta LSH candidates at the widened 0.5 floor ->
+    exact bigram-hash verification at jcx >= 0.8.  Verified pairs =
+    (exact pairs at 0.8 with >= 1 new-side key) INTERSECT delta
+    candidates, so the DuckDB brute-force oracle matches exactly iff the
+    delta candidate stage misses nothing — robust at the widened floor
+    (both estimated directions would have to fall below 0.5 on a true
+    0.8 pair).  Covers insert_sketches + delta_pairs (band-prefix
+    pruning included) downstream through exact verification."""
+    from lazo_spark.operators.verify import verify_candidates
+    from lazo_spark.streaming.incremental import delta_pairs, insert_sketches
+
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    docs = _docs_keyed(spark, sf_dir)
+    old = docs.filter(F.col("key").cast("long") % 2 == 0)
+    new = docs.filter(F.col("key").cast("long") % 2 == 1)
+    all_sk = insert_sketches(sketch_stage(old, cfg), new, cfg).persist()
+    cands = delta_pairs(all_sk, new.select("key"), cfg)
+    verified = verify_candidates(
+        cands, docs, "key", "content", "token_ngram:2", jcx_threshold=0.8
+    )
+    kx, ky = F.col("key_x").cast("long"), F.col("key_y").cast("long")
+    x_first = kx < ky
+    return verified.select(
+        F.least(kx, ky).alias("key_x"),
+        F.greatest(kx, ky).alias("key_y"),
+        F.round("js", 6).alias("js"),
+        F.round(F.when(x_first, F.col("jcx")).otherwise(F.col("jcy")), 6).alias("jcx"),
+        F.round(F.when(x_first, F.col("jcy")).otherwise(F.col("jcx")), 6).alias("jcy"),
+    ).distinct()
+
+
 def q_embedding_near_dups_exact(spark, sf_dir):
     """Brute-force exact embedding near-dup pairs (cosine >= 0.3) — the
     ground-truth counterpart of embedding_near_dups, oracle-expressible
@@ -912,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_sets": q_column_sets,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
+        "incremental_delta_verified": q_incremental_delta_verified,
     }
 
 
@@ -1048,6 +1082,12 @@ def oracle_sql() -> dict[str, str]:
         "pair_canonicalize": f"""
             SELECT DISTINCT least(x, y) AS key_x, greatest(x, y) AS key_y
             FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "incremental_delta_verified": f"""
+            SELECT x AS key_x, y AS key_y, round(js, 6) AS js,
+                   round(jcx, 6) AS jcx, round(jcy, 6) AS jcy
+            FROM ({_BIGRAM_PAIR_SCORES})
+            WHERE (jcx >= 0.8 OR jcy >= 0.8) AND (x % 2 = 1 OR y % 2 = 1)
         """,
         "substring_pairs_exact": """
             WITH d AS (
