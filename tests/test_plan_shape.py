@@ -178,3 +178,37 @@ def test_verify_plan_hash_builds_and_keeps_arrays_out_of_aggs(spark, docs):
             assert m.group(1).strip() == "", m.group(0)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_band_join_condition_stays_cheap(spark, docs):
+    """The row-level threshold pushdown must stay the CHEAP bound
+    inequality: Catalyst pulls any filter directly above the band join
+    into the join's non-equi condition, and with the exact staged keep
+    trees inlined there the condition became one giant expression
+    (~33 KB of plan text, ~11 us per join row, measured).  Guard: the
+    join condition mentions no ECH branching (the exact trees are full
+    of CASE WHEN chains; the bound has none) and the whole formatted
+    plan stays far below the giant-tree size."""
+    from lazo_spark.operators.lazo import lazo_pairs
+    from lazo_spark.operators.sketch import sketch_stage
+
+    sk = sketch_stage(_keyed(docs), LazoConfig(jcx_threshold=0.8))
+    plan = _plan(lazo_pairs(sk, LazoConfig(jcx_threshold=0.8)))
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "ShuffledHashJoin" in ln or "Join condition" in ln.lstrip()[:20]
+    ]
+    assert join_lines, plan
+    assert all("CASE WHEN" not in ln for ln in join_lines), join_lines
+    # the exact-tree condition line alone was >30 KB; the bound's is <2 KB
+    # (the pair-level estimate projections elsewhere in the plan are
+    # legitimately large — only the per-join-row condition must be cheap)
+    assert all(len(ln) < 4000 for ln in join_lines), [
+        len(ln) for ln in join_lines
+    ]
+    # and the pushdown must actually BE in the band join's condition:
+    # the minpos->threshold table (element_at over the float literals)
+    # is the bound's signature
+    assert any(
+        "element_at" in ln and len(ln) > 400 for ln in join_lines
+    ), join_lines
