@@ -516,15 +516,19 @@ def q_media_features(spark, sf_dir):
 
 
 def q_media_real_decode(spark, sf_dir):
-    """REAL media decode (NumPy BMP/WAV container parsers — no codec
-    libraries; lazo_spark/functions/media_codecs.py): payloads are
-    synthesized deterministically from doc_id (two-tone bottom-up BMPs
-    with 4-byte-padded rows; square-wave 16-bit PCM WAVs), then decoded
-    by the real parsers, with per-media stats out.  The oracle
-    recomputes every stat in closed form from doc_id alone — a decoder
-    that ignores BMP row padding, forgets the bottom-up flip, or
-    misparses the WAV fmt chunk changes first_val/mean_val and fails
-    the value-hash compare."""
+    """REAL media decode (NumPy container parsers — no codec libraries;
+    lazo_spark/functions/media_codecs.py): payloads are synthesized
+    deterministically from doc_id — two-tone bottom-up BMPs with
+    4-byte-padded rows, DEFLATE-compressed PNGs (stdlib zlib inflate +
+    row unfiltering), square-wave 16-bit PCM WAVs, and G.711 mu-law/
+    A-law companded WAVs — then decoded by the real parsers, with
+    per-media stats out.  Companded amplitudes sit on the G.711 decode
+    lattice (((m<<3)+132)<<e - 132 resp. ((m<<4)+264)<<(e-1)) so the
+    compress->expand roundtrip is exact and the oracle stays closed
+    form.  A decoder that ignores BMP row padding, forgets the
+    bottom-up flip, mis-unfilters PNG scanlines, or mistables the
+    G.711 expansion changes first_val/mean_val and fails the
+    value-hash compare."""
     import numpy as np
     import pandas as pd
 
@@ -533,7 +537,11 @@ def q_media_real_decode(spark, sf_dir):
     def synth(batches):
         # payload synthesis = fixture generation (per-row encode, like
         # any test-data builder); the pipeline under test is the decode
-        from lazo_spark.functions.media_codecs import encode_bmp, encode_wav
+        from lazo_spark.functions.media_codecs import (
+            encode_bmp,
+            encode_png,
+            encode_wav,
+        )
 
         for pdf in batches:
             payloads = []
@@ -546,14 +554,22 @@ def q_media_real_decode(spark, sf_dir):
                     img = np.empty((h, w, 3), dtype=np.uint8)
                     img[: h // 2] = top
                     img[h // 2 :] = bot
-                    payloads.append(encode_bmp(img))
+                    enc = encode_bmp if i % 4 == 0 else encode_png
+                    payloads.append(enc(img))
                 else:
                     n = 64 + (i % 50) * 2
-                    v = 256 * (1 + i % 100)
+                    if i % 4 == 1:
+                        v, codec = 256 * (1 + i % 100), "pcm"
+                    else:
+                        m, e = (i // 8) % 16, 1 + (i // 8) % 6
+                        if i % 8 == 3:
+                            v, codec = (8 * m + 132) * 2**e - 132, "ulaw"
+                        else:
+                            v, codec = (16 * m + 264) * 2 ** (e - 1), "alaw"
                     s = np.empty(n, dtype=np.int16)
                     s[0::2] = v
                     s[1::2] = -v
-                    payloads.append(encode_wav(s, 16000))
+                    payloads.append(encode_wav(s, 16000, codec=codec))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1250,17 +1266,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_real_decode": """
+            WITH amp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 1 THEN (256 * (1 + doc_id % 100))::DOUBLE
+                          WHEN doc_id % 8 = 3
+                            THEN (8 * ((doc_id // 8) % 16) + 132) * POW(2, 1 + (doc_id // 8) % 6) - 132
+                          ELSE (16 * ((doc_id // 8) % 16) + 264) * POW(2, (doc_id // 8) % 6)
+                     END AS v
+              FROM documents
+            )
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
                    (CASE WHEN doc_id % 2 = 0 THEN 5 + doc_id % 4 END)::BIGINT AS width,
                    (CASE WHEN doc_id % 2 = 0 THEN 4 + 2 * (doc_id % 3) END)::BIGINT AS height,
                    (CASE WHEN doc_id % 2 = 1 THEN 64 + (doc_id % 50) * 2 END)::BIGINT AS n_samples,
                    CASE WHEN doc_id % 2 = 0 THEN (doc_id % 256)::DOUBLE
-                        ELSE (256 * (1 + doc_id % 100))::DOUBLE / 32768.0 END AS first_val,
+                        ELSE v / 32768.0 END AS first_val,
                    CASE WHEN doc_id % 2 = 0
                         THEN ((doc_id % 256) + (doc_id * 3) % 256)::DOUBLE / 2.0
-                        ELSE (256 * (1 + doc_id % 100))::DOUBLE / 32768.0 END AS mean_val
-            FROM documents
+                        ELSE v / 32768.0 END AS mean_val
+            FROM amp
         """,
         "media_frame_sample": """
             SELECT doc_id AS media_id, i AS frame_index

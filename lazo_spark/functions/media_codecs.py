@@ -24,6 +24,7 @@ per-container) — with all bulk pixel/sample math in NumPy.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -146,18 +147,213 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (a genuinely COMPRESSED image format: stdlib zlib inflate + NumPy
+# row unfiltering — no codec libraries)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(H, W, 3) / (H, W, 4) / (H, W) uint8 -> 8-bit non-interlaced PNG.
+
+    Rows are written with filter type 0 (None); zlib output is
+    deterministic for a fixed (input, level) so tests/oracles can rely
+    on byte-stable payloads."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError("encode_png expects (H,W), (H,W,3) or (H,W,4) uint8")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per row, then the raw row bytes
+    rows = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    rows[:, 1:] = a.reshape(h, w * ch)
+    idat = zlib.compress(rows.tobytes(), level)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-row PNG filtering.  raw is (h, 1+stride) uint8 (filter
+    byte + filtered bytes).  Returns (h, stride) uint8 reconstructed.
+
+    None/Up are vectorized across the row; Sub is a per-channel-lane
+    cumulative sum (mod-256 addition is associative); Average/Paeth
+    recurse on the previous pixel so they take a per-byte loop — rare
+    in our own encoder output (always filter 0) but required for
+    arbitrary real-world PNGs."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        cur = raw[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            out[y] = cur
+        elif ft == 2:  # Up
+            out[y] = cur + prev
+        elif ft == 1:  # Sub: cumsum per byte lane within the pixel
+            lanes = cur.reshape(-1, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 3:  # Average
+            rec = out[y]
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8 RGB.
+
+    Supports 8-bit non-interlaced gray / RGB / palette / gray+alpha /
+    RGBA (alpha dropped, palette expanded); the IDAT stream is a real
+    zlib DEFLATE stream — this is the repo's compressed-container
+    decode path (round-3 'What's missing' #1, compressed half)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, L = len(_PNG_SIG), len(payload)
+    ihdr = None
+    plte = None
+    idat = []
+    while i + 8 <= L:
+        (size,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace} (8-bit "
+            "non-interlaced only)"
+        )
+    if color_type not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    rec = _png_unfilter(rows, h, stride, bpp=ch).reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[rec[:, :, 0]])
+    if color_type == 0:
+        return np.ascontiguousarray(np.repeat(rec, 3, axis=2))
+    if color_type == 4:
+        return np.ascontiguousarray(np.repeat(rec[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(rec[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """int16 (n,) or (n, channels) -> 16-bit PCM WAV bytes."""
+def _g711_decode_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 decode tables for G.711 mu-law and A-law, built
+    from the published spec (ITU-T G.711; same arithmetic as the
+    classic public-domain g711.c)."""
+    b = np.arange(256, dtype=np.int64)
+    # mu-law
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law
+    a = b ^ 0x55
+    t7 = a & 0x7F
+    seg = (t7 >> 4) & 0x07
+    mag = np.where(t7 < 16, (t7 << 4) + 8, (((t7 & 0x0F) << 4) + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_decode_tables()
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+
+def _g711_encode(s: np.ndarray, law: str) -> np.ndarray:
+    """int16 -> uint8 G.711 bytes (vectorized segment search)."""
+    x = s.astype(np.int64)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        # segment = position of the highest set bit above bit 7
+        seg = np.clip(np.floor(np.log2(np.maximum(mag >> 8, 1))).astype(np.int64) + 1, 0, 7)
+        seg = np.where(mag < 0x100, 0, seg)
+        mant = (mag >> (seg + 3)) & 0x0F
+        return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+    # A-law
+    sign_pos = x >= 0
+    mag = np.where(sign_pos, x, -x - 8)
+    mag = np.clip(mag, 0, 0x7FFF)
+    seg = np.clip(np.floor(np.log2(np.maximum(mag >> 8, 1))).astype(np.int64) + 1, 0, 7)
+    seg = np.where(mag < 0x100, 0, seg)
+    aval = seg << 4
+    aval = aval | np.where(seg < 2, (mag >> 4) & 0x0F, (mag >> (seg + 3)) & 0x0F)
+    mask = np.where(sign_pos, 0xD5, 0x55)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, codec: str = "pcm") -> bytes:
+    """int16 (n,) or (n, channels) -> WAV bytes.
+
+    codec='pcm' writes 16-bit linear PCM; codec='ulaw'/'alaw' writes
+    8-bit G.711 companded audio (WAVE fmt codes 7/6) so tests can
+    exercise the compressed-audio decode path end-to-end."""
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.tobytes()
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if codec == "pcm":
+        fmt_code, bits, data = _WAV_FMT_PCM, 16, s.tobytes()
+    elif codec in ("ulaw", "alaw"):
+        fmt_code = _WAV_FMT_ULAW if codec == "ulaw" else _WAV_FMT_ALAW
+        bits, data = 8, _g711_encode(s.reshape(-1), codec).tobytes()
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+    block = ch * (bits // 8)
+    byte_rate = sample_rate * block
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sample_rate, byte_rate, block, bits)
     out = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
@@ -184,14 +380,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate, _br, _ba, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16) or ch < 1:
-        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
-    if bits == 16:
+    if ch < 1:
+        raise ValueError("unsupported WAV: zero channels")
+    if audio_fmt == _WAV_FMT_PCM and bits == 16:
         s = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         out = s.astype(np.float32) / np.float32(32768.0)
-    else:
+    elif audio_fmt == _WAV_FMT_PCM and bits == 8:
         s = np.frombuffer(data, dtype=np.uint8)
         out = (s.astype(np.float32) - np.float32(128.0)) / np.float32(128.0)
+    elif audio_fmt in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits == 8:
+        # G.711 companded audio — a real compressed-audio decode path
+        table = _ULAW_DECODE if audio_fmt == _WAV_FMT_ULAW else _ALAW_DECODE
+        s = table[np.frombuffer(data, dtype=np.uint8)]
+        out = s.astype(np.float32) / np.float32(32768.0)
+    else:
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
     n = len(out) // ch
     return out[: n * ch].reshape(n, ch), rate
 
@@ -201,11 +404,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 def sniff_media(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: 'bmp' | 'pnm' | 'wav' | None."""
+    """Container sniff by magic bytes: 'bmp' | 'pnm' | 'png' | 'wav' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] in (b"P6", b"P5"):
         return "pnm"
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -269,12 +474,14 @@ def decode_any(payload: bytes):
         return "image", decode_bmp(payload)
     if kind == "pnm":
         return "image", decode_ppm(payload)
+    if kind == "png":
+        return "image", decode_png(payload)
     if kind == "wav":
         return "audio", decode_wav(payload)
     raise NotImplementedError(
         "unsupported media container (supported without codec libraries: "
-        "BMP 24/32-bpp, binary PPM/PGM, PCM WAV); plug a decoder= for "
-        "compressed formats (PIL/ffmpeg)"
+        "BMP 24/32-bpp, binary PPM/PGM, PNG 8-bit non-interlaced, "
+        "PCM/G.711 WAV); plug a decoder= for other formats (PIL/ffmpeg)"
     )
 
 

@@ -10,15 +10,18 @@ from lazo_spark.functions.media_codecs import (
     audio_features,
     decode_any,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     features_for_payload,
     image_features,
     sniff_media,
 )
+from lazo_spark.functions import media_codecs as mc
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (4, 4), (5, 3), (7, 2), (33, 9)])
@@ -99,10 +102,135 @@ def test_sniff_and_decode_any():
     assert sniff_media(encode_ppm(img)) == "pnm"
     assert sniff_media(encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
     assert sniff_media(b"garbage") is None
+    assert sniff_media(encode_png(img)) == "png"
     kind, arr = decode_any(encode_ppm(img))
     assert kind == "image" and arr.shape == (2, 2, 3)
     with pytest.raises(NotImplementedError):
-        decode_any(b"\x89PNG\r\n")  # compressed container -> needs codec
+        decode_any(b"\xff\xd8\xff\xe0JFIF")  # JPEG -> needs codec lib
+
+
+# ---------------------------------------------------------------------------
+# PNG: real DEFLATE-compressed container (stdlib zlib + NumPy unfilter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (5, 3, 3), (9, 7), (4, 6, 4)])
+def test_png_roundtrip(shape):
+    rng = np.random.RandomState(sum(shape))
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    if len(shape) == 2:
+        assert np.array_equal(out, np.repeat(img[:, :, None], 3, axis=2))
+    else:
+        assert np.array_equal(out, img[:, :, :3])
+
+
+def _png_from_scanlines(w, h, color_type, lines, plte=None):
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = mc._PNG_SIG + mc._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += mc._png_chunk(b"PLTE", plte.tobytes())
+    return out + mc._png_chunk(b"IDAT", zlib.compress(b"".join(lines))) + mc._png_chunk(b"IEND", b"")
+
+
+def test_png_all_filter_types():
+    """Filters 0-4 (None/Sub/Up/Average/Paeth) against a scalar
+    spec-reference filter encoder."""
+    rng = np.random.RandomState(11)
+    h, w, ch = 6, 5, 3
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    lines = []
+    for y, ft in enumerate([0, 1, 2, 3, 4, 1]):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = flat[y][x - ch] if x >= ch else 0
+            b = prev[x]
+            c = flat[y - 1][x - ch] if (x >= ch and y > 0) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+    assert np.array_equal(decode_png(_png_from_scanlines(w, h, 2, lines)), img)
+
+
+def test_png_palette():
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(8, 9), dtype=np.uint8)
+    lines = [bytes([0]) + bytes(idx[y]) for y in range(8)]
+    assert np.array_equal(
+        decode_png(_png_from_scanlines(9, 8, 3, lines, plte=pal)), pal[idx]
+    )
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV (compressed audio)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_decode_table_pins():
+    """Known values from the published G.711 tables (classic g711.c)."""
+    assert mc._ULAW_DECODE[0x00] == -32124
+    assert mc._ULAW_DECODE[0x80] == 32124
+    assert mc._ULAW_DECODE[0xFF] == 0 and mc._ULAW_DECODE[0x7F] == 0
+    assert mc._ALAW_DECODE[0x55] == -8 and mc._ALAW_DECODE[0xD5] == 8
+    assert mc._ALAW_DECODE[0x2A] == -32256 and mc._ALAW_DECODE[0xAA] == 32256
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_roundtrip_within_companding_error(law):
+    x = np.arange(-32768, 32768, 17, dtype=np.int16)
+    table = mc._ULAW_DECODE if law == "ulaw" else mc._ALAW_DECODE
+    dec = table[mc._g711_encode(x, law)].astype(np.int64)
+    err = np.abs(dec - x.astype(np.int64))
+    big = np.abs(x.astype(np.int64)) >= 256
+    # relative error bounded by the segment step for large samples,
+    # absolute error by the near-zero quantizer step for small ones
+    assert (err[big] / np.abs(x.astype(np.int64))[big]).max() < 0.05
+    assert err[~big].max() <= 24
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_wav_g711_end_to_end(codec):
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32767, size=300, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000, codec=codec))
+    assert rate == 8000 and out.shape == (300, 1)
+    # companded roundtrip tracks the signal closely
+    assert np.corrcoef(out[:, 0], s.astype(np.float32) / 32768.0)[0, 1] > 0.999
 
 
 def test_image_features_closed_form():
