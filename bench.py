@@ -23,10 +23,15 @@ cheapest first; adaptive retries spend only leftover budget:
      cheap (~25 s each) and must land in the artifact.
   3. N-vs-4N scaling evidence (2 vs 8 pinned cores, ONE rep,
      best-so-far published after every leg).
-  4. Scaling retries (spark legs only) while the rep-1 window looks
-     contended/noise-trashed and budget remains.
-  5. Timed Lazo-vs-Base index comparison (IndexBenchmark.java:38-83
-     parity) if budget remains.
+  4. Timed Lazo-vs-Base index comparison (IndexBenchmark.java:38-83
+     parity) if budget remains (~20-30 s).
+  5. Standalone-cluster probe (1 vs 4 REAL executor JVMs) if >300 s
+     remain — the north rule's "N and 4N executors" measured
+     literally, so it outranks the taskset retries for leftover
+     budget (a round-4 window spent the leftover on retries and lost
+     this section entirely).
+  6. Scaling retries (spark legs only) while the best window so far
+     looks contended/noise-trashed and budget remains.
 A SIGTERM handler emits the partial JSON if an external timeout fires,
 so the driver always gets a parseable line.  SPARK_GRAFT_BENCH_BUDGET
 (sec, default 840) trims sections when exceeded.
@@ -674,13 +679,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling_state = scaling_section(out)
 
-    # 4. contended scaling legs get their retries now, from leftover
-    # budget only — every required section is already in the artifact
-    if scaling_state is not None:
-        scaling_retries(out, scaling_state)
-
-    # 5. Lazo-vs-Base index comparison — after the sweep, own session,
-    # so a slow leg only costs its own budget
+    # 4. Lazo-vs-Base index comparison — cheap (~20-30 s own-session) and
+    # a coverage artifact (SURVEY P13), so it runs before the expensive
+    # optional sections
     if _left() > 90:
         try:
             flag["lazo_vs_base"] = index_bench(min(cpus, 8), code_sf)
@@ -688,12 +689,15 @@ def main() -> None:
         except Exception as e:
             flag["lazo_vs_base_error"] = str(e)[:200]
 
-    # 6. REAL multi-executor evidence (tools/cluster_probe.py: standalone
+    # 5. REAL multi-executor evidence (tools/cluster_probe.py: standalone
     # master + four pinned two-core worker JVMs, package shipped the
-    # --py-files way, 1 vs 4 executors) — leftover budget only: every
-    # required section is already in the artifact, and the partial emit
-    # carries this the moment it lands.  SPARK_GRAFT_CLUSTER=0 disables.
-    if os.environ.get("SPARK_GRAFT_CLUSTER", "1") != "0" and _left() > 420:
+    # --py-files way, 1 vs 4 executors) — this is the north rule's "N and
+    # 4N executors" measured literally, so it outranks the taskset-scaling
+    # RETRIES (round-4 lesson: retries ate the leftover and this section
+    # never ran; the one committed window then showed only the contended
+    # taskset primary).  ~200-260 s typical (two legs + 5 JVM spinups).
+    # SPARK_GRAFT_CLUSTER=0 disables.
+    if os.environ.get("SPARK_GRAFT_CLUSTER", "1") != "0" and _left() > 300:
         try:
             import subprocess
 
@@ -709,6 +713,11 @@ def main() -> None:
             _partial["scaling_cluster"] = out["scaling_cluster"]
         except Exception as e:
             out["scaling_cluster_error"] = str(e)[:200]
+
+    # 6. contended scaling legs get their retries LAST, from leftover
+    # budget only — every required section is already in the artifact
+    if scaling_state is not None:
+        scaling_retries(out, scaling_state)
 
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)
