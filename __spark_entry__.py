@@ -734,14 +734,10 @@ def q_top_terms_per_lang(spark, sf_dir):
     )
 
 
-def q_single_col_js(spark, sf_dir):
-    """P2 parity: column-file inputs -> single-column SIMILARITY mode
-    (LazoBenchmarkSingleCol.java:174-226): one value per line per file,
-    read back via read_column_file (S3), value-set sketches
-    (shingle_mode='line'), strict js-mode query (containment disabled,
-    direction='x').  Rows-only driver check; the js-mode estimation is
-    pinned against the NumPy LazoIndex replica in
-    tests/test_single_col.py."""
+def _single_col_values(spark, sf_dir):
+    """Materialize the seven benchmark columns as one-value-per-line
+    column files (the reference's single-column input format) and read
+    them back via read_column_file (S3) -> (key, value) relation."""
     import tempfile
 
     from lazo_spark.sources.readers import read_column_file
@@ -776,6 +772,18 @@ def q_single_col_js(spark, sf_dir):
     for key, path in paths:
         part = read_column_file(spark, path, key=key)
         un = part if un is None else un.union(part)
+    return un
+
+
+def q_single_col_js(spark, sf_dir):
+    """P2 parity: column-file inputs -> single-column SIMILARITY mode
+    (LazoBenchmarkSingleCol.java:174-226): one value per line per file,
+    read back via read_column_file (S3), value-set sketches
+    (shingle_mode='line'), strict js-mode query (containment disabled,
+    direction='x').  Rows-only driver check; the js-mode estimation is
+    pinned against the NumPy LazoIndex replica in
+    tests/test_single_col.py."""
+    un = _single_col_values(spark, sf_dir)
     content = un.groupBy("key").agg(
         F.concat_ws("\n", F.collect_list("value")).alias("content")
     ).withColumn("sha", F.sha2("content", 256))
@@ -785,6 +793,21 @@ def q_single_col_js(spark, sf_dir):
         sk, cfg, js_threshold=0.5, jcx_threshold=0.0, direction="x"
     )
     return out.select("key_x", "key_y", F.round("js", 6).alias("js"))
+
+
+def q_single_col_js_exact(spark, sf_dir):
+    """Exact ground-truth twin of single_col_js: exact Jaccard over the
+    SAME seven column value sets, still ingested through the
+    column-file reader (S3) so the single-column input path is covered
+    end-to-end by a green hash-match (the estimated path stays pinned
+    by the NumPy index replica).  DuckDB recomputes the sets straight
+    from the parquet views."""
+    from lazo_spark.operators.verify import exact_set_jaccard
+
+    vals = _single_col_values(spark, sf_dir)
+    return exact_set_jaccard(vals).select(
+        "key_x", "key_y", F.round("js", 6).alias("js")
+    )
 
 
 def q_column_sets(spark, sf_dir):
@@ -859,6 +882,45 @@ def q_incremental_delta_verified(spark, sf_dir):
     new = docs.filter(F.col("key").cast("long") % 2 == 1)
     all_sk = insert_sketches(sketch_stage(old, cfg), new, cfg).persist()
     cands = delta_pairs(all_sk, new.select("key"), cfg)
+    verified = verify_candidates(
+        cands, docs, "key", "content", "token_ngram:2", jcx_threshold=0.8
+    )
+    kx, ky = F.col("key_x").cast("long"), F.col("key_y").cast("long")
+    x_first = kx < ky
+    return verified.select(
+        F.least(kx, ky).alias("key_x"),
+        F.greatest(kx, ky).alias("key_y"),
+        F.round("js", 6).alias("js"),
+        F.round(F.when(x_first, F.col("jcx")).otherwise(F.col("jcy")), 6).alias("jcx"),
+        F.round(F.when(x_first, F.col("jcy")).otherwise(F.col("jcx")), 6).alias("jcy"),
+    ).distinct()
+
+
+def q_incremental_bucketed_verified(spark, sf_dir):
+    """The insert-then-query loop against the PERSISTED bucketed index
+    (sources/index_store.py): even doc_ids are materialized as bucketed
+    parquet tables (bands bucketed on the band key, key lookup on the
+    key hash), odd doc_ids are appended and delta-queried — the index
+    side of the band join arrives co-partitioned from its bucket files
+    (zero index shuffle; plan-shape-tested in tests/test_index_store.py).
+    Same widened-floor + exact-verification device as
+    incremental_delta_verified, so the DuckDB brute-force oracle matches
+    exactly; equality with the in-memory delta path is separately
+    pinned."""
+    from lazo_spark.operators.verify import verify_candidates
+    from lazo_spark.sources.index_store import (
+        create_index, delta_pairs_indexed,
+    )
+
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    docs = _docs_keyed(spark, sf_dir)
+    old = docs.filter(F.col("key").cast("long") % 2 == 0)
+    new = docs.filter(F.col("key").cast("long") % 2 == 1)
+    path = "/tmp/lazo_spark_ixstore"
+    create_index(spark, sketch_stage(old, cfg), "ixq", path=path)
+    cands = delta_pairs_indexed(
+        spark, "ixq", sketch_stage(new, cfg), cfg, path=path
+    )
     verified = verify_candidates(
         cands, docs, "key", "content", "token_ngram:2", jcx_threshold=0.8
     )
@@ -958,10 +1020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_theta": q_fuzzy_theta,
         "top_terms_per_lang": q_top_terms_per_lang,
         "single_col_js": q_single_col_js,
+        "single_col_js_exact": q_single_col_js_exact,
         "column_sets": q_column_sets,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
+        "incremental_bucketed_verified": q_incremental_bucketed_verified,
     }
 
 
@@ -1100,6 +1164,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
         """,
         "incremental_delta_verified": f"""
+            SELECT x AS key_x, y AS key_y, round(js, 6) AS js,
+                   round(jcx, 6) AS jcx, round(jcy, 6) AS jcy
+            FROM ({_BIGRAM_PAIR_SCORES})
+            WHERE (jcx >= 0.8 OR jcy >= 0.8) AND (x % 2 = 1 OR y % 2 = 1)
+        """,
+        "single_col_js_exact": """
+            WITH sets AS (
+              SELECT DISTINCT 'nation.n_nationkey' AS k,
+                     CAST(n_nationkey AS VARCHAR) AS v FROM nation
+              UNION ALL SELECT DISTINCT 'nation.n_regionkey',
+                     CAST(n_regionkey AS VARCHAR) FROM nation
+              UNION ALL SELECT DISTINCT 'supplier.s_nationkey',
+                     CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION ALL SELECT DISTINCT 'customer.c_nationkey',
+                     CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION ALL SELECT DISTINCT 'region.r_regionkey',
+                     CAST(r_regionkey AS VARCHAR) FROM region
+              UNION ALL SELECT DISTINCT 'orders.o_custkey',
+                     CAST(o_custkey AS VARCHAR) FROM orders
+              UNION ALL SELECT DISTINCT 'customer.c_custkey',
+                     CAST(c_custkey AS VARCHAR) FROM customer
+            ),
+            sizes AS (SELECT k, COUNT(*) AS n FROM sets GROUP BY k),
+            ix AS (
+              SELECT a.k AS key_x, b.k AS key_y, COUNT(*) AS i
+              FROM sets a JOIN sets b ON a.v = b.v AND a.k < b.k
+              GROUP BY 1, 2
+            )
+            SELECT key_x, key_y,
+                   round(i * 1.0 / (sx.n + sy.n - i), 6) AS js
+            FROM ix
+            JOIN sizes sx ON sx.k = ix.key_x
+            JOIN sizes sy ON sy.k = ix.key_y
+        """,
+        "incremental_bucketed_verified": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js,
                    round(jcx, 6) AS jcx, round(jcy, 6) AS jcy
             FROM ({_BIGRAM_PAIR_SCORES})

@@ -144,6 +144,36 @@ def exact_pairs(
     return out
 
 
+def exact_set_jaccard(values: DataFrame) -> DataFrame:
+    """Exact pairwise Jaccard over a (key, value) relation — the
+    value-SET analogue of exact_pairs (same shape: distinct, |value|
+    equi-join, partial pair counts, size join-back), for single-column
+    inputs where the set elements ARE the raw values rather than
+    shingles (LazoBenchmarkSingleCol.java ground truth).  Pairs sharing
+    no value (js = 0) are never materialized."""
+    v = values.select("key", "value").distinct()
+    sizes = v.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("key").alias("key_x"), "value")
+    b = v.select(F.col("key").alias("key_y"), "value")
+    ix = (
+        a.join(b.hint("SHUFFLE_HASH"), "value")
+        .filter(F.col("key_x") < F.col("key_y"))
+        .groupBy("key_x", "key_y")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    return (
+        ix.join(sizes.withColumnRenamed("key", "key_x").withColumnRenamed("n", "nx"), "key_x")
+        .join(sizes.withColumnRenamed("key", "key_y").withColumnRenamed("n", "ny"), "key_y")
+        .select(
+            "key_x",
+            "key_y",
+            (F.col("ix") / (F.col("nx") + F.col("ny") - F.col("ix"))).alias("js"),
+            (F.col("ix") / F.col("nx")).alias("jcx"),
+            (F.col("ix") / F.col("ny")).alias("jcy"),
+        )
+    )
+
+
 def verify_candidates(
     candidates: DataFrame,
     df: DataFrame,

@@ -1,0 +1,305 @@
+"""Persisted bucketed LSH band index: the 100-TB re-expression of the
+reference's long-lived in-RAM index (LazoIndex.java:64-90 keeps the
+band hash tables in one JVM's heap; inserts mutate them in place,
+LazoIndex.java:186-248).
+
+At cluster scale the index IS a table.  This module persists the packed
+band relation — the exact (kh, pc, bhp) row layout of
+operators/lazo.py:candidate_pairs — as a parquet table BUCKETED on the
+band bucket key ``bhp``, plus the key lookup (kh, key, cardinality)
+bucketed on ``kh``.  Every later delta query then reads the (huge)
+existing index already co-partitioned on its join key: EnsureRequirements
+inserts an Exchange only on the (small) delta side, so inserting a batch
+into a petabyte index shuffles the BATCH, never the index (plan-shape
+tested: tests/test_index_store.py).  Bucket files are sorted by ``pc``
+so the band-prefix pruning predicate (pos < max_useful_band  <=>
+pc < max_pos << CARD_BITS, sound because card < 2^57) prunes parquet row
+groups via min/max stats instead of scanning all k positions.
+
+Mutation model (parquet files are immutable):
+  insert  -> append delta band/key rows into the bucketed tables
+  remove  -> append key hashes to a tombstone table; queries anti-join
+             it (broadcast — tombstones are small between compactions)
+  compact -> rewrite the tables minus tombstones, resetting the
+             tombstone set
+i.e. the LSM shape any 100-TB mutable index takes.  The in-place
+HashMap mutation of the reference cannot outgrow one machine's RAM;
+this one is bounded only by storage.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import LazoConfig
+from ..operators.lazo import _CARD_BITS, _CARD_MASK, max_useful_band
+
+# bucket count is a TABLE property (fixed at create time): at 100 TB you
+# size it like shuffle partitions — enough buckets that one bucket's band
+# rows fit an executor's hash-build budget (thousands); locally a few
+# dozen.  Too few buckets caps the delta join's parallelism because a
+# bucketed scan cannot split a bucket across tasks.
+DEFAULT_BUCKETS = 32
+
+
+def _packed_bands(sketches: DataFrame) -> DataFrame:
+    """Sketch rows -> packed band rows, byte-identical expressions to
+    candidate_pairs (operators/lazo.py:206-219) so stored rows join
+    against in-memory delta rows on equal hashes.  All k positions are
+    stored; queries prune the prefix at read time."""
+    return sketches.select(
+        F.xxhash64("key").alias("kh"),
+        (
+            F.shiftleft(F.col("pos").cast("long"), _CARD_BITS) + F.col("card")
+        ).alias("pc"),
+        F.xxhash64("pos", "bh").alias("bhp"),
+    ).select("kh", "pc", "bhp")
+
+
+def _exploded(sketches: DataFrame) -> DataFrame:
+    return sketches.select(
+        "key",
+        F.col("cardinality").alias("card"),
+        F.posexplode(F.col("band_hashes")).alias("pos", "bh"),
+    )
+
+
+def _bands_table(name: str) -> str:
+    return f"{name}_bands"
+
+
+def _keys_table(name: str) -> str:
+    return f"{name}_keys"
+
+
+def _tomb_table(name: str) -> str:
+    return f"{name}_tombstones"
+
+
+def _write(
+    df: DataFrame, table: str, path: str | None, buckets: int,
+    bucket_col: str, sort_col: str, mode: str,
+) -> None:
+    w = df.write.mode(mode).bucketBy(buckets, bucket_col).sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", f"{path}/{table}")
+    w.format("parquet").saveAsTable(table)
+
+
+def create_index(
+    spark: SparkSession,
+    sketches: DataFrame,
+    name: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Materialize the index tables from a sketch relation
+    (key, cardinality, band_hashes, ...).  ``path`` makes the tables
+    external (bucketing metadata still lives in the session catalog —
+    production would register them in a shared metastore)."""
+    bands = _packed_bands(_exploded(sketches))
+    _write(bands, _bands_table(name), path, n_buckets, "bhp", "pc",
+           "overwrite")
+    keys = sketches.select(
+        F.xxhash64("key").alias("kh"), "key",
+        F.col("cardinality").cast("long").alias("cardinality"),
+    )
+    _write(keys, _keys_table(name), path, n_buckets, "kh", "kh",
+           "overwrite")
+    spark.sql(f"DROP TABLE IF EXISTS {_tomb_table(name)}")
+
+
+def insert_index(
+    spark: SparkSession, new_sketches: DataFrame, name: str,
+    path: str | None = None,
+) -> None:
+    """LazoIndex.insert at table scale: append the batch's band/key rows.
+    Appends reuse the table's existing bucket spec; only the batch is
+    shuffled (into its buckets), the index is untouched."""
+    cat = spark.catalog
+    n_buckets = DEFAULT_BUCKETS
+    try:  # match the existing spec so the append stays bucket-aligned
+        desc = spark.sql(
+            f"DESCRIBE EXTENDED {_bands_table(name)}"
+        ).collect()
+        for row in desc:
+            if row.col_name == "Num Buckets":
+                n_buckets = int(row.data_type)
+    except Exception:
+        pass
+    bands = _packed_bands(_exploded(new_sketches))
+    _write(bands, _bands_table(name), path, n_buckets, "bhp", "pc",
+           "append")
+    keys = new_sketches.select(
+        F.xxhash64("key").alias("kh"), "key",
+        F.col("cardinality").cast("long").alias("cardinality"),
+    )
+    _write(keys, _keys_table(name), path, n_buckets, "kh", "kh", "append")
+    cat.refreshTable(_bands_table(name))
+    cat.refreshTable(_keys_table(name))
+
+
+def remove_keys_index(
+    spark: SparkSession, keys: DataFrame, name: str,
+) -> None:
+    """LazoIndex.remove (LazoIndex.java:223-243) at table scale: parquet
+    files are immutable, so removal is a tombstone append; queries
+    anti-join the (small) tombstone set until a compaction rewrites."""
+    tomb = keys.select(F.xxhash64("key").alias("kh")).distinct()
+    tomb.write.mode("append").format("parquet").saveAsTable(
+        _tomb_table(name)
+    )
+    spark.catalog.refreshTable(_tomb_table(name))
+
+
+def compact_index(
+    spark: SparkSession, name: str, path: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Rewrite the index minus tombstones (the LSM compaction step).
+
+    The surviving rows are materialized (localCheckpoint) BEFORE the
+    overwrite — a table cannot be overwritten from a plan still reading
+    it.  Production compaction would instead write a new generation
+    directory and swap the catalog pointer (no second materialization);
+    the table layout here is identical either way."""
+    tombs = _live_tombstones(spark, name)
+    if tombs is None:
+        return
+    bands = spark.table(_bands_table(name)).join(
+        F.broadcast(tombs), "kh", "left_anti"
+    ).localCheckpoint(eager=True)
+    keys = spark.table(_keys_table(name)).join(
+        F.broadcast(tombs), "kh", "left_anti"
+    ).localCheckpoint(eager=True)
+    _write(bands, _bands_table(name), path, n_buckets, "bhp", "pc",
+           "overwrite")
+    _write(keys, _keys_table(name), path, n_buckets, "kh", "kh",
+           "overwrite")
+    spark.sql(f"DROP TABLE IF EXISTS {_tomb_table(name)}")
+
+
+def _live_tombstones(spark: SparkSession, name: str) -> DataFrame | None:
+    try:
+        t = spark.table(_tomb_table(name))
+    except Exception:
+        return None
+    return t
+
+
+def index_band_scan(
+    spark: SparkSession, name: str, max_pos: int,
+) -> DataFrame:
+    """The persisted band relation pruned to the useful position prefix
+    (pos < max_pos  <=>  pc < max_pos << CARD_BITS because card < 2^57 —
+    a plain range predicate parquet can prune row groups with, tight
+    because bucket files are sorted by pc) minus tombstoned keys."""
+    bands = spark.table(_bands_table(name))
+    bound = max_pos << _CARD_BITS
+    if bound < (1 << 63):  # max_pos == k covers every stored position:
+        # the bound would be 2^63 (one past int64) and the filter vacuous
+        bands = bands.filter(F.col("pc") < F.lit(bound))
+    tombs = _live_tombstones(spark, name)
+    if tombs is not None:
+        bands = bands.join(F.broadcast(tombs), "kh", "left_anti")
+    return bands
+
+
+def delta_join(
+    spark: SparkSession,
+    name: str,
+    delta_sketches: DataFrame,
+    max_pos: int,
+) -> DataFrame:
+    """Delta band rows vs the bucketed index: the index side arrives
+    co-partitioned on bhp from its bucket files (NO Exchange — the one
+    plan property this module exists for); only the delta side shuffles.
+    Output: canonical packed join rows (kh_x, kh_y, pc_x, pc_y)."""
+    delta = _packed_bands(
+        _exploded(delta_sketches).filter(F.col("pos") < max_pos)
+    )
+    x = delta.select(
+        "bhp", F.col("kh").alias("kh_x"), F.col("pc").alias("pc_x")
+    )
+    y = index_band_scan(spark, name, max_pos).select(
+        "bhp", F.col("kh").alias("kh_y"), F.col("pc").alias("pc_y")
+    )
+    # hash-build the delta (small by construction); the index side
+    # streams its bucket files through the probe
+    joined = x.hint("SHUFFLE_HASH").join(y, "bhp").filter(
+        F.col("kh_x") != F.col("kh_y")
+    )
+    # canonicalize: new-new pairs arrive twice (both orders), new-old
+    # once — least/greatest + the min-agg downstream dedupes, same as
+    # streaming/incremental.py:delta_pairs
+    swap = F.col("kh_x") > F.col("kh_y")
+    return joined.select(
+        F.least("kh_x", "kh_y").alias("kh_x"),
+        F.greatest("kh_x", "kh_y").alias("kh_y"),
+        F.when(swap, F.col("pc_y")).otherwise(F.col("pc_x")).alias("pc_x"),
+        F.when(swap, F.col("pc_x")).otherwise(F.col("pc_y")).alias("pc_y"),
+    )
+
+
+def delta_pairs_indexed(
+    spark: SparkSession,
+    name: str,
+    new_sketches: DataFrame,
+    config: LazoConfig,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+    insert: bool = True,
+    path: str | None = None,
+) -> DataFrame:
+    """The reference's insert-then-query loop (LazoBenchmark.java:237-254)
+    against the persisted index: append the batch (optional), then
+    estimate candidate pairs touching >= 1 new key.  Same output schema
+    and estimation kernel as operators/lazo.py:lazo_pairs; only the band
+    join's big side is a bucketed table scan instead of an in-memory
+    self-join."""
+    from ..operators.lazo import estimate_candidates
+
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    max_pos = max_useful_band(config, js_t, jcx_t)
+    if insert:
+        insert_index(spark, new_sketches, name, path=path)
+    joined = delta_join(spark, name, new_sketches, max_pos)
+    # packed pair aggregation: see candidate_pairs — min(pc) recovers
+    # (min pos, cardinality) because cardinality is constant per key
+    pairs = (
+        joined.groupBy("kh_x", "kh_y")
+        .agg(F.min("pc_x").alias("pc_x"), F.min("pc_y").alias("pc_y"))
+        .select(
+            "kh_x",
+            "kh_y",
+            F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int")
+            .alias("min_pos"),
+            F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
+            F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
+        )
+    )
+    est = estimate_candidates(
+        pairs, config, js_threshold, jcx_threshold, direction="either",
+        engine="sql", key_cols=("kh_x", "kh_y"),
+    )
+    # estimate-before-join-back (lazo_pairs plan): only passing pairs
+    # fetch their key strings, from the kh-bucketed lookup table (again
+    # Exchange-free on the lookup side)
+    lookup = spark.table(_keys_table(name)).select("kh", "key")
+    with_keys = est.join(
+        lookup.withColumnRenamed("kh", "kh_x").withColumnRenamed("key", "kx"),
+        "kh_x",
+    ).join(
+        lookup.withColumnRenamed("kh", "kh_y").withColumnRenamed("key", "ky"),
+        "kh_y",
+    )
+    x_first = F.col("kx") < F.col("ky")
+    return with_keys.select(
+        F.least("kx", "ky").alias("key_x"),
+        F.greatest("kx", "ky").alias("key_y"),
+        "js",
+        F.when(x_first, F.col("jcx")).otherwise(F.col("jcy")).alias("jcx"),
+        F.when(x_first, F.col("jcy")).otherwise(F.col("jcx")).alias("jcy"),
+        "th", "min_pos", "corrected",
+    )

@@ -1,0 +1,133 @@
+"""Persisted bucketed band index (sources/index_store.py): delta queries
+against the stored index must match the in-memory delta path, mutate via
+tombstones, and — the property the module exists for — never shuffle the
+index side of the band join."""
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.sources.index_store import (
+    compact_index,
+    create_index,
+    delta_join,
+    delta_pairs_indexed,
+    insert_index,
+    remove_keys_index,
+)
+from lazo_spark.operators.sketch import sketch_stage
+from lazo_spark.operators.lazo import max_useful_band
+from lazo_spark.streaming.incremental import delta_pairs, insert_sketches
+
+CFG = LazoConfig(jcx_threshold=0.5)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, content string"
+    ).withColumn("sha", F.sha2("content", 256))
+
+
+def _chain_corpus(spark, n=30, width=40):
+    """Sliding-window word docs: doc i = words i..i+width, so adjacent
+    docs are strong near-dups and the pair graph is a chain family."""
+    rows = [
+        (f"d{i:03d}", " ".join(str(j) for j in range(i, i + width)))
+        for i in range(n)
+    ]
+    return _docs(spark, rows)
+
+
+def _pairs_set(df):
+    return {
+        (
+            r.key_x, r.key_y, round(r.js, 6), round(r.jcx, 6),
+            round(r.jcy, 6), r.min_pos,
+        )
+        for r in df.collect()
+    }
+
+
+def test_indexed_delta_matches_in_memory(spark, tmp_path):
+    docs = _chain_corpus(spark)
+    old = docs.filter(F.col("key") < "d015")
+    new = docs.filter(F.col("key") >= "d015")
+    old_sk = sketch_stage(old, CFG).localCheckpoint()
+    new_sk = sketch_stage(new, CFG).localCheckpoint()
+
+    create_index(spark, old_sk, "ix_eq", n_buckets=8,
+                 path=str(tmp_path / "ix"))
+    got = delta_pairs_indexed(
+        spark, "ix_eq", new_sk, CFG, jcx_threshold=0.5,
+        path=str(tmp_path / "ix"),
+    )
+
+    all_sk = insert_sketches(old_sk, new, CFG).localCheckpoint()
+    want = delta_pairs(all_sk, new.select("key"), CFG, jcx_threshold=0.5)
+
+    got_set, want_set = _pairs_set(got), _pairs_set(want)
+    assert got_set == want_set
+    assert len(got_set) > 10  # the corpus actually exercises the path
+
+
+def test_index_side_joins_without_exchange(spark, tmp_path):
+    docs = _chain_corpus(spark, n=12)
+    sk = sketch_stage(docs, CFG).localCheckpoint()
+    create_index(spark, sk, "ix_plan", n_buckets=8,
+                 path=str(tmp_path / "ix"))
+    # jcx 0.8 -> useful prefix 32 of 64: the pc range predicate is real
+    # (at max_pos == k it is vacuous and skipped)
+    joined = delta_join(
+        spark, "ix_plan", sk.limit(3), max_useful_band(CFG, 0.0, 0.8)
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE shuffle: the delta side repartitioning into the
+    # index's buckets; the index side must arrive from its bucket files
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the scan must actually be bucketed (not a plain file scan)
+    assert "Bucketed: true" in plan, plan
+    # the band-prefix predicate reaches parquet as a range filter on pc
+    assert "LessThan(pc" in plan, plan
+
+
+def test_insert_appends_and_tombstones_remove(spark, tmp_path):
+    docs = _chain_corpus(spark, n=12)
+    g1 = docs.filter(F.col("key") < "d004")
+    g2 = docs.filter((F.col("key") >= "d004") & (F.col("key") < "d008"))
+    g3 = docs.filter(F.col("key") >= "d008")
+    p = str(tmp_path / "ix")
+    create_index(spark, sketch_stage(g1, CFG).localCheckpoint(),
+                 "ix_mut", n_buckets=4, path=p)
+    insert_index(spark, sketch_stage(g2, CFG).localCheckpoint(),
+                 "ix_mut", path=p)
+    g3_sk = sketch_stage(g3, CFG).localCheckpoint()
+    base = delta_pairs_indexed(
+        spark, "ix_mut", g3_sk, CFG, jcx_threshold=0.5, path=p
+    )
+    base_keys = {k for r in base.collect() for k in (r.key_x, r.key_y)}
+    # pairs reach back into BOTH earlier generations
+    assert any(k < "d004" for k in base_keys)
+    assert any("d004" <= k < "d008" for k in base_keys)
+
+    # tombstone one early key: rerunning the delta query (no re-insert:
+    # g3 is already in the index) must not pair against it
+    remove_keys_index(
+        spark, spark.createDataFrame([("d007",)], "key string"), "ix_mut"
+    )
+    after = delta_pairs_indexed(
+        spark, "ix_mut", g3_sk, CFG, jcx_threshold=0.5, insert=False,
+        path=p,
+    )
+    after_keys = {k for r in after.collect() for k in (r.key_x, r.key_y)}
+    assert "d007" in base_keys and "d007" not in after_keys
+
+    # compaction folds tombstones into the files and resets them;
+    # results unchanged
+    compact_index(spark, "ix_mut", path=str(tmp_path / "ix2"),
+                  n_buckets=4)
+    with pytest.raises(Exception):
+        spark.table("ix_mut_tombstones")
+    compacted = delta_pairs_indexed(
+        spark, "ix_mut", g3_sk, CFG, jcx_threshold=0.5, insert=False,
+        path=str(tmp_path / "ix2"),
+    )
+    assert _pairs_set(compacted) == _pairs_set(after)
