@@ -137,6 +137,64 @@ def q_corpus_filter(spark, sf_dir):
     return T.corpus_filter(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination (GPT-3/PaLM-style): training docs
+    (doc_id % 10 != 0) sharing any 8-token gram with the held-out eval
+    slice (doc_id % 10 == 0), with the count of distinct matched grams."""
+    docs = _docs(spark, sf_dir)
+    out = T.decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    )
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Language-stratified deterministic corpus sampling (downsample en,
+    upsample fr/de): md5-hash admission, reproducible across engines."""
+    out = T.deterministic_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        rates={"en": 0.25, "fr": 0.75, "de": 0.75},
+    )
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
+def q_canonical_selection(spark, sf_dir):
+    """Best-of-cluster canonical selection: near-dup clusters (exact
+    bigram containment at 0.8 -> connected components, singletons kept)
+    each keep the member with the most tokens, ties to the lowest id —
+    the 'keep best, not first' dedup policy of a training pipeline."""
+    docs = _docs_capped(spark, sf_dir)
+    edges = _bigram_pairs(spark, sf_dir, jcx_t=0.8).select("key_x", "key_y")
+    comp = connected_components(edges)
+    stats = T.token_stats(docs, "doc_id", "text").select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    labeled = stats.join(
+        comp.select(F.col("key").cast("long").alias("key"), "cluster"),
+        "key",
+        "left",
+    ).withColumn("cluster", F.coalesce(F.col("cluster").cast("long"), F.col("key")))
+    agg = labeled.groupBy("cluster").agg(
+        F.max(
+            F.struct(F.col("n_tokens").alias("nt"), (-F.col("key")).alias("nk"))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return agg.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        (-F.col("m.nk")).cast("long").alias("keeper_id"),
+        F.col("m.nt").cast("long").alias("keeper_tokens"),
+        "cluster_size",
+    )
+
+
 def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
     docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
@@ -989,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "corpus_filter": q_corpus_filter,
+        "decontaminate": q_decontaminate,
+        "corpus_sample": q_corpus_sample,
+        "canonical_selection": q_canonical_selection,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
@@ -1149,6 +1210,72 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE pred_lang = 'en' AND n_tokens BETWEEN 20 AND 90
               AND stopword_ratio >= 0.03
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            g AS (
+              SELECT doc_id, CASE WHEN len(arr) < 8
+                  THEN [array_to_string(arr, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(arr) - 6),
+                       i -> array_to_string(arr[i:i+7], ' ')))
+                  END AS grams
+              FROM t),
+            e AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE doc_id % 10 = 0),
+            tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE doc_id % 10 != 0)
+            SELECT tr.doc_id AS key, COUNT(*) AS n_matched_grams
+            FROM tr JOIN e USING (gram) GROUP BY 1
+        """,
+        "corpus_sample": f"""
+            WITH l AS (
+              SELECT doc_id,
+                CASE WHEN len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','is','of')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','les')))
+                      AND len(list_filter({_TOKS}, t -> lower(t) IN ('the','and','is','of')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('der','die','und','das')))
+                     THEN 'en'
+                     WHEN len(list_filter({_TOKS}, t -> lower(t) IN ('le','la','et','les')))
+                          >= len(list_filter({_TOKS}, t -> lower(t) IN ('der','die','und','das')))
+                     THEN 'fr' ELSE 'de' END AS pred_lang
+              FROM documents)
+            SELECT doc_id AS key, pred_lang,
+                   md5('s42:' || CAST(doc_id AS VARCHAR)) AS digest
+            FROM l
+            WHERE md5('s42:' || CAST(doc_id AS VARCHAR))
+                  < CASE pred_lang WHEN 'en' THEN '40' ELSE 'c0' END
+        """,
+        "canonical_selection": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT x, y FROM ({_BIGRAM_PAIR_SCORES})
+              WHERE jcx >= 0.8 OR jcy >= 0.8
+            ),
+            edges AS (SELECT x AS a, y AS b FROM pairs
+                      UNION SELECT y AS a, x AS b FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT a AS node, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a
+            ),
+            stats AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+                      FROM documents),
+            labeled AS (
+              SELECT s.doc_id, s.n_tokens,
+                     COALESCE(l.cluster, s.doc_id) AS cluster
+              FROM stats s LEFT JOIN labels l ON s.doc_id = l.node),
+            ranked AS (
+              SELECT cluster, doc_id, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+              FROM labeled)
+            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+                   cluster_size
+            FROM ranked WHERE rn = 1
         """,
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js

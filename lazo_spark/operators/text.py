@@ -56,10 +56,12 @@ def quality_score(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
-    """Marker-token language heuristic with a fixed deterministic
-    tie-break order (en > fr > de)."""
-    toks = _tokens(F.lower(F.col(content_col)))
+def _lang_columns(content: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language marker counts, predicted language) with the fixed
+    deterministic tie-break order en > fr > de.  Shared by language_id,
+    corpus_filter and deterministic_sample so every consumer gates on
+    the identical expression."""
+    toks = _tokens(F.lower(content))
     counts = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -71,6 +73,13 @@ def language_id(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         .when(counts["fr"] >= counts["de"], "fr")
         .otherwise("de")
     )
+    return counts, pred
+
+
+def language_id(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """Marker-token language heuristic with a fixed deterministic
+    tie-break order (en > fr > de)."""
+    counts, pred = _lang_columns(F.col(content_col))
     return df.select(
         F.col(key_col).alias("key"),
         counts["en"].alias("c_en"),
@@ -154,18 +163,7 @@ def corpus_filter(
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
     stopword_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
-    low = _tokens(F.lower(c))
-    counts = {}
-    for lg, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        counts[lg] = F.size(F.filter(low, lambda t: F.array_contains(arr, t)))
-    pred = (
-        F.when(
-            (counts["en"] >= counts["fr"]) & (counts["en"] >= counts["de"]), "en"
-        )
-        .when(counts["fr"] >= counts["de"], "fr")
-        .otherwise("de")
-    )
+    _, pred = _lang_columns(c)
     scored = df.select(
         F.col(key_col).alias("key"),
         keeper.alias("keeper"),
@@ -179,3 +177,93 @@ def corpus_filter(
         & F.col("n_tokens").between(min_tokens, max_tokens)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     ).drop("keeper")
+
+
+def token_ngram_strings(content: Column, n: int) -> Column:
+    """DISTINCT whitespace-token n-grams of one document as an array of
+    space-joined strings; a document shorter than n tokens contributes
+    its whole normalized text as the single gram (so short eval items
+    still decontaminate)."""
+    toks = _tokens(content)
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    key_col: str,
+    content_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Train/test decontamination by exact n-token-gram overlap (the
+    GPT-3/PaLM method): (key, n_matched_grams) for every training
+    document sharing at least one n-gram with ANY eval document.
+
+    Scale shape: the eval side (benchmark suites — tiny next to a
+    100 TB corpus) is distinct-ed and BROADCAST; the train side is a
+    scan-fused explode -> broadcast semi-join, so the corpus content is
+    never shuffled and only MATCHED (key, gram) rows — a vanishing
+    fraction — reach the per-document count aggregation.  The gram
+    match is exact string equality (no hash-collision false positives);
+    if the eval gram set ever outgrew broadcast range, the fallback is
+    the usual xxhash64-keyed shuffle semi-join + string verify used by
+    the other candidate paths (operators/verify.py:93).
+    """
+    grams = token_ngram_strings(F.col(content_col), n)
+    g_train = train.select(
+        F.col(key_col).alias("key"), F.explode(grams).alias("gram")
+    )
+    g_eval = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    matched = g_train.join(F.broadcast(g_eval), "gram", "left_semi")
+    return matched.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_grams")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    rates: dict[str, float],
+    seed: str = "s42",
+) -> DataFrame:
+    """Language-stratified deterministic sampling — the corpus-mixing
+    step of a training-data pipeline (downsample dominant languages,
+    upsample low-resource ones), reproducible across engines and runs.
+
+    A document is kept iff md5(seed || ':' || key) is lexicographically
+    below its language stratum's threshold.  Thresholds are the
+    2-hex-digit prefix floor(rate * 256), so the effective rate is
+    floor(rate*256)/256 and the comparison is a plain string compare on
+    the hex digest — bit-identical in any engine with md5 (the DuckDB
+    oracle runs the same predicate verbatim).  Languages absent from
+    ``rates`` are dropped (NULL threshold).  Pure Column expressions:
+    scan-fused, shuffle-free, trivially parallel at any scale.
+    """
+    c = F.col(content_col)
+    _, pred = _lang_columns(c)
+    digest = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    thresh = F.lit(None).cast("string")
+    for lang, rate in rates.items():
+        # rate >= 1.0 keeps everything: "g" sorts above every hex digit.
+        hx = "g" if rate >= 1.0 else format(int(rate * 256), "02x")
+        thresh = F.when(pred == lang, F.lit(hx)).otherwise(thresh)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            pred.alias("pred_lang"),
+            digest.alias("digest"),
+            thresh.alias("thresh"),
+        )
+        .filter(F.col("digest") < F.col("thresh"))
+        .drop("thresh")
+    )

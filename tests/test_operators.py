@@ -344,3 +344,79 @@ def test_corpus_filter_gates(spark):
     assert out[0].n_tokens == len(toks)
     assert out[0].stopword_ratio == round(n_stop / len(toks), 4)
     assert out[0].pred_lang == "en"
+
+
+def test_decontaminate_exact_overlap(spark):
+    """Matched-gram counts equal a direct Python replica: distinct
+    8-token grams per train doc intersected with the union of eval
+    grams; short eval docs contribute their whole text as one gram."""
+    from lazo_spark.operators.text import decontaminate
+
+    eval_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "tiny eval item"),  # < 8 tokens -> whole-text gram
+    ]
+    train_rows = [
+        # shares the 8-gram window starting at 'beta'
+        (1, "x beta gamma delta epsilon zeta eta theta iota y"),
+        # contains the tiny eval doc verbatim as a substring, but its
+        # grams are 8-token windows -> only matches if a whole-text
+        # eval gram equals one of them (it does not) -> clean
+        (2, "tiny eval item padded out to eight tokens total here ok"),
+        # exactly the tiny eval doc -> whole-text grams equal
+        (3, "tiny eval item"),
+        (4, "completely unrelated content with no shared windows at all"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    out = {
+        r.key: r.n_matched_grams
+        for r in decontaminate(train, ev, "doc_id", "text", n=8).collect()
+    }
+
+    def grams(t, n=8):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    egrams = set().union(*(grams(t) for _, t in eval_rows))
+    expect = {}
+    for k, t in train_rows:
+        m = len(grams(t) & egrams)
+        if m:
+            expect[k] = m
+    assert out == expect
+    assert set(out) == {1, 3}
+
+
+def test_deterministic_sample_strata(spark):
+    """Hash admission replicates in Python (hashlib md5 on the same
+    seed:key string); rate 1.0 keeps every row of its stratum; a
+    language absent from the rates dict is dropped."""
+    import hashlib
+
+    from lazo_spark.operators.text import deterministic_sample
+
+    rows = [(i, "the and is of plain english text here") for i in range(50)]
+    rows += [(100 + i, "le la et les bonjour texte") for i in range(10)]
+    rows += [(200 + i, "der die und das text") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = deterministic_sample(
+        df, "doc_id", "text", rates={"en": 0.25, "fr": 1.0}, seed="s42"
+    ).collect()
+    got = {r.key: (r.pred_lang, r.digest) for r in out}
+    # de absent from rates -> dropped entirely
+    assert not any(200 <= k < 300 for k in got)
+    # fr at rate 1.0 -> all kept
+    assert sorted(k for k in got if 100 <= k < 200) == [100 + i for i in range(10)]
+    # en: exact replica of the md5-prefix predicate
+    expect_en = {
+        i
+        for i in range(50)
+        if hashlib.md5(f"s42:{i}".encode()).hexdigest() < "40"
+    }
+    assert {k for k in got if k < 50} == expect_en
+    for k, (_, digest) in got.items():
+        assert digest == hashlib.md5(f"s42:{k}".encode()).hexdigest()
