@@ -195,6 +195,25 @@ def q_canonical_selection(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents concatenated in key order
+    with one EOS token each, chunked into 512-token context windows.
+    Two-phase scalable prefix sum: range partition on key, per-range
+    local window cumsum, broadcast per-partition offsets (the driver
+    handles P totals, never N rows)."""
+    from lazo_spark.operators.pack import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), "doc_id", "text", context_len=512)
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (duplicate-line
+    fractions + most frequent token bigram coverage) — the repetition
+    quality filters of a pre-training pipeline."""
+    return T.repetition_metrics(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
     docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
@@ -1050,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "canonical_selection": q_canonical_selection,
+        "pack_sequences": q_pack_sequences,
+        "repetition_metrics": q_repetition,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
@@ -1276,6 +1297,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens,
                    cluster_size
             FROM ranked WHERE rn = 1
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id AS key, len({_TOKS}) AS nt
+                       FROM documents),
+            s AS (SELECT key, CAST(nt AS BIGINT) AS n_tokens,
+                  CAST(coalesce(sum(nt + 1) OVER (ORDER BY key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
+                  FROM t)
+            SELECT key, n_tokens, start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS pack_first,
+                   CAST((start_tok + n_tokens) // 512 AS BIGINT)
+                     AS pack_last,
+                   CAST((start_tok + n_tokens) // 512
+                        - start_tok // 512 + 1 AS BIGINT) AS n_packs
+            FROM s
+        """,
+        "repetition_metrics": f"""
+            WITH base AS (SELECT doc_id AS key, text,
+                                 length(text) AS n_chars FROM documents),
+            l AS (SELECT key, unnest(string_split(text, chr(10))) AS line
+                  FROM base),
+            la AS (SELECT key, CAST(count(*) AS BIGINT) AS n_lines,
+                          count(DISTINCT line) AS n_dist,
+                          sum(length(line)) AS lc
+                   FROM l GROUP BY key),
+            ld AS (SELECT key, sum(length(line)) AS dlc
+                   FROM (SELECT DISTINCT key, line FROM l) GROUP BY key),
+            g AS (SELECT doc_id AS key, arr[i] || ' ' || arr[i+1] AS gram
+                  FROM (SELECT doc_id, {_TOKS} AS arr FROM documents),
+                       UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
+                  WHERE i <= len(arr) - 1),
+            gc AS (SELECT key, gram, count(*) AS cnt
+                   FROM g GROUP BY key, gram),
+            top AS (SELECT key, gram, cnt FROM (
+                      SELECT key, gram, cnt,
+                             row_number() OVER (PARTITION BY key
+                               ORDER BY cnt DESC, gram ASC) AS rn
+                      FROM gc) WHERE rn = 1)
+            SELECT b.key, la.n_lines,
+              round(CAST(la.n_lines - la.n_dist AS DOUBLE)
+                    / greatest(la.n_lines, 1), 4) AS dup_line_frac,
+              round(CAST(la.lc - ld.dlc AS DOUBLE)
+                    / greatest(la.lc, 1), 4) AS dup_line_char_frac,
+              coalesce(top.gram, '') AS top_bigram,
+              CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_bigram_count,
+              round(CAST(coalesce(top.cnt * length(top.gram), 0) AS DOUBLE)
+                    / greatest(b.n_chars, 1), 4) AS top_bigram_frac
+            FROM base b JOIN la USING (key) JOIN ld USING (key)
+                 LEFT JOIN top USING (key)
         """,
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js

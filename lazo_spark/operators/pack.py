@@ -1,0 +1,113 @@
+"""Sequence packing for LLM training-data pipelines.
+
+Not present in the reference (mitdbg/lazo stops at dedup); this is the
+standard "concatenate with EOS and chunk into fixed context windows"
+packing step (GPT-style) that follows dedup in a training pipeline:
+documents are laid out in deterministic key order into one global token
+stream, and each document reports the context windows it lands in.
+
+The only global dependency is a prefix sum over per-document token
+counts — computed scalably as the classic two-phase scan:
+
+1. ``repartitionByRange(key)`` gives each executor a contiguous key
+   range (the ONLY exchange in the plan); per-partition totals — P tiny
+   rows — come to the driver and their exclusive cumsum goes back to
+   the workers as a closure-captured dict (P entries, not N).
+2. Each partition sorts locally (``sortWithinPartitions`` — narrow, no
+   exchange) and a ``mapInPandas`` generator streams its batches in key
+   order, carrying the running offset across batches in NumPy int64 —
+   a vectorized Arrow kernel, no per-row Python, no window shuffle.
+
+The result is boundary-independent (the prefix sum is the same wherever
+the range partitioner splits), so the output is deterministic and
+oracle-comparable even though the physical split is not pinned.
+Integer division keeps window indices exact past the 2^53 double
+mantissa (a 10^12-file stream overflows a float path's precision long
+before it overflows int64).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from lazo_spark.operators.text import token_stats
+
+_OUT_SCHEMA = (
+    "key long, n_tokens long, start_tok long, "
+    "pack_first long, pack_last long, n_packs long"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    context_len: int = 512,
+    eos_tokens: int = 1,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """(key, n_tokens, start_tok, pack_first, pack_last, n_packs).
+
+    Documents are concatenated in ascending ``key`` order, each followed
+    by ``eos_tokens`` end-of-sequence markers, and the stream is chunked
+    into windows of ``context_len`` tokens.  ``start_tok`` is the
+    document's offset in the global stream; ``pack_first``/``pack_last``
+    are the first and last window indices the document (including its
+    EOS) occupies.
+    """
+    stats = token_stats(df, key_col, content_col).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    # Persist pins the (sampled) range boundaries so phase 2 reuses the
+    # exact partitioning phase 1's totals were computed from.  The
+    # collect below materializes it; phase 2 reads the cache.
+    ranged = (
+        stats.repartitionByRange(num_ranges, "key")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+
+    # Phase 1: P per-partition totals -> driver -> exclusive offsets.
+    eos = int(eos_tokens)
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col("n_tokens") + eos).alias("tot"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+
+    # Phase 2: streaming local prefix sum, batches arrive in key order.
+    ctx = int(context_len)
+
+    def scan(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            nt = pdf["n_tokens"].to_numpy(np.int64)
+            lens = nt + eos
+            cum = np.cumsum(lens)
+            start = run + cum - lens
+            run += int(cum[-1])
+            last = start + lens - 1
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"].to_numpy(np.int64),
+                    "n_tokens": nt,
+                    "start_tok": start,
+                    "pack_first": start // ctx,
+                    "pack_last": last // ctx,
+                    "n_packs": last // ctx - start // ctx + 1,
+                }
+            )
+
+    return ranged.sortWithinPartitions("key").mapInPandas(scan, _OUT_SCHEMA)

@@ -267,3 +267,93 @@ def deterministic_sample(
         .filter(F.col("digest") < F.col("thresh"))
         .drop("thresh")
     )
+
+
+def repetition_metrics(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 table A1): the
+    within-document repetition signals a training pipeline thresholds on.
+
+    (key, n_lines, dup_line_frac, dup_line_char_frac, top_bigram,
+    top_bigram_count, top_bigram_frac):
+
+    - ``dup_line_frac``       fraction of '\\n'-lines that are repeats of
+                              an earlier-seen line value,
+    - ``dup_line_char_frac``  fraction of line characters inside those
+                              repeats,
+    - ``top_bigram``          the document's most frequent whitespace
+                              token bigram (ties to the lexicographically
+                              smallest gram),
+    - ``top_bigram_frac``     characters covered by its occurrences over
+                              the document length.
+
+    Line metrics are pure array expressions (scan-fused, shuffle-free).
+    The per-doc bigram mode needs a real aggregation: occurrences explode
+    to (key, gram) rows, ONE hash aggregation counts them (map-side
+    partial combine), and a packed ``min(struct(-cnt, gram))`` argmax
+    collapses each document — both shuffles hash on the 8-byte doc key,
+    never on content.  Documents under two tokens carry no bigram signal
+    (count 0, frac 0.0) via the left join.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    dlines = F.array_distinct(lines)
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_lines = F.size(lines)
+    line_chars = chars_of(lines)
+    base = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.length(c).alias("n_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            (n_lines - F.size(dlines)) / F.greatest(n_lines, F.lit(1)), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            (line_chars - chars_of(dlines)) / F.greatest(line_chars, F.lit(1)), 4
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = _tokens(c)
+    grams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+    )
+    occ = df.select(
+        F.col(key_col).cast("long").alias("key"), F.explode(grams).alias("gram")
+    )
+    top = (
+        occ.groupBy("key", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("key")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))).alias("m"))
+        .select(
+            "key",
+            F.col("m.g").alias("top_bigram"),
+            (-F.col("m.nc")).cast("long").alias("top_bigram_count"),
+        )
+    )
+    return (
+        base.join(top, "key", "left")
+        .select(
+            "key",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias(
+                "top_bigram_count"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") * F.length("top_bigram"), F.lit(0)
+                )
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Hand-computed pins for the training-pipeline curation operators:
+sequence packing (concat-and-chunk) and Gopher-style repetition metrics.
+"""
+import pyspark.sql.functions as F
+
+from lazo_spark.operators.pack import pack_sequences
+from lazo_spark.operators.text import repetition_metrics
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    # token counts (+1 EOS each): 3+1, 5+1, 1+1, 12+1 -> stream len 25
+    rows = [
+        (10, "a b c"),
+        (11, "t t t t t"),
+        (12, "x"),
+        (13, " ".join(["w"] * 12)),
+    ]
+    out = {
+        r["key"]: r
+        for r in pack_sequences(
+            _df(spark, rows), "doc_id", "text", context_len=8, num_ranges=3
+        ).collect()
+    }
+    # doc 10: start 0, occupies tokens 0..3  -> packs 0..0
+    assert (out[10]["start_tok"], out[10]["pack_first"], out[10]["pack_last"]) == (
+        0, 0, 0,
+    )
+    # doc 11: start 4, tokens 4..9 -> spans packs 0..1
+    assert (out[11]["start_tok"], out[11]["pack_first"], out[11]["pack_last"]) == (
+        4, 0, 1,
+    )
+    assert out[11]["n_packs"] == 2
+    # doc 12: start 10, tokens 10..11 -> pack 1
+    assert (out[12]["start_tok"], out[12]["pack_first"], out[12]["pack_last"]) == (
+        10, 1, 1,
+    )
+    # doc 13: start 12, tokens 12..24 -> packs 1..3
+    assert (out[13]["start_tok"], out[13]["pack_first"], out[13]["pack_last"]) == (
+        12, 1, 3,
+    )
+    assert out[13]["n_packs"] == 3
+
+
+def test_pack_sequences_matches_single_partition_reference(spark):
+    # Two-phase scan == the naive global cumsum, whatever the range
+    # partitioner did (num_ranges > #docs exercises empty partitions).
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(40)]
+    got = {
+        r["key"]: (r["start_tok"], r["pack_first"], r["pack_last"])
+        for r in pack_sequences(
+            _df(spark, rows), "doc_id", "text", context_len=16, num_ranges=64
+        ).collect()
+    }
+    start = 0
+    for i in range(40):
+        nt = i % 7 + 1
+        assert got[i] == (start, start // 16, (start + nt) // 16)
+        start += nt + 1
+
+
+def test_repetition_metrics_lines_and_bigrams(spark):
+    rows = [
+        # 4 lines, 'dup' repeated once: dup_line_frac 1/4, chars 3/12
+        (1, "dup\nuniq\ndup\nxyz"),
+        # bigrams of (b c b c d d): top 'b c' x2; frac 2*3/11
+        (2, "b c b c d d"),
+        # all bigrams unique -> lexicographically smallest wins
+        (3, "x y x z"),
+        # single token: no bigram signal
+        (4, "solo"),
+    ]
+    out = {r["key"]: r for r in repetition_metrics(_df(spark, rows), "doc_id", "text").collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == 0.25
+    assert r1["dup_line_char_frac"] == round(3 / 13, 4)  # chars: 3+4+3+3=13
+    assert (r1["top_bigram"], r1["top_bigram_count"]) == ("dup uniq", 1)
+
+    r2 = out[2]
+    assert (r2["top_bigram"], r2["top_bigram_count"]) == ("b c", 2)
+    assert r2["top_bigram_frac"] == round(2 * 3 / 11, 4)
+    assert r2["dup_line_frac"] == 0.0
+
+    assert (out[3]["top_bigram"], out[3]["top_bigram_count"]) == ("x y", 1)
+    assert (out[4]["top_bigram"], out[4]["top_bigram_count"]) == ("", 0)
+    assert out[4]["top_bigram_frac"] == 0.0
