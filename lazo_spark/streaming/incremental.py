@@ -125,3 +125,64 @@ def streaming_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def streaming_dedup_indexed(
+    stream_df: DataFrame,
+    config: LazoConfig,
+    index_name: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    index_path: str | None = None,
+):
+    """Continuous-ingest dedup against the PERSISTED bucketed index
+    (`sources/index_store.py`) — the scale path of `streaming_dedup`.
+
+    Each micro-batch is sketched once, appended to the band-key-bucketed
+    index tables (LSM append: only the batch shuffles, into its
+    buckets), and queried as the delta side of the bucketed band join —
+    the index side streams co-partitioned from its bucket files with
+    ZERO index-side shuffle, instead of re-reading and re-shuffling the
+    whole accumulated sketch state per batch as the naive wrapper does.
+    New dup pairs append to `<state_dir>/pairs`.  The first batch
+    bootstraps the index tables.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..sources.index_store import (
+            _bands_table,
+            create_index,
+            delta_pairs_indexed,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        new_sk = sketch_stage(batch_df, config).persist()
+        try:
+            if not spark.catalog.tableExists(_bands_table(index_name)):
+                create_index(spark, new_sk, index_name, path=index_path)
+                # first batch: query it against itself (insert already
+                # happened via create; delta = the whole batch)
+                pairs = delta_pairs_indexed(
+                    spark, index_name, new_sk, config, insert=False,
+                    path=index_path,
+                )
+            else:
+                pairs = delta_pairs_indexed(
+                    spark, index_name, new_sk, config, insert=True,
+                    path=index_path,
+                )
+            pairs.write.mode("append").parquet(
+                os.path.join(state_dir, "pairs")
+            )
+        finally:
+            new_sk.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

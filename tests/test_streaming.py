@@ -290,3 +290,52 @@ def test_stateful_normal_mode_handoff():
     assert got == expect, f"stream {got} != batch {expect}"
     # sanity: the estimate is in the right ballpark of the true count
     assert abs(got - n_total) / n_total < 0.02
+
+
+def test_streaming_dedup_indexed(spark, tmp_path):
+    """Continuous ingest against the persisted bucketed index: first
+    batch bootstraps the tables, later batches LSM-append and emit only
+    new-key pairs — same pair sets as the naive wrapper."""
+    from lazo_spark.streaming.incremental import streaming_dedup_indexed
+
+    src_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    spark.sql("DROP TABLE IF EXISTS lazo_idx_t_stream_bands")
+    spark.sql("DROP TABLE IF EXISTS lazo_idx_t_stream_keys")
+
+    c1 = " ".join(str(i) for i in range(60))
+    cfg = LazoConfig(jcx_threshold=0.5)
+    batch1 = spark.createDataFrame(
+        [("a", c1), ("b", c1), ("z", "completely different words only")],
+        "key string, content string",
+    ).withColumn("sha", F.sha2("content", 256))
+    batch1.write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("key string, content string, sha string")
+        .parquet(src_dir)
+    )
+    q = streaming_dedup_indexed(
+        stream, cfg, "t_stream", state_dir, ckpt_dir,
+        index_path=str(tmp_path / "idx"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    pairs = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    assert {(r.key_x, r.key_y) for r in pairs.collect()} == {("a", "b")}
+
+    batch2 = spark.createDataFrame(
+        [("c", c1 + " 60")], "key string, content string"
+    ).withColumn("sha", F.sha2("content", 256))
+    batch2.write.mode("append").parquet(src_dir)
+    q2 = streaming_dedup_indexed(
+        stream, cfg, "t_stream", state_dir, ckpt_dir,
+        index_path=str(tmp_path / "idx"),
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+
+    pairs2 = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    got2 = {(r.key_x, r.key_y) for r in pairs2.collect()}
+    assert got2 == {("a", "b"), ("a", "c"), ("b", "c")}
