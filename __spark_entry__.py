@@ -214,6 +214,12 @@ def q_repetition(spark, sf_dir):
     return T.repetition_metrics(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style global line dedup: lines occurring more than once across
+    the corpus are dropped, documents reassembled from survivors."""
+    return T.line_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
     docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
@@ -1071,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": q_canonical_selection,
         "pack_sequences": q_pack_sequences,
         "repetition_metrics": q_repetition,
+        "line_dedup": q_line_dedup,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
@@ -1347,6 +1354,25 @@ def oracle_sql() -> dict[str, str]:
                     / greatest(b.n_chars, 1), 4) AS top_bigram_frac
             FROM base b JOIN la USING (key) JOIN ld USING (key)
                  LEFT JOIN top USING (key)
+        """,
+        "line_dedup": f"""
+            WITH l AS (
+              SELECT doc_id AS key, CAST(i AS BIGINT) AS idx, lines[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM documents),
+                   UNNEST(range(1, len(lines) + 1)) AS u(i)
+              WHERE i <= len(lines)),
+            uniq AS (SELECT line FROM l GROUP BY line HAVING count(*) = 1),
+            k AS (SELECT l.key, l.idx, l.line FROM l JOIN uniq USING (line)),
+            agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY idx) AS text
+                    FROM k GROUP BY key)
+            SELECT d.doc_id AS key,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   coalesce(agg.text, '') AS text
+            FROM documents d LEFT JOIN agg ON agg.key = d.doc_id
         """,
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js

@@ -357,3 +357,53 @@ def repetition_metrics(df: DataFrame, key_col: str, content_col: str) -> DataFra
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020 §2.2):
+    drop every '\\n'-line whose exact text occurs more than once across
+    the whole corpus, and reassemble each document from its surviving
+    lines in order.  (key, n_lines, n_kept, text).
+
+    Dataflow: lines posexplode with their doc's line count riding along;
+    occurrence counts come from ONE hash aggregation on the line value —
+    map-side partial combine collapses hot lines (license headers,
+    boilerplate) before they travel, so the count shuffle carries one
+    row per distinct line per task, not per occurrence.  Unique lines
+    join back (AQE broadcasts the count side when small) and each doc
+    reassembles with a packed sort_array(collect_list(struct(idx,line)))
+    aggregation hashed on the 8-byte doc key.  Documents whose every
+    line was boilerplate come back empty via the left join.
+    """
+    c = F.col(content_col)
+    base = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.split(c, "\n").alias("lines"),
+    ).select(
+        "key",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.posexplode("lines").alias("idx", "line"),
+    )
+    counts = base.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = base.join(counts.filter(F.col("cnt") == 1), "line")
+    rebuilt = kept.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.first("n_lines").alias("n_lines"),
+    )
+    keys = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.size(F.split(c, "\n")).cast("long").alias("n_lines"),
+    )
+    return keys.join(rebuilt.drop("n_lines"), "key", "left").select(
+        "key",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )

@@ -89,3 +89,29 @@ def test_repetition_metrics_lines_and_bigrams(spark):
     assert (out[3]["top_bigram"], out[3]["top_bigram_count"]) == ("x y", 1)
     assert (out[4]["top_bigram"], out[4]["top_bigram_count"]) == ("", 0)
     assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_line_dedup_global(spark):
+    from lazo_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "keep me\nBOILER\nunique one"),
+        (2, "BOILER\nother text"),
+        # within-doc repeat counts globally: 'twice' occurs 2x -> dropped
+        (3, "twice\ntwice\nsolo line"),
+        # every line boilerplate -> reassembles to empty
+        (4, "BOILER"),
+    ]
+    out = {
+        r["key"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["text"] == "keep me\nunique one"
+    assert out[2]["text"] == "other text"
+    assert out[3]["text"] == "solo line"
+    assert (out[4]["n_kept"], out[4]["text"]) == (0, "")
