@@ -31,6 +31,11 @@ from lazo_spark.operators.verify import (  # noqa: E402
 )
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+# DuckDB list literal of the shared stopword set, and the shared PII
+# (name, pattern, token) triples — the ORACLE must run the exact same
+# patterns the Spark operators run (common Java-regex/RE2 subset).
+_STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+_PII = T.PII_PATTERNS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +223,45 @@ def q_line_dedup(spark, sf_dir):
     """C4-style global line dedup: lines occurring more than once across
     the corpus are dropped, documents reassembled from survivors."""
     return T.line_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-style composite quality admission gate (token band,
+    mean-word-length band, symbol/alpha/stopword rules, repetition
+    ceilings) with per-rule inputs and the final keep verdict.
+    Thresholds tuned so the synthetic corpus splits (token band 30..90,
+    >=2 stopwords)."""
+    return T.gopher_filter(
+        _docs(spark, sf_dir), "doc_id", "text", min_tokens=30, max_tokens=90
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing over documents carrying deterministically
+    synthesized PII (email / IPv4 / phone derived from doc_id — the
+    corpus itself is PII-free, so the suffix makes the redaction
+    observable); counts per pattern + the redacted text."""
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@mail.example.com or 10."), (d % 256).cast("string"),
+            F.lit(".3."), (d % 100).cast("string"),
+            F.lit(" tel 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return T.pii_redact(docs, "doc_id", "text")
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table:
+    nearest-of-16-centroids clustering, then within-cluster pruning of
+    any vector with a lower-id cosine>=tau near-duplicate."""
+    from lazo_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=16, tau=0.3)
 
 
 def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
@@ -1078,6 +1122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition_metrics": q_repetition,
         "line_dedup": q_line_dedup,
+        "gopher_filter": q_gopher_filter,
+        "pii_redact": q_pii_redact,
+        "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
@@ -1373,6 +1420,88 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0) AS n_kept,
                    coalesce(agg.text, '') AS text
             FROM documents d LEFT JOIN agg ON agg.key = d.doc_id
+        """,
+        "gopher_filter": f"""
+            WITH base AS (SELECT doc_id AS key, text, length(text) AS n_chars,
+                                 {_TOKS} AS arr FROM documents),
+            t AS (SELECT key, n_chars, CAST(len(arr) AS BIGINT) AS n_tokens,
+                         greatest(len(arr), 1) AS nt,
+                         coalesce(list_sum(list_transform(arr, w -> length(w))), 0) AS wc,
+                         len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                         CAST(len(list_filter(arr,
+                           w -> list_contains({_STOPWORDS_SQL}, lower(w)))) AS BIGINT) AS n_stop,
+                         n_chars - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                           AS symbols
+                  FROM base),
+            l AS (SELECT key, unnest(string_split(text, chr(10))) AS line FROM base),
+            la AS (SELECT key, CAST(count(*) AS BIGINT) AS n_lines,
+                          count(DISTINCT line) AS n_dist FROM l GROUP BY key),
+            g AS (SELECT key, arr[i] || ' ' || arr[i+1] AS gram
+                  FROM base, UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
+                  WHERE i <= len(arr) - 1),
+            gc AS (SELECT key, gram, count(*) AS cnt FROM g GROUP BY key, gram),
+            top AS (SELECT key, gram, cnt FROM (
+                      SELECT key, gram, cnt, row_number() OVER (PARTITION BY key
+                        ORDER BY cnt DESC, gram ASC) AS rn FROM gc) WHERE rn = 1),
+            rep AS (SELECT b.key,
+                      round(CAST(la.n_lines - la.n_dist AS DOUBLE)
+                            / greatest(la.n_lines, 1), 4) AS dup_line_frac,
+                      round(CAST(coalesce(top.cnt * length(top.gram), 0) AS DOUBLE)
+                            / greatest(b.n_chars, 1), 4) AS top_bigram_frac
+                    FROM base b JOIN la USING (key) LEFT JOIN top USING (key)),
+            f AS (SELECT t.key, t.n_tokens,
+                         round(CAST(t.wc AS DOUBLE) / t.nt, 4) AS mean_word_len,
+                         round(CAST(t.symbols AS DOUBLE) / t.nt, 4) AS symbol_ratio,
+                         round(CAST(t.n_alpha AS DOUBLE) / t.nt, 4) AS alpha_word_frac,
+                         t.n_stop AS n_stopwords,
+                         rep.dup_line_frac, rep.top_bigram_frac
+                  FROM t JOIN rep USING (key))
+            SELECT key, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
+                   n_stopwords, dup_line_frac, top_bigram_frac,
+                   (n_tokens BETWEEN 30 AND 90
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.10
+                    AND alpha_word_frac >= 0.80
+                    AND n_stopwords >= 2
+                    AND dup_line_frac <= 0.30
+                    AND top_bigram_frac <= 0.18) AS keep
+            FROM f
+        """,
+        "pii_redact": f"""
+            WITH d AS (SELECT doc_id AS key,
+                         text || ' reach user' || doc_id || '@mail.example.com or 10.'
+                              || (doc_id % 256) || '.3.' || (doc_id % 100)
+                              || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS text
+                       FROM documents)
+            SELECT key,
+                   CAST(len(regexp_extract_all(text, '{_PII[0][1]}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PII[1][1]}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_PII[2][1]}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{_PII[0][1]}', '{_PII[0][2]}', 'g'),
+                     '{_PII[1][1]}', '{_PII[1][2]}', 'g'),
+                     '{_PII[2][1]}', '{_PII[2][2]}', 'g') AS redacted
+            FROM d
+        """,
+        "semdedup": """
+            WITH e AS (SELECT vec_id AS key, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                     FROM embeddings ORDER BY vec_id LIMIT 16),
+            cos AS (SELECT e.key, c.cid,
+                           round(list_cosine_similarity(e.v, c.cv), 9) AS cos
+                    FROM e CROSS JOIN cent c),
+            asg AS (SELECT key, cid AS cluster, cos AS cos_centroid FROM (
+                      SELECT key, cid, cos, row_number() OVER (PARTITION BY key
+                        ORDER BY cos DESC, cid ASC) AS rn FROM cos) WHERE rn = 1),
+            dom AS (SELECT DISTINCT b.key AS key
+                    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.key < b.key
+                         JOIN e ex ON ex.key = a.key JOIN e ey ON ey.key = b.key
+                    WHERE round(list_cosine_similarity(ex.v, ey.v), 9) >= 0.3)
+            SELECT a.key, a.cluster, round(a.cos_centroid, 6) AS cos_centroid,
+                   (d.key IS NULL) AS kept
+            FROM asg a LEFT JOIN dom d ON d.key = a.key
         """,
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js

@@ -491,3 +491,97 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest centroid, then inside each cluster drop
+    any vector that has a LOWER-id near-duplicate (cosine >= tau) — the
+    deterministic "keep the minimum-id representative" variant of the
+    paper's per-cluster pruning (single-pass domination by a lower id,
+    not the greedy sequential scan, so the output is order-free and
+    engine-reproducible).  Returns every vector:
+    (key, cluster, cos_centroid, kept).
+
+    Centroids are the k lowest-id vectors (deterministic stand-in for
+    the paper's k-means step — swap in `ivf_topk`'s trained centroids
+    when cluster quality matters more than reproducibility; the pruning
+    dataflow is identical).
+
+    Scale shape: the k centroids are collected once (k rows) and ride
+    the task closure, so assignment is a NARROW scan-fused argmax — no
+    shuffle, no join; at real scale k grows ~n/target_cluster_size and
+    becomes a broadcast join, same plan shape.  The only shuffle hashes
+    on the cluster id, and the within-cluster self-join is the
+    quadratic-bounded step the paper's clustering exists to bound
+    (cluster size ~ target constant); SHUFFLE_HASH keeps it sort-free.
+    Cosines are rounded to 9 dp BEFORE every comparison so the argmax
+    and the tau gate are stable across engines (float64 sums match
+    bit-for-bit; rounding guards the measure-zero boundary).
+    """
+    cent_rows = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("key"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+
+    # argmax over centroids via array_min on (-cos, cid) structs: max
+    # cosine first, ties to the lowest centroid id.
+    choices = []
+    for r in cent_rows:
+        cv = [float(x) for x in r["cv"]]
+        # left-to-right float64 accumulation, same order as _norm/_dot
+        cn = 0.0
+        for x in cv:
+            cn += x * x
+        cn = math.sqrt(cn)
+        cos = F.round(
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+            / (F.col("nrm") * F.lit(cn)),
+            9,
+        )
+        choices.append(F.struct((-cos).alias("nc"), F.lit(int(r["cid"])).alias("cid")))
+    best = F.array_min(F.array(*choices))
+    assigned = e.select(
+        "key", "v", "nrm",
+        best["cid"].alias("cluster"),
+        (-best["nc"]).alias("cos_centroid"),
+    )
+
+    a = assigned.select("cluster", F.col("key").alias("id_x"),
+                        F.col("v").alias("vx"), F.col("nrm").alias("nx"))
+    b = assigned.select("cluster", F.col("key").alias("id_y"),
+                        F.col("v").alias("vy"), F.col("nrm").alias("ny"))
+    dominated = (
+        a.join(b.hint("SHUFFLE_HASH"), "cluster")
+        .filter(F.col("id_x") < F.col("id_y"))
+        .filter(
+            F.round(
+                _dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny")), 9
+            ) >= tau
+        )
+        .select(F.col("id_y").alias("key"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dominated.withColumn("dom", F.lit(True)), "key", "left"
+        )
+        .select(
+            "key",
+            "cluster",
+            F.round("cos_centroid", 6).alias("cos_centroid"),
+            F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -359,6 +359,77 @@ def repetition_metrics(df: DataFrame, key_col: str, content_col: str) -> DataFra
     )
 
 
+def gopher_filter(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopwords: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style quality admission gate (Rae et al. 2021, Table A1):
+    token-count band, mean-word-length band, symbol-to-word ceiling,
+    alphabetic-word floor, stopword floor, duplicate-line-fraction
+    ceiling, top-bigram-coverage ceiling.  Returns every document with
+    its rule inputs and the final ``keep`` verdict — the standard
+    pre-training corpus filter chain, composable with `corpus_filter`'s
+    dedup/language gate.
+
+    Scale shape: every token-level feature is a Column expression fused
+    into the scan (one pass over content, no UDF); the repetition
+    features come from :func:`repetition_metrics` (explode -> ONE hash
+    aggregation with map-side combine — linear in corpus size, unlike a
+    per-doc quadratic array-mode scan) and join back on the 8-byte doc
+    key.  Content crosses no shuffle; only (key, two doubles) does.
+    """
+    c = F.col(content_col)
+    toks = _tokens(c)
+    n_tokens = F.size(toks)
+    nt = F.greatest(n_tokens, F.lit(1))
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_chars = F.length(c)
+    symbols = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    stats = df.select(
+        F.col(key_col).alias("key"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(word_chars / nt, 4).alias("mean_word_len"),
+        F.round(symbols / nt, 4).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nt, 4
+        ).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    rep = repetition_metrics(df, key_col, content_col).select(
+        "key", "dup_line_frac", "top_bigram_frac"
+    )
+    out = stats.join(rep, "key")
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return out.select(
+        "key", "n_tokens", "mean_word_len", "symbol_ratio", "alpha_word_frac",
+        "n_stopwords", "dup_line_frac", "top_bigram_frac",
+        keep.alias("keep"),
+    )
+
+
 def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     """C4-style global line deduplication (Raffel et al. 2020 §2.2):
     drop every '\\n'-line whose exact text occurs more than once across
@@ -406,4 +477,43 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+
+
+# PII patterns, written in the common Java-regex / RE2 subset (no
+# lookaround, no backreferences) so Spark and the DuckDB oracle agree
+# byte-for-byte: (name, pattern, replacement token).  Order matters —
+# emails are scrubbed before IPs so an address is never half-redacted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before content leaves the trust boundary: emails, IPv4 addresses
+    and phone-shaped numbers are replaced by typed tokens, with
+    per-pattern match counts (counted on the ORIGINAL text, so counts
+    are independent of replacement order).
+    (key, n_emails, n_ipv4, n_phones, redacted).
+
+    Scale shape: pure Column expressions (JVM regex inside whole-stage
+    codegen), scan-fused, shuffle-free — the same shape as the other
+    text operators; at 100 TB this runs at scan speed with zero
+    exchange.
+    """
+    c = F.col(content_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}s" if name != "ipv4" else "n_ipv4")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(
+        F.col(key_col).alias("key"), *counts, red.alias("redacted")
     )

@@ -1,0 +1,83 @@
+"""Gopher composite gate, PII redaction, SemDeDup pruning."""
+import pyspark.sql.functions as F
+
+from lazo_spark.operators.text import gopher_filter, pii_redact
+
+
+def _rows(df):
+    return {r["key"]: r for r in df.collect()}
+
+
+def test_gopher_filter_rules(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the " \
+           "river bank where it was seen by a large bird " * 2
+    rows = [
+        (1, good),                         # passes every rule
+        (2, "word " * 40),                 # repeated bigram -> top_bigram_frac high
+        (3, "tiny doc of the it"),         # too few tokens
+        (4, ("zz " * 60).strip()),         # no stopwords
+        (5, good + ("\nsame line" * 6)),   # duplicate lines
+    ]
+    out = _rows(
+        gopher_filter(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+            min_tokens=10, max_tokens=100, max_dup_line_frac=0.3,
+            max_top_bigram_frac=0.18, min_stopwords=2,
+        )
+    )
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["top_bigram_frac"] > 0.18
+    assert not out[3]["keep"] and out[3]["n_tokens"] < 10
+    assert not out[4]["keep"] and out[4]["n_stopwords"] == 0
+    assert not out[5]["keep"] and out[5]["dup_line_frac"] > 0.3
+    # rule inputs present and sane
+    assert 3.0 <= out[1]["mean_word_len"] <= 10.0
+    assert out[1]["alpha_word_frac"] == 1.0
+
+
+def test_pii_redact_patterns(spark):
+    rows = [
+        (1, "mail a.b-c_1%x@sub.example.org now"),
+        (2, "from 192.168.0.1 to 10.0.0.255, ok"),
+        (3, "call 555-0199 or 555-0100"),
+        (4, "clean text with no pii at all"),
+        (5, "x@y.io and 8.8.8.8 and 123-4567"),
+    ]
+    out = _rows(
+        pii_redact(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        )
+    )
+    assert out[1]["n_emails"] == 1 and out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted"] == "from <IP> to <IP>, ok"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted"] == rows[3][1]
+    assert out[5]["redacted"] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_semdedup_clusters_and_pruning(spark):
+    from lazo_spark.operators.similarity import semdedup
+
+    # two orthogonal directions; ids 0,1 are the centroids (k=2).
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    mix = [0.8, 0.6, 0.0, 0.0]   # closer to a (cos .8 vs .6)
+    rows = [(0, a), (1, b), (2, a), (3, mix), (4, b), (5, [0.0, 0.9, 0.1, 0.0])]
+    out = _rows(
+        semdedup(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            k=2, tau=0.95,
+        )
+    )
+    assert {k: r["cluster"] for k, r in out.items()} == {
+        0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 1,
+    }
+    # 2 duplicates 0 (cos 1.0) -> dropped; 3 only cos .8 to 0 -> kept.
+    # 4 duplicates 1 -> dropped; 5 cos(b)= .9/sqrt(.82) ~ .9939 >= .95 -> dropped.
+    assert {k: r["kept"] for k, r in out.items()} == {
+        0: True, 1: True, 2: False, 3: True, 4: False, 5: False,
+    }
+    assert out[0]["cos_centroid"] == 1.0
