@@ -70,6 +70,20 @@ HEADLINE = [
     "token_stats",         # text-analysis family
 ]
 
+# LLM-training-pipeline operators timed as their own section (1 pass,
+# excluded from `value` so headline semantics stay comparable across
+# rounds).  corpus_filter/decontaminate/sampling are near-duplicates of
+# token_stats' scan shape; the five below each exercise a distinct plan
+# (global line count-agg, repetition join, regex scrub, embedding
+# cluster self-join, two-phase packing scan).
+PIPELINE_OPS = [
+    "line_dedup",
+    "gopher_filter",
+    "pii_redact",
+    "semdedup",
+    "pack_sequences",
+]
+
 # `value` semantics are pinned (round-1/2 convention): sum of FIRST-pASS
 # per-query sweep times, flagship excluded.  Best-of-2 lives under
 # value_best_of / queries (round-3 added the second warm pass).
@@ -147,6 +161,8 @@ def _compact(out: dict) -> dict:
             for k in ("files", "pairs", "verified_pairs", "clusters",
                       "seconds", "files_per_sec")
         }
+    if out.get("pipeline_ops"):
+        c["pipeline_ops_total"] = round(sum(out["pipeline_ops"].values()), 3)
     if out.get("query_errors"):
         c["query_errors"] = {k: v[:40] for k, v in out["query_errors"].items()}
     c["full_summary"] = "BENCH_SUMMARY.json"
@@ -640,6 +656,28 @@ def main() -> None:
     t0 = time.time()
     timings = run_queries(spark, sf_dir, out)
     out["sweep_wall_seconds"] = round(time.time() - t0, 3)
+    # 1b. training-pipeline operator sweep (single pass, same warm
+    # session): the LLM-data ops outside the pinned headline set.
+    # Kept OUT of `value`/`value_best_of` so their semantics stay
+    # stable across rounds; budget-guarded so they can never starve
+    # the flagship/scaling sections.
+    try:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        pipe: dict[str, float] = {}
+        for name in PIPELINE_OPS:
+            if _left() < 120:
+                break
+            tq = time.time()
+            n = qs[name](spark, sf_dir).count()
+            pipe[name] = round(time.time() - tq, 3)
+            print(f"# {name}: {n} rows in {pipe[name]}s", file=sys.stderr,
+                  flush=True)
+        out["pipeline_ops"] = pipe
+        _partial["pipeline_ops"] = pipe
+    except Exception as e:
+        out["pipeline_ops_error"] = str(e)[:200]
     try:
         spark.stop()
     except Exception:
