@@ -255,6 +255,22 @@ def q_pii_redact(spark, sf_dir):
     return T.pii_redact(docs, "doc_id", "text")
 
 
+def q_text_normalize(spark, sf_dir):
+    """Normalization pass over documents carrying deterministically
+    synthesized dirt (control chars, runs of spaces/tabs, ragged ends —
+    the corpus itself is clean, so the injection makes the transform
+    observable): control-strip + whitespace squeeze + trim + lowercase."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("  \t"),
+            F.regexp_replace(F.col("text"), " table ", "  table  "),
+            F.lit("\u0001 Trailing \u0007 "),
+        ).alias("text"),
+    )
+    return T.text_normalize(docs, "doc_id", "text", lowercase=True)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table:
     nearest-of-16-centroids clustering, then within-cluster pruning of
@@ -1124,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "gopher_filter": q_gopher_filter,
         "pii_redact": q_pii_redact,
+        "text_normalize": q_text_normalize,
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
@@ -1483,6 +1500,22 @@ def oracle_sql() -> dict[str, str]:
                      '{_PII[1][1]}', '{_PII[1][2]}', 'g'),
                      '{_PII[2][1]}', '{_PII[2][2]}', 'g') AS redacted
             FROM d
+        """,
+        "text_normalize": f"""
+            WITH d AS (SELECT doc_id AS key,
+                         '  ' || chr(9)
+                              || regexp_replace(text, ' table ', '  table  ', 'g')
+                              || chr(1) || ' Trailing ' || chr(7) || ' ' AS text
+                       FROM documents),
+            n AS (SELECT key, text,
+                    lower(trim(regexp_replace(regexp_replace(text,
+                      '{T._CONTROL_CLASS}', '', 'g'), '[ \\t]+', ' ', 'g')))
+                      AS normalized
+                  FROM d)
+            SELECT key, CAST(length(text) AS BIGINT) AS n_chars_before,
+                   CAST(length(normalized) AS BIGINT) AS n_chars_after,
+                   normalized
+            FROM n
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id AS key, embedding::DOUBLE[] AS v

@@ -437,13 +437,18 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     lines in order.  (key, n_lines, n_kept, text).
 
     Dataflow: lines posexplode with their doc's line count riding along;
-    occurrence counts come from ONE hash aggregation on the line value —
-    map-side partial combine collapses hot lines (license headers,
-    boilerplate) before they travel, so the count shuffle carries one
-    row per distinct line per task, not per occurrence.  Unique lines
-    join back (AQE broadcasts the count side when small) and each doc
-    reassembles with a packed sort_array(collect_list(struct(idx,line)))
-    aggregation hashed on the 8-byte doc key.  Documents whose every
+    occurrence counts come from ONE hash aggregation keyed on the
+    8-byte xxhash64 of the line (line STRINGS never enter the count
+    shuffle — same narrow-key rule as every other candidate path;
+    a 64-bit collision can only over-count an occurrence, i.e. drop a
+    unique line, ~n²/2⁶⁵ lines corpus-wide) — map-side partial combine
+    collapses hot lines (license headers, boilerplate) before they
+    travel, so the count side carries one 16-byte row per distinct line
+    per task, not per occurrence.  Unique-line hashes join back (AQE
+    broadcasts the count side when small) and each doc reassembles with
+    a packed sort_array(collect_list(struct(idx,line))) aggregation
+    hashed on the 8-byte doc key — the only shuffle that carries
+    content, and the output IS that content.  Documents whose every
     line was boilerplate come back empty via the left join.
     """
     c = F.col(content_col)
@@ -454,9 +459,9 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         "key",
         F.size("lines").cast("long").alias("n_lines"),
         F.posexplode("lines").alias("idx", "line"),
-    )
-    counts = base.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
-    kept = base.join(counts.filter(F.col("cnt") == 1), "line")
+    ).withColumn("lh", F.xxhash64("line"))
+    counts = base.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = base.join(counts.filter(F.col("cnt") == 1), "lh")
     rebuilt = kept.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.array_join(
@@ -516,4 +521,37 @@ def pii_redact(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         red = F.regexp_replace(red, pat, tok)
     return df.select(
         F.col(key_col).alias("key"), *counts, red.alias("redacted")
+    )
+
+
+# Control characters to scrub (C0 minus \t \n, plus DEL), written in
+# the common Java-regex / RE2 subset.
+_CONTROL_CLASS = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def text_normalize(
+    df: DataFrame, key_col: str, content_col: str, *, lowercase: bool = False
+) -> DataFrame:
+    """Text normalization — the cleanup pass a training-data pipeline
+    runs before anything hashes content: strip control characters
+    (C0 except tab/newline, plus DEL), collapse horizontal-whitespace
+    runs to one space, trim the ends, optionally lowercase.
+    (key, n_chars_before, n_chars_after, normalized).
+
+    Scale shape: pure Column expressions (JVM regex inside whole-stage
+    codegen), scan-fused, shuffle-free.
+    """
+    c = F.col(content_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(c, _CONTROL_CLASS, ""), r"[ \t]+", " "
+        )
+    )
+    if lowercase:
+        norm = F.lower(norm)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.length(c).cast("long").alias("n_chars_before"),
+        F.length(norm).cast("long").alias("n_chars_after"),
+        norm.alias("normalized"),
     )

@@ -81,3 +81,31 @@ def test_semdedup_clusters_and_pruning(spark):
         0: True, 1: True, 2: False, 3: True, 4: False, 5: False,
     }
     assert out[0]["cos_centroid"] == 1.0
+
+
+def test_text_normalize(spark):
+    from lazo_spark.operators.text import text_normalize
+
+    rows = [
+        (1, "  Hello\x07 \t  World\x00\x1f!  "),
+        (2, "already clean"),
+        (3, "tabs\tto\tspaces"),
+    ]
+    out = _rows(
+        text_normalize(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        )
+    )
+    assert out[1]["normalized"] == "Hello World!"
+    assert out[1]["n_chars_before"] == len(rows[0][1])
+    assert out[1]["n_chars_after"] == len("Hello World!")
+    assert out[2]["normalized"] == "already clean"
+    assert out[3]["normalized"] == "tabs to spaces"
+    low = _rows(
+        text_normalize(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", lowercase=True,
+        )
+    )
+    assert low[1]["normalized"] == "hello world!"
