@@ -576,7 +576,8 @@ def semdedup(
     )
     return (
         assigned.join(
-            dominated.withColumn("dom", F.lit(True)), "key", "left"
+            dominated.withColumn("dom", F.lit(True)).hint("SHUFFLE_HASH"),
+            "key", "left",
         )
         .select(
             "key",

@@ -413,7 +413,9 @@ def gopher_filter(
     rep = repetition_metrics(df, key_col, content_col).select(
         "key", "dup_line_frac", "top_bigram_frac"
     )
-    out = stats.join(rep, "key")
+    # hash-build on the narrow repetition side; per-partition sorts of
+    # the full corpus relation are pure overhead on an 8-byte key join
+    out = stats.join(rep.hint("SHUFFLE_HASH"), "key")
     keep = (
         F.col("n_tokens").between(min_tokens, max_tokens)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)

@@ -212,3 +212,55 @@ def test_band_join_condition_stays_cheap(spark, docs):
     assert any(
         "element_at" in ln and len(ln) > 400 for ln in join_lines
     ), join_lines
+
+
+def test_scan_fused_text_ops_have_no_exchange(docs):
+    """pii_redact / text_normalize are pure Column transforms: any
+    Exchange in their plans means a regression broke scan fusion."""
+    from lazo_spark.operators.text import pii_redact, text_normalize
+
+    for op in (pii_redact, text_normalize):
+        plan = _plan(op(docs, "doc_id", "text"))
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_line_dedup_count_shuffle_keys_on_hash(docs):
+    """The global line-count aggregation must key on the 8-byte
+    xxhash64, never the line string: the count-side shuffle rows stay
+    16 bytes however long the lines are."""
+    from lazo_spark.operators.text import line_dedup
+
+    plan = _plan(line_dedup(docs, "doc_id", "text"))
+    assert "hashpartitioning(lh#" in plan
+    assert "hashpartitioning(line#" not in plan
+
+
+def test_semdedup_joins_are_hash_not_sort(spark, docs):
+    """Assignment is narrow (no exchange before the self-join input);
+    the within-cluster self-join and the verdict join-back build hash
+    tables instead of sorting the corpus relation."""
+    from lazo_spark.operators.similarity import semdedup
+
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[(F.col("doc_id") % (i + 2)).cast("float") for i in range(8)])
+        .alias("embedding"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(semdedup(emb, k=4, tau=0.9))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_gopher_filter_join_back_is_hash_not_sort(spark, docs):
+    from lazo_spark.operators.text import gopher_filter
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(gopher_filter(docs, "doc_id", "text"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" not in plan
