@@ -169,18 +169,12 @@ def q_corpus_sample(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
-def q_canonical_selection(spark, sf_dir):
-    """Best-of-cluster canonical selection: near-dup clusters (exact
-    bigram containment at 0.8 -> connected components, singletons kept)
-    each keep the member with the most tokens, ties to the lowest id —
-    the 'keep best, not first' dedup policy of a training pipeline."""
-    docs = _docs_capped(spark, sf_dir)
-    edges = _bigram_pairs(spark, sf_dir, jcx_t=0.8).select("key_x", "key_y")
+def _canonical_pick(stats: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared canonical-selection tail: label (key, n_tokens) rows with
+    connected components of ``edges`` (singletons keep their own key),
+    then per cluster keep the member with the most tokens, ties to the
+    lowest id — one groupBy with a packed max(struct) argmax."""
     comp = connected_components(edges)
-    stats = T.token_stats(docs, "doc_id", "text").select(
-        F.col("key").cast("long").alias("key"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-    )
     labeled = stats.join(
         comp.select(F.col("key").cast("long").alias("key"), "cluster"),
         "key",
@@ -198,6 +192,59 @@ def q_canonical_selection(spark, sf_dir):
         F.col("m.nt").cast("long").alias("keeper_tokens"),
         "cluster_size",
     )
+
+
+def q_canonical_selection(spark, sf_dir):
+    """Best-of-cluster canonical selection: near-dup clusters (exact
+    bigram containment at 0.8 -> connected components, singletons kept)
+    each keep the member with the most tokens, ties to the lowest id —
+    the 'keep best, not first' dedup policy of a training pipeline."""
+    docs = _docs_capped(spark, sf_dir)
+    edges = _bigram_pairs(spark, sf_dir, jcx_t=0.8).select("key_x", "key_y")
+    stats = T.token_stats(docs, "doc_id", "text").select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return _canonical_pick(stats, edges)
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed training-corpus pipeline, end to end in ONE plan:
+    Gopher quality gate -> exact dedup keep-first (sha256) -> exact
+    bigram-containment near-dup edges (0.8, either direction) ->
+    connected components -> best-of-cluster canonical selection.
+    Returns one row per surviving cluster.  Every stage is the already
+    -oracled operator; this query pins their COMPOSITION (the admission
+    set feeding the dedup feeding the clustering), which is where real
+    pipelines break."""
+    from pyspark.sql import Window as W
+
+    docs = _docs_capped(spark, sf_dir)
+    g = T.gopher_filter(docs, "doc_id", "text", min_tokens=30, max_tokens=90)
+    adm = docs.join(
+        g.filter("keep")
+        .select(F.col("key").alias("doc_id"), "n_tokens")
+        .hint("SHUFFLE_HASH"),
+        "doc_id",
+    )
+    keeper = F.min("doc_id").over(W.partitionBy(F.sha2(F.col("text"), 256)))
+    surv = (
+        adm.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    edges = exact_pairs(
+        surv.select("doc_id", F.col("text").alias("content")),
+        "doc_id", "content", "token_ngram:2", None, 0.8,
+    ).select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+    )
+    stats = surv.select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return _canonical_pick(stats, edges)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1135,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "canonical_selection": q_canonical_selection,
+        "corpus_pipeline": q_corpus_pipeline,
         "pack_sequences": q_pack_sequences,
         "repetition_metrics": q_repetition,
         "line_dedup": q_line_dedup,
@@ -1220,6 +1268,54 @@ def _bigram_pair_scores_sql(src: str = "documents") -> str:
 
 
 _BIGRAM_PAIR_SCORES = _bigram_pair_scores_sql("documents")
+
+
+_GOPHER_SQL = f"""
+            WITH base AS (SELECT doc_id AS key, text, length(text) AS n_chars,
+                                 {_TOKS} AS arr FROM documents),
+            t AS (SELECT key, n_chars, CAST(len(arr) AS BIGINT) AS n_tokens,
+                         greatest(len(arr), 1) AS nt,
+                         coalesce(list_sum(list_transform(arr, w -> length(w))), 0) AS wc,
+                         len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                         CAST(len(list_filter(arr,
+                           w -> list_contains({_STOPWORDS_SQL}, lower(w)))) AS BIGINT) AS n_stop,
+                         n_chars - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                           AS symbols
+                  FROM base),
+            l AS (SELECT key, unnest(string_split(text, chr(10))) AS line FROM base),
+            la AS (SELECT key, CAST(count(*) AS BIGINT) AS n_lines,
+                          count(DISTINCT line) AS n_dist FROM l GROUP BY key),
+            g AS (SELECT key, arr[i] || ' ' || arr[i+1] AS gram
+                  FROM base, UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
+                  WHERE i <= len(arr) - 1),
+            gc AS (SELECT key, gram, count(*) AS cnt FROM g GROUP BY key, gram),
+            top AS (SELECT key, gram, cnt FROM (
+                      SELECT key, gram, cnt, row_number() OVER (PARTITION BY key
+                        ORDER BY cnt DESC, gram ASC) AS rn FROM gc) WHERE rn = 1),
+            rep AS (SELECT b.key,
+                      round(CAST(la.n_lines - la.n_dist AS DOUBLE)
+                            / greatest(la.n_lines, 1), 4) AS dup_line_frac,
+                      round(CAST(coalesce(top.cnt * length(top.gram), 0) AS DOUBLE)
+                            / greatest(b.n_chars, 1), 4) AS top_bigram_frac
+                    FROM base b JOIN la USING (key) LEFT JOIN top USING (key)),
+            f AS (SELECT t.key, t.n_tokens,
+                         round(CAST(t.wc AS DOUBLE) / t.nt, 4) AS mean_word_len,
+                         round(CAST(t.symbols AS DOUBLE) / t.nt, 4) AS symbol_ratio,
+                         round(CAST(t.n_alpha AS DOUBLE) / t.nt, 4) AS alpha_word_frac,
+                         t.n_stop AS n_stopwords,
+                         rep.dup_line_frac, rep.top_bigram_frac
+                  FROM t JOIN rep USING (key))
+            SELECT key, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
+                   n_stopwords, dup_line_frac, top_bigram_frac,
+                   (n_tokens BETWEEN 30 AND 90
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.10
+                    AND alpha_word_frac >= 0.80
+                    AND n_stopwords >= 2
+                    AND dup_line_frac <= 0.30
+                    AND top_bigram_frac <= 0.18) AS keep
+            FROM f
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1438,51 +1534,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.text, '') AS text
             FROM documents d LEFT JOIN agg ON agg.key = d.doc_id
         """,
-        "gopher_filter": f"""
-            WITH base AS (SELECT doc_id AS key, text, length(text) AS n_chars,
-                                 {_TOKS} AS arr FROM documents),
-            t AS (SELECT key, n_chars, CAST(len(arr) AS BIGINT) AS n_tokens,
-                         greatest(len(arr), 1) AS nt,
-                         coalesce(list_sum(list_transform(arr, w -> length(w))), 0) AS wc,
-                         len(list_filter(arr, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
-                         CAST(len(list_filter(arr,
-                           w -> list_contains({_STOPWORDS_SQL}, lower(w)))) AS BIGINT) AS n_stop,
-                         n_chars - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                           AS symbols
-                  FROM base),
-            l AS (SELECT key, unnest(string_split(text, chr(10))) AS line FROM base),
-            la AS (SELECT key, CAST(count(*) AS BIGINT) AS n_lines,
-                          count(DISTINCT line) AS n_dist FROM l GROUP BY key),
-            g AS (SELECT key, arr[i] || ' ' || arr[i+1] AS gram
-                  FROM base, UNNEST(range(1, greatest(len(arr), 2))) AS u(i)
-                  WHERE i <= len(arr) - 1),
-            gc AS (SELECT key, gram, count(*) AS cnt FROM g GROUP BY key, gram),
-            top AS (SELECT key, gram, cnt FROM (
-                      SELECT key, gram, cnt, row_number() OVER (PARTITION BY key
-                        ORDER BY cnt DESC, gram ASC) AS rn FROM gc) WHERE rn = 1),
-            rep AS (SELECT b.key,
-                      round(CAST(la.n_lines - la.n_dist AS DOUBLE)
-                            / greatest(la.n_lines, 1), 4) AS dup_line_frac,
-                      round(CAST(coalesce(top.cnt * length(top.gram), 0) AS DOUBLE)
-                            / greatest(b.n_chars, 1), 4) AS top_bigram_frac
-                    FROM base b JOIN la USING (key) LEFT JOIN top USING (key)),
-            f AS (SELECT t.key, t.n_tokens,
-                         round(CAST(t.wc AS DOUBLE) / t.nt, 4) AS mean_word_len,
-                         round(CAST(t.symbols AS DOUBLE) / t.nt, 4) AS symbol_ratio,
-                         round(CAST(t.n_alpha AS DOUBLE) / t.nt, 4) AS alpha_word_frac,
-                         t.n_stop AS n_stopwords,
-                         rep.dup_line_frac, rep.top_bigram_frac
-                  FROM t JOIN rep USING (key))
-            SELECT key, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
-                   n_stopwords, dup_line_frac, top_bigram_frac,
-                   (n_tokens BETWEEN 30 AND 90
-                    AND mean_word_len BETWEEN 3.0 AND 10.0
-                    AND symbol_ratio <= 0.10
-                    AND alpha_word_frac >= 0.80
-                    AND n_stopwords >= 2
-                    AND dup_line_frac <= 0.30
-                    AND top_bigram_frac <= 0.18) AS keep
-            FROM f
+        "gopher_filter": _GOPHER_SQL,
+        "corpus_pipeline": f"""
+            WITH RECURSIVE
+            g AS ({_GOPHER_SQL}),
+            adm AS (SELECT d.doc_id, d.text, g.n_tokens
+                    FROM documents d JOIN g ON g.key = d.doc_id AND g.keep),
+            surv AS (SELECT doc_id, text, n_tokens FROM (
+                       SELECT adm.*, row_number() OVER (PARTITION BY text
+                         ORDER BY doc_id) AS rn FROM adm) WHERE rn = 1),
+            pairs AS (SELECT x, y FROM ({_bigram_pair_scores_sql("surv")})
+                      WHERE jcx >= 0.8 OR jcy >= 0.8),
+            edges AS (SELECT x AS a, y AS b FROM pairs
+                      UNION SELECT y AS a, x AS b FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT a AS node, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a
+            ),
+            labeled AS (
+              SELECT s.doc_id, s.n_tokens,
+                     COALESCE(l.cluster, s.doc_id) AS cluster
+              FROM surv s LEFT JOIN labels l ON s.doc_id = l.node),
+            ranked AS (
+              SELECT cluster, doc_id, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+              FROM labeled)
+            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+                   cluster_size
+            FROM ranked WHERE rn = 1
         """,
         "pii_redact": f"""
             WITH d AS (SELECT doc_id AS key,
