@@ -638,6 +638,59 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline_lsh(spark, sf_dir):
+    """`corpus_pipeline` with the PRODUCTION candidate stage kept
+    in-plan: Gopher gate -> sha256 keep-first -> Lazo sketch + banded
+    LSH candidates at the widened 0.5 floor -> exact bigram-hash
+    verification at jcx >= 0.8 -> connected components -> canonical
+    pick.  Shares `corpus_pipeline`'s DuckDB oracle verbatim: verified
+    pairs = (exact pairs at 0.8) INTERSECT candidates, so a green
+    hash-match proves the LSH stage lost nothing through the whole
+    composed pipeline (same widened-floor argument as
+    dedup_clusters_lsh; candidate recall pinned independently by
+    tests/test_reference_recall.py)."""
+    from pyspark.sql import Window as W
+
+    from lazo_spark.operators.verify import verify_candidates
+
+    docs = _docs_capped(spark, sf_dir)
+    g = T.gopher_filter(docs, "doc_id", "text", min_tokens=30, max_tokens=90)
+    adm = docs.join(
+        g.filter("keep")
+        .select(F.col("key").alias("doc_id"), "n_tokens")
+        .hint("SHUFFLE_HASH"),
+        "doc_id",
+    )
+    keeper = F.min("doc_id").over(W.partitionBy("sha"))
+    surv = (
+        adm.withColumn("sha", F.sha2(F.col("text"), 256))
+        .withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    # sketch_stage's Arrow schema wants string keys and the sha column
+    # (see q_dedup_clusters_lsh); cast back to long before CC.
+    reps_s = surv.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("content"),
+        "sha",
+    )
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    cands = lazo_pairs(sketch_stage(reps_s, cfg).persist(), cfg)
+    verified = verify_candidates(
+        cands, reps_s, "key", "content", "token_ngram:2", jcx_threshold=0.8
+    )
+    edges = verified.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+    )
+    stats = surv.select(
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return _canonical_pick(stats, edges)
+
+
 def q_lazo_pairs(spark, sf_dir):
     cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
     sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg).persist()
@@ -1183,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "canonical_selection": q_canonical_selection,
         "corpus_pipeline": q_corpus_pipeline,
+        "corpus_pipeline_lsh": q_corpus_pipeline_lsh,
         "pack_sequences": q_pack_sequences,
         "repetition_metrics": q_repetition,
         "line_dedup": q_line_dedup,
@@ -1315,6 +1369,43 @@ _GOPHER_SQL = f"""
                     AND dup_line_frac <= 0.30
                     AND top_bigram_frac <= 0.18) AS keep
             FROM f
+        """
+
+
+_CORPUS_PIPELINE_SQL = f"""
+            WITH RECURSIVE
+            g AS ({_GOPHER_SQL}),
+            adm AS (SELECT d.doc_id, d.text, g.n_tokens
+                    FROM documents d JOIN g ON g.key = d.doc_id AND g.keep),
+            surv AS (SELECT doc_id, text, n_tokens FROM (
+                       SELECT adm.*, row_number() OVER (PARTITION BY text
+                         ORDER BY doc_id) AS rn FROM adm) WHERE rn = 1),
+            pairs AS (SELECT x, y FROM ({_bigram_pair_scores_sql("surv")})
+                      WHERE jcx >= 0.8 OR jcy >= 0.8),
+            edges AS (SELECT x AS a, y AS b FROM pairs
+                      UNION SELECT y AS a, x AS b FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT a AS node, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a
+            ),
+            labeled AS (
+              SELECT s.doc_id, s.n_tokens,
+                     COALESCE(l.cluster, s.doc_id) AS cluster
+              FROM surv s LEFT JOIN labels l ON s.doc_id = l.node),
+            ranked AS (
+              SELECT cluster, doc_id, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+              FROM labeled)
+            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+                   cluster_size
+            FROM ranked WHERE rn = 1
         """
 
 
@@ -1535,41 +1626,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg ON agg.key = d.doc_id
         """,
         "gopher_filter": _GOPHER_SQL,
-        "corpus_pipeline": f"""
-            WITH RECURSIVE
-            g AS ({_GOPHER_SQL}),
-            adm AS (SELECT d.doc_id, d.text, g.n_tokens
-                    FROM documents d JOIN g ON g.key = d.doc_id AND g.keep),
-            surv AS (SELECT doc_id, text, n_tokens FROM (
-                       SELECT adm.*, row_number() OVER (PARTITION BY text
-                         ORDER BY doc_id) AS rn FROM adm) WHERE rn = 1),
-            pairs AS (SELECT x, y FROM ({_bigram_pair_scores_sql("surv")})
-                      WHERE jcx >= 0.8 OR jcy >= 0.8),
-            edges AS (SELECT x AS a, y AS b FROM pairs
-                      UNION SELECT y AS a, x AS b FROM pairs),
-            reach(a, b) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-            ),
-            labels AS (
-              SELECT a AS node, least(a, MIN(b)) AS cluster
-              FROM reach GROUP BY a
-            ),
-            labeled AS (
-              SELECT s.doc_id, s.n_tokens,
-                     COALESCE(l.cluster, s.doc_id) AS cluster
-              FROM surv s LEFT JOIN labels l ON s.doc_id = l.node),
-            ranked AS (
-              SELECT cluster, doc_id, n_tokens,
-                     ROW_NUMBER() OVER (PARTITION BY cluster
-                        ORDER BY n_tokens DESC, doc_id ASC) AS rn,
-                     COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
-              FROM labeled)
-            SELECT cluster, doc_id AS keeper_id, n_tokens AS keeper_tokens,
-                   cluster_size
-            FROM ranked WHERE rn = 1
-        """,
+        "corpus_pipeline": _CORPUS_PIPELINE_SQL,
+        "corpus_pipeline_lsh": _CORPUS_PIPELINE_SQL,
         "pii_redact": f"""
             WITH d AS (SELECT doc_id AS key,
                          text || ' reach user' || doc_id || '@mail.example.com or 10.'
