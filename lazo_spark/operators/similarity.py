@@ -499,6 +499,8 @@ def semdedup(
     tau: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assign: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, then inside each cluster drop
@@ -509,55 +511,99 @@ def semdedup(
     engine-reproducible).  Returns every vector:
     (key, cluster, cos_centroid, kept).
 
-    Centroids are the k lowest-id vectors (deterministic stand-in for
-    the paper's k-means step — swap in `ivf_topk`'s trained centroids
-    when cluster quality matters more than reproducibility; the pruning
-    dataflow is identical).
+    Centroids default to the k lowest-id vectors (deterministic
+    stand-in for the paper's k-means step); pass ``centroids`` — a
+    (cid, cv) DataFrame, e.g. `ivf_topk`'s trained centroids — when
+    cluster quality matters more than reproducibility; the pruning
+    dataflow is identical.
 
-    Scale shape: the k centroids are collected once (k rows) and ride
-    the task closure, so assignment is a NARROW scan-fused argmax — no
-    shuffle, no join; at real scale k grows ~n/target_cluster_size and
-    becomes a broadcast join, same plan shape.  The only shuffle hashes
-    on the cluster id, and the within-cluster self-join is the
-    quadratic-bounded step the paper's clustering exists to bound
-    (cluster size ~ target constant); SHUFFLE_HASH keeps it sort-free.
+    Scale shape, two assignment modes with bit-identical output
+    (test-pinned): ``assign='literal'`` collects the k centroids into
+    the task closure — a NARROW scan-fused argmax, zero shuffle, right
+    while k is small; ``assign='broadcast'`` is the large-k path
+    (k ~ n/target_cluster_size blows up a literal expression tree) —
+    broadcast centroid relation, ONE partial-aggregated min(struct)
+    argmax hashed on the 8-byte key, hash join-back.  Either way the
+    only content-carrying shuffle hashes on the cluster id, and the
+    within-cluster self-join is the quadratic-bounded step the paper's
+    clustering exists to bound (cluster size ~ target constant);
+    SHUFFLE_HASH keeps it sort-free.
     Cosines are rounded to 9 dp BEFORE every comparison so the argmax
     and the tau gate are stable across engines (float64 sums match
     bit-for-bit; rounding guards the measure-zero boundary).
     """
-    cent_rows = (
-        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(k)
-        .collect()
-    )
+    cent_df = centroids
+    if cent_df is None:
+        cent_df = (
+            embeddings.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .orderBy("cid")
+            .limit(k)
+        )
     e = embeddings.select(
         F.col(id_col).cast("long").alias("key"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
 
-    # argmax over centroids via array_min on (-cos, cid) structs: max
-    # cosine first, ties to the lowest centroid id.
-    choices = []
-    for r in cent_rows:
-        cv = [float(x) for x in r["cv"]]
-        # left-to-right float64 accumulation, same order as _norm/_dot
-        cn = 0.0
-        for x in cv:
-            cn += x * x
-        cn = math.sqrt(cn)
-        cos = F.round(
-            _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-            / (F.col("nrm") * F.lit(cn)),
-            9,
+    if assign == "literal":
+        # argmax over centroids via array_min on (-cos, cid) structs:
+        # max cosine first, ties to the lowest centroid id.
+        choices = []
+        for r in cent_df.collect():
+            cv = [float(x) for x in r["cv"]]
+            # left-to-right float64 accumulation, same order as _norm/_dot
+            cn = 0.0
+            for x in cv:
+                cn += x * x
+            cn = math.sqrt(cn)
+            cos = F.round(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                / (F.col("nrm") * F.lit(cn)),
+                9,
+            )
+            choices.append(
+                F.struct((-cos).alias("nc"), F.lit(int(r["cid"])).alias("cid"))
+            )
+        best = F.array_min(F.array(*choices))
+        assigned = e.select(
+            "key", "v", "nrm",
+            best["cid"].alias("cluster"),
+            (-best["nc"]).alias("cos_centroid"),
         )
-        choices.append(F.struct((-cos).alias("nc"), F.lit(int(r["cid"])).alias("cid")))
-    best = F.array_min(F.array(*choices))
-    assigned = e.select(
-        "key", "v", "nrm",
-        best["cid"].alias("cluster"),
-        (-best["nc"]).alias("cos_centroid"),
-    )
+    else:
+        # broadcast-join assignment (the large-k scale path): every
+        # vector scores against the broadcast centroid relation, ONE
+        # partial-aggregated min(struct) argmax on the 8-byte key, then
+        # a hash join-back for (v, nrm).  Same (-round(cos,9), cid)
+        # ordering as the literal path, so assignments are identical.
+        cent = cent_df.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cv").cast("array<double>").alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv")))
+        best = (
+            e.crossJoin(F.broadcast(cent))
+            .select(
+                "key",
+                F.struct(
+                    (
+                        -F.round(
+                            _dot(F.col("v"), F.col("cv"))
+                            / (F.col("nrm") * F.col("cn")),
+                            9,
+                        )
+                    ).alias("nc"),
+                    F.col("cid").alias("cid"),
+                ).alias("ch"),
+            )
+            .groupBy("key")
+            .agg(F.min("ch").alias("m"))
+        )
+        assigned = e.join(best.hint("SHUFFLE_HASH"), "key").select(
+            "key", "v", "nrm",
+            F.col("m.cid").alias("cluster"),
+            (-F.col("m.nc")).alias("cos_centroid"),
+        )
 
     a = assigned.select("cluster", F.col("key").alias("id_x"),
                         F.col("v").alias("vx"), F.col("nrm").alias("nx"))

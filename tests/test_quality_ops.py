@@ -109,3 +109,52 @@ def test_text_normalize(spark):
         )
     )
     assert low[1]["normalized"] == "hello world!"
+
+
+def test_semdedup_broadcast_assign_matches_literal(spark):
+    from lazo_spark.operators.similarity import semdedup
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = sorted(map(tuple, semdedup(df, k=5, tau=0.8).collect()))
+    bc = sorted(map(tuple, semdedup(df, k=5, tau=0.8, assign="broadcast").collect()))
+    assert lit == bc
+
+
+def test_semdedup_trained_centroids_path(spark):
+    """External (cid, cv) centroid relation drives the same pruning
+    dataflow — the ivf-kmeans composition seam."""
+    from lazo_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])], "cid long, cv array<float>"
+    )
+    out = {r["key"]: r for r in semdedup(
+        emb, tau=0.95, centroids=cent, assign="broadcast").collect()}
+    assert out[0]["cluster"] == 100 and out[2]["cluster"] == 200
+    # cos(0,1) = .9/sqrt(.82) ~ .9939 >= .95 -> 1 dominated by 0
+    assert (out[0]["kept"], out[1]["kept"], out[2]["kept"]) == (True, False, True)
+
+
+def test_line_dedup_hot_line_skew(spark):
+    """A boilerplate line repeated across every doc must collapse
+    map-side (partial agg on the xxhash64 key) and never survive."""
+    from lazo_spark.operators.text import line_dedup
+
+    rows = [(i, f"unique line {i}\nBOILERPLATE") for i in range(5000)]
+    out = line_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    agg = out.selectExpr(
+        "sum(cast(n_kept as long)) as kept",
+        "sum(cast(text like '%BOILERPLATE%' as long)) as boiler",
+    ).collect()[0]
+    assert agg["kept"] == 5000 and agg["boiler"] == 0
