@@ -473,13 +473,12 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
             ),
             "\n",
         ).alias("text"),
-        F.first("n_lines").alias("n_lines"),
     )
     keys = df.select(
         F.col(key_col).cast("long").alias("key"),
         F.size(F.split(c, "\n")).cast("long").alias("n_lines"),
     )
-    return keys.join(rebuilt.drop("n_lines"), "key", "left").select(
+    return keys.join(rebuilt, "key", "left").select(
         "key",
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
