@@ -303,7 +303,7 @@ def repetition_metrics(df: DataFrame, key_col: str, content_col: str) -> DataFra
     n_lines = F.size(lines)
     line_chars = chars_of(lines)
     base = df.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.length(c).alias("n_chars"),
         n_lines.cast("long").alias("n_lines"),
         F.round(
@@ -324,7 +324,7 @@ def repetition_metrics(df: DataFrame, key_col: str, content_col: str) -> DataFra
         )
     )
     occ = df.select(
-        F.col(key_col).cast("long").alias("key"), F.explode(grams).alias("gram")
+        F.col(key_col).alias("key"), F.explode(grams).alias("gram")
     )
     top = (
         occ.groupBy("key", "gram")
@@ -455,7 +455,7 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     """
     c = F.col(content_col)
     base = df.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.split(c, "\n").alias("lines"),
     ).select(
         "key",
@@ -475,7 +475,7 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         ).alias("text"),
     )
     keys = df.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.size(F.split(c, "\n")).cast("long").alias("n_lines"),
     )
     return keys.join(rebuilt, "key", "left").select(

@@ -186,3 +186,87 @@ def streaming_dedup_indexed(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def streaming_corpus_ingest(
+    stream_df: DataFrame,
+    config: LazoConfig,
+    index_name: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    index_path: str | None = None,
+    gate_kwargs: dict | None = None,
+):
+    """The full continuous corpus-ingest loop — what a training-data
+    pipeline runs against a firehose: per micro-batch
+    normalize (control strip / whitespace squeeze) -> Gopher quality
+    gate -> admitted documents appended to ``<state_dir>/admitted`` ->
+    sketched ONCE -> LSM-appended into the persisted bucketed index ->
+    delta-queried for new near-dup pairs (``<state_dir>/pairs``).
+
+    Composition of `text_normalize` + `gopher_filter` +
+    `streaming_dedup_indexed`'s index loop: the gate runs scan-fused on
+    the batch (its only shuffle is the repetition join on the 8-byte
+    key), rejected docs never reach the sketch kernel, and the index
+    side of the dedup join streams co-partitioned from its bucket files
+    with zero index-side shuffle.  Expects (key string, content string)
+    on the stream.
+    """
+    gkw = gate_kwargs or {}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.text import gopher_filter, text_normalize
+        from ..sources.index_store import (
+            _bands_table,
+            create_index,
+            delta_pairs_indexed,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        norm = text_normalize(batch_df, "key", "content").select(
+            "key", F.col("normalized").alias("content")
+        )
+        keepers = (
+            gopher_filter(norm, "key", "content", **gkw)
+            .filter("keep")
+            .select("key")
+        )
+        adm = (
+            norm.join(keepers.hint("SHUFFLE_HASH"), "key")
+            .withColumn("sha", F.sha2(F.col("content"), 256))
+            .persist()
+        )
+        try:
+            adm.write.mode("append").parquet(os.path.join(state_dir, "admitted"))
+            if adm.isEmpty():
+                return
+            new_sk = sketch_stage(adm, config).persist()
+            try:
+                if not spark.catalog.tableExists(_bands_table(index_name)):
+                    create_index(spark, new_sk, index_name, path=index_path)
+                    pairs = delta_pairs_indexed(
+                        spark, index_name, new_sk, config, insert=False,
+                        path=index_path,
+                    )
+                else:
+                    pairs = delta_pairs_indexed(
+                        spark, index_name, new_sk, config, insert=True,
+                        path=index_path,
+                    )
+                pairs.write.mode("append").parquet(
+                    os.path.join(state_dir, "pairs")
+                )
+            finally:
+                new_sk.unpersist()
+        finally:
+            adm.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

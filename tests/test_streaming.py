@@ -339,3 +339,59 @@ def test_streaming_dedup_indexed(spark, tmp_path):
     pairs2 = spark.read.parquet(os.path.join(state_dir, "pairs"))
     got2 = {(r.key_x, r.key_y) for r in pairs2.collect()}
     assert got2 == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_streaming_corpus_ingest_gate_and_dedup(spark, tmp_path):
+    """Full ingest loop: normalization + Gopher gate reject junk before
+    the sketch kernel; admitted docs dedup against the persisted index
+    across batches."""
+    from lazo_spark.streaming.incremental import streaming_corpus_ingest
+
+    src_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    spark.sql("DROP TABLE IF EXISTS lazo_idx_t_ingest_bands")
+    spark.sql("DROP TABLE IF EXISTS lazo_idx_t_ingest_keys")
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river bank where it was seen by a large bird near the old mill"
+    )
+    cfg = LazoConfig(jcx_threshold=0.5)
+    gkw = dict(min_tokens=10, min_stopwords=1)
+    batch1 = spark.createDataFrame(
+        [("a", good), ("b", "  " + good + "\t "),   # near-dup after normalize
+         ("junk", "zz")],                             # fails token floor
+        "key string, content string",
+    )
+    batch1.write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("key string, content string").parquet(src_dir)
+    )
+
+    def run():
+        q = streaming_corpus_ingest(
+            stream, cfg, "t_ingest", state_dir, ckpt_dir,
+            index_path=str(tmp_path / "idx"), gate_kwargs=gkw,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    run()
+    adm = spark.read.parquet(os.path.join(state_dir, "admitted"))
+    assert {r.key for r in adm.select("key").collect()} == {"a", "b"}
+    # normalization made a and b byte-identical -> exact dup pair
+    pairs = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    assert {(r.key_x, r.key_y) for r in pairs.collect()} == {("a", "b")}
+
+    batch2 = spark.createDataFrame(
+        [("c", good + " again"), ("junk2", "1 2 3")],
+        "key string, content string",
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    run()
+    adm2 = spark.read.parquet(os.path.join(state_dir, "admitted"))
+    assert {r.key for r in adm2.select("key").collect()} == {"a", "b", "c"}
+    pairs2 = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    got = {(r.key_x, r.key_y) for r in pairs2.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
