@@ -557,10 +557,17 @@ def semdedup(
             for x in cv:
                 cn += x * x
             cn = math.sqrt(cn)
-            cos = F.round(
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
-                / (F.col("nrm") * F.lit(cn)),
-                9,
+            # coalesce degenerate cosines (zero-norm side -> null) to
+            # -2.0 so they always LOSE the argmax — a null struct field
+            # otherwise sorts first and a single zero-norm centroid
+            # would capture every vector.
+            cos = F.coalesce(
+                F.round(
+                    _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("nrm") * F.lit(cn)),
+                    9,
+                ),
+                F.lit(-2.0),
             )
             choices.append(
                 F.struct((-cos).alias("nc"), F.lit(int(r["cid"])).alias("cid"))
@@ -587,10 +594,13 @@ def semdedup(
                 "key",
                 F.struct(
                     (
-                        -F.round(
-                            _dot(F.col("v"), F.col("cv"))
-                            / (F.col("nrm") * F.col("cn")),
-                            9,
+                        -F.coalesce(
+                            F.round(
+                                _dot(F.col("v"), F.col("cv"))
+                                / (F.col("nrm") * F.col("cn")),
+                                9,
+                            ),
+                            F.lit(-2.0),
                         )
                     ).alias("nc"),
                     F.col("cid").alias("cid"),

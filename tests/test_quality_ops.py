@@ -158,3 +158,24 @@ def test_line_dedup_hot_line_skew(spark):
         "sum(cast(text like '%BOILERPLATE%' as long)) as boiler",
     ).collect()[0]
     assert agg["kept"] == 5000 and agg["boiler"] == 0
+
+
+def test_semdedup_zero_norm_vectors_cannot_capture(spark):
+    """A zero-norm centroid's cosine is null; the argmax must let it
+    LOSE (sentinel -2), not capture every vector via null-first struct
+    ordering.  Zero-norm data vectors land in the lowest-id centroid
+    with the sentinel score and are never dominated (null pair cosine
+    fails the tau gate)."""
+    from lazo_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for mode in ("literal", "broadcast"):
+        out = {r["key"]: r for r in semdedup(
+            emb, k=2, tau=0.9, assign=mode).collect()}
+        assert out[0]["cluster"] == 0 and out[0]["cos_centroid"] == 1.0
+        assert out[2]["cluster"] == 0 and not out[2]["kept"]  # dup of 0
+        assert out[1]["cluster"] == 0 and out[1]["cos_centroid"] == -2.0
+        assert out[1]["kept"]
