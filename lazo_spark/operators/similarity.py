@@ -570,7 +570,8 @@ def semdedup(
                 F.lit(-2.0),
             )
             choices.append(
-                F.struct((-cos).alias("nc"), F.lit(int(r["cid"])).alias("cid"))
+                F.struct((-cos).alias("nc"),
+                         F.lit(int(r["cid"])).cast("long").alias("cid"))
             )
         best = F.array_min(F.array(*choices))
         assigned = e.select(

@@ -438,8 +438,8 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     the whole corpus, and reassemble each document from its surviving
     lines in order.  (key, n_lines, n_kept, text).
 
-    Dataflow: lines posexplode with their doc's line count riding along;
-    occurrence counts come from ONE hash aggregation keyed on the
+    Dataflow: lines posexplode; occurrence counts come from ONE hash
+    aggregation keyed on the
     8-byte xxhash64 of the line (line STRINGS never enter the count
     shuffle — same narrow-key rule as every other candidate path;
     a 64-bit collision can only over-count an occurrence, i.e. drop a
@@ -459,7 +459,6 @@ def line_dedup(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         F.split(c, "\n").alias("lines"),
     ).select(
         "key",
-        F.size("lines").cast("long").alias("n_lines"),
         F.posexplode("lines").alias("idx", "line"),
     ).withColumn("lh", F.xxhash64("line"))
     counts = base.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))

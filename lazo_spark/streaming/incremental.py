@@ -127,6 +127,28 @@ def streaming_dedup(
     )
 
 
+def _index_batch(spark, new_sk: DataFrame, config: LazoConfig,
+                 index_name: str, index_path: str | None) -> DataFrame:
+    """Shared micro-batch index step: bootstrap the persisted bucketed
+    index on first touch (create_index already inserts, so the delta
+    query runs with insert=False — the batch queries itself), otherwise
+    LSM-append then delta-query.  Returns the new dup pairs."""
+    from ..sources.index_store import (
+        _bands_table,
+        create_index,
+        delta_pairs_indexed,
+    )
+
+    if not spark.catalog.tableExists(_bands_table(index_name)):
+        create_index(spark, new_sk, index_name, path=index_path)
+        return delta_pairs_indexed(
+            spark, index_name, new_sk, config, insert=False, path=index_path
+        )
+    return delta_pairs_indexed(
+        spark, index_name, new_sk, config, insert=True, path=index_path
+    )
+
+
 def streaming_dedup_indexed(
     stream_df: DataFrame,
     config: LazoConfig,
@@ -151,32 +173,20 @@ def streaming_dedup_indexed(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
-        from ..sources.index_store import (
-            _bands_table,
-            create_index,
-            delta_pairs_indexed,
-        )
-
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         new_sk = sketch_stage(batch_df, config).persist()
         try:
-            if not spark.catalog.tableExists(_bands_table(index_name)):
-                create_index(spark, new_sk, index_name, path=index_path)
-                # first batch: query it against itself (insert already
-                # happened via create; delta = the whole batch)
-                pairs = delta_pairs_indexed(
-                    spark, index_name, new_sk, config, insert=False,
-                    path=index_path,
-                )
-            else:
-                pairs = delta_pairs_indexed(
-                    spark, index_name, new_sk, config, insert=True,
-                    path=index_path,
-                )
-            pairs.write.mode("append").parquet(
-                os.path.join(state_dir, "pairs")
+            pairs = _index_batch(spark, new_sk, config, index_name, index_path)
+            # overwrite a per-batch partition, not append: foreachBatch
+            # is at-least-once, and a replayed batch must land on the
+            # same path instead of duplicating rows.  (The index insert
+            # itself stays at-least-once: a replay re-appends the same
+            # band rows, which only re-emits the same candidate pairs —
+            # into this same overwritten partition.)
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "pairs", f"batch={batch_id}")
             )
         finally:
             new_sk.unpersist()
@@ -218,17 +228,18 @@ def streaming_corpus_ingest(
         import os
 
         from ..operators.text import gopher_filter, text_normalize
-        from ..sources.index_store import (
-            _bands_table,
-            create_index,
-            delta_pairs_indexed,
-        )
 
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        norm = text_normalize(batch_df, "key", "content").select(
-            "key", F.col("normalized").alias("content")
+        # persisted: the gate reads this relation from three subplans
+        # (token stats, repetition base, repetition bigrams) plus the
+        # admission join — without the persist the normalize regex
+        # chain and the source re-evaluate ~4x per batch.
+        norm = (
+            text_normalize(batch_df, "key", "content")
+            .select("key", F.col("normalized").alias("content"))
+            .persist()
         )
         keepers = (
             gopher_filter(norm, "key", "content", **gkw)
@@ -241,29 +252,27 @@ def streaming_corpus_ingest(
             .persist()
         )
         try:
-            adm.write.mode("append").parquet(os.path.join(state_dir, "admitted"))
+            # per-batch overwrite partitions: foreachBatch is
+            # at-least-once, and a replayed batch must land on the same
+            # paths instead of duplicating the admitted corpus / pairs.
+            adm.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "admitted", f"batch={batch_id}")
+            )
             if adm.isEmpty():
                 return
             new_sk = sketch_stage(adm, config).persist()
             try:
-                if not spark.catalog.tableExists(_bands_table(index_name)):
-                    create_index(spark, new_sk, index_name, path=index_path)
-                    pairs = delta_pairs_indexed(
-                        spark, index_name, new_sk, config, insert=False,
-                        path=index_path,
-                    )
-                else:
-                    pairs = delta_pairs_indexed(
-                        spark, index_name, new_sk, config, insert=True,
-                        path=index_path,
-                    )
-                pairs.write.mode("append").parquet(
-                    os.path.join(state_dir, "pairs")
+                pairs = _index_batch(
+                    spark, new_sk, config, index_name, index_path
+                )
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(state_dir, "pairs", f"batch={batch_id}")
                 )
             finally:
                 new_sk.unpersist()
         finally:
             adm.unpersist()
+            norm.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
