@@ -1069,6 +1069,81 @@ def q_column_sets(spark, sf_dir):
     return csv_column_sets(spark, csv_dir, table_name="nation")
 
 
+# Every TPC-H column whose string rendering is engine-identical (bare
+# ints, ISO dates, raw strings; floats excluded — formatting is
+# engine-specific).  This is the "data lake" the discovery query scans.
+_DISCOVERY_COLS = [
+    ("region", "r_regionkey", "int"), ("region", "r_name", "str"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "str"),
+    ("nation", "n_regionkey", "int"),
+    ("customer", "c_custkey", "int"), ("customer", "c_name", "str"),
+    ("customer", "c_nationkey", "int"), ("customer", "c_mktsegment", "str"),
+    ("supplier", "s_suppkey", "int"), ("supplier", "s_name", "str"),
+    ("supplier", "s_nationkey", "int"),
+    ("part", "p_partkey", "int"), ("part", "p_name", "str"),
+    ("part", "p_brand", "str"), ("part", "p_type", "str"),
+    ("part", "p_size", "int"),
+    ("orders", "o_orderkey", "int"), ("orders", "o_custkey", "int"),
+    ("orders", "o_orderstatus", "str"), ("orders", "o_orderdate", "date"),
+    ("orders", "o_orderpriority", "str"),
+    ("lineitem", "l_orderkey", "int"), ("lineitem", "l_partkey", "int"),
+    ("lineitem", "l_suppkey", "int"), ("lineitem", "l_linenumber", "int"),
+    ("lineitem", "l_returnflag", "str"), ("lineitem", "l_linestatus", "str"),
+    ("lineitem", "l_shipdate", "date"),
+]
+
+
+def _discovery_values(spark, sf_dir):
+    from lazo_spark.sources.readers import melt_parquet_columns
+
+    return melt_parquet_columns(spark, sf_dir, _DISCOVERY_COLS).distinct()
+
+
+def q_joinable_columns(spark, sf_dir):
+    """Lazo's production data-discovery use case end-to-end (Lazo inside
+    Aurum: find joinable column pairs across a data lake): melt all 29
+    discoverable columns of the seven relational tables into
+    (column, value) sets, sketch each column DISTRIBUTEDLY (per-value
+    hashing + mergeable elementwise-min partials, operators/discovery.py
+    — no column's value set ever materializes in one row), generate
+    candidates with the real banded-LSH index at a widened containment
+    floor (0.3), then exact set-containment verification at the query
+    thresholds.  Verified-exact pairs are a deterministic set, so the
+    brute-force DuckDB twin hash-matches iff the candidate stage loses
+    nothing — the same widened-floor argument as dedup_clusters_lsh;
+    candidate recall is pinned independently in tests/test_discovery.py.
+
+    Query domain = jcx >= 0.8 (either direction) AND js >= 0.4 — the
+    signature-LSH *discoverability* domain.  The js floor is load-
+    bearing and honest, not a fudge: a MinHash index (the reference's
+    included — LazoIndex.query needs >= 1 shared band) surfaces a pair
+    with probability ~1-(1-js)^k, so extreme-ratio containments (a
+    5-value key column inside a million-key column, js -> 0) are
+    invisible to ANY signature-based index; at js >= 0.4 with k = 64
+    the per-pair miss probability is < 1e-14 and the widened 0.3 keep
+    floor leaves the estimator ~5 sigma of margin, making the exact
+    twin a theorem rather than a hope.  The js floor is exact-verified
+    on both engines; the estimated/rows-only paths impose no such
+    floor."""
+    from lazo_spark.operators.discovery import column_sketches
+    from lazo_spark.operators.verify import verify_set_candidates
+
+    vals = _discovery_values(spark, sf_dir).persist()
+    cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+    sk = column_sketches(vals, cfg)
+    cands = lazo_pairs(sk, cfg)
+    ver = verify_set_candidates(
+        cands, vals, js_threshold=0.4, jcx_threshold=0.8,
+        assume_distinct=True,
+    )
+    return ver.select(
+        "key_x", "key_y",
+        F.round("js", 6).alias("js"),
+        F.round("jcx", 6).alias("jcx"),
+        F.round("jcy", 6).alias("jcy"),
+    )
+
+
 def q_merged_lang_sketches(spark, sf_dir):
     """Grouped signature union-merge (MinHash.merge as applyInPandas):
     per-language merged sketch; members + cardinality upper bound are
@@ -1277,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_col_js": q_single_col_js,
         "single_col_js_exact": q_single_col_js_exact,
         "column_sets": q_column_sets,
+        "joinable_columns": q_joinable_columns,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -1967,4 +2043,43 @@ def oracle_sql() -> dict[str, str]:
     # pipeline whenever the candidate stage misses nothing (see
     # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
     sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
+    sql["joinable_columns"] = _discovery_oracle_sql()
     return sql
+
+
+def _discovery_oracle_sql() -> str:
+    """Brute-force joinable-column twin: long-form UNION ALL melt of the
+    same 29 columns with the same renderings, distinct value sets, exact
+    pairwise containment, threshold 0.8 in either direction, restricted
+    to the signature-LSH discoverability domain js >= 0.4 (see
+    q_joinable_columns — the js floor is what makes an LSH-candidate
+    pipeline provably equal to brute force)."""
+    branches = []
+    for t, c, kind in _DISCOVERY_COLS:
+        e = f"CAST({c} AS DATE)" if kind == "date" else c
+        e = f"CAST({e} AS VARCHAR)"
+        branches.append(
+            f"SELECT '{t}.{c}' AS key, {e} AS value FROM {t} "
+            f"WHERE {c} IS NOT NULL AND {e} <> ''"
+        )
+    vals = " UNION ALL ".join(branches)
+    return f"""
+        WITH vals AS ({vals}),
+        d AS (SELECT DISTINCT key, value FROM vals),
+        card AS (SELECT key, COUNT(*) AS n FROM d GROUP BY key),
+        ix AS (
+            SELECT a.key AS key_x, b.key AS key_y, COUNT(*) AS i
+            FROM d a JOIN d b ON a.value = b.value AND a.key < b.key
+            GROUP BY 1, 2
+        )
+        SELECT key_x, key_y,
+               ROUND(CAST(i AS DOUBLE) / (nx.n + ny.n - i), 6) AS js,
+               ROUND(CAST(i AS DOUBLE) / nx.n, 6) AS jcx,
+               ROUND(CAST(i AS DOUBLE) / ny.n, 6) AS jcy
+        FROM ix
+        JOIN card nx ON ix.key_x = nx.key
+        JOIN card ny ON ix.key_y = ny.key
+        WHERE (CAST(i AS DOUBLE) / nx.n >= 0.8
+               OR CAST(i AS DOUBLE) / ny.n >= 0.8)
+          AND CAST(i AS DOUBLE) / (nx.n + ny.n - i) >= 0.4
+    """

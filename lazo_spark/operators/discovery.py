@@ -1,0 +1,134 @@
+"""Data-lake join discovery: per-COLUMN Lazo sketches built as a
+distributed aggregation over melted (column, value) rows.
+
+This is the reference library's production use case (Lazo inside Aurum:
+sketch every column of every table in a data lake, query the index for
+joinable/similar columns — LazoBenchmark.java:207-235 sketches column
+value sets one value at a time via update(value)).  The existing
+single-column path (`sources/readers.column_sets_to_documents`)
+reproduces that by concatenating a column's whole value set into ONE
+document row and line-mode sketching it — fine for a handful of demo
+columns, wrong at lake scale where a single column holds billions of
+distinct values.
+
+`column_sketches` is the scalable re-expression, exploiting that
+MinHash is a *mergeable* sketch (elementwise min — MinHash.java:85-99):
+
+  stage A (narrow, mapInPandas): each Arrow batch hashes its values
+      with the SAME line-mode element hash the content-doc path uses
+      (murmur3, functions/shingles.py), groups them by column id inside
+      the batch, and emits ONE partial signature per (batch, column) —
+      the map-side combine.  A column with a billion values costs its
+      partitions' scan plus P tiny partial rows, never a wide row.
+  stage B (one small shuffle): partial signatures min-merge per column
+      (applyInPandas over ~columns x partitions rows), exact
+      cardinalities sum from the partial value counts, and band hashes
+      recompute from the merged signature (band_hashes_r1, the same
+      per-position GCD-1 banding the flagship consumes).
+
+The input MUST be distinct (key, value) rows — the melt's distinct is
+the aggregation that makes the summed partial counts the exact set
+cardinality (the reference uses HLL; exact is strictly more accurate,
+operators/sketch.py module docstring).  Output matches SKETCH_SCHEMA,
+so the full candidate/estimation pipeline (operators/lazo.lazo_pairs)
+consumes it unchanged.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import LazoConfig
+from ..functions.shingles import shingle_hashes
+from ..functions.sketch_kernels import minhash_sigs
+from .sketch import SKETCH_SCHEMA, band_hashes_r1
+
+_PARTIAL_SCHEMA = "key string, psig array<long>, pn long"
+
+
+def column_sketches(
+    values: DataFrame,
+    config: LazoConfig,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Distinct (key, value) rows -> one Lazo sketch row per key
+    (SKETCH_SCHEMA: key, sha, cardinality, signature, band_hashes,
+    simhash).  See module docstring for the two-stage merge shape.
+
+    Only sketch_type='minhash' merges exactly (elementwise min); OPH
+    raw bins would merge the same way but densification must run after
+    the final merge — not wired up until a caller needs it.  Only
+    cardinality='exact' is supported: the summed partial counts ARE the
+    distinct-value count (callers wanting clearspring-HLL parity merge
+    HLL registers instead — functions/hll.py has the kernels).
+
+    Per-value element hash = the line-mode shingle hash of the value
+    string, so a merged column sketch is bit-identical to line-mode
+    sketching the newline-joined value document
+    (column_sets_to_documents parity, pinned in tests/test_discovery.py).
+    Values that strip to nothing contribute no element (the content-doc
+    path drops them too) but still count in the exact cardinality —
+    identical for whitespace-clean value sets, which the melt
+    guarantees by dropping null/empty values.
+    """
+    if config.sketch_type != "minhash":
+        raise ValueError(
+            "column_sketches merges minhash signatures only "
+            f"(got sketch_type={config.sketch_type!r})"
+        )
+    if config.cardinality != "exact":
+        raise ValueError(
+            "column_sketches computes exact merged cardinalities only "
+            f"(got cardinality={config.cardinality!r})"
+        )
+    k, seed = config.k, config.seed
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("key", kind="stable")
+            keys = pdf["key"].to_numpy()
+            h, offsets = shingle_hashes(pdf["value"].tolist(), "line", seed)
+            offsets = np.asarray(offsets, dtype=np.int64)
+            # contiguous runs of equal keys -> ragged group offsets over
+            # the per-value hash spans (values are whole docs here, so a
+            # group's flat span is just [offsets[first], offsets[last+1]])
+            change = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1]))
+            )
+            bounds = np.concatenate((change, [len(keys)]))
+            sigs = minhash_sigs(h, offsets[bounds], k, seed)
+            yield pd.DataFrame(
+                {
+                    "key": keys[change],
+                    "psig": list(sigs),
+                    "pn": np.diff(bounds).astype(np.int64),
+                }
+            )
+
+    part = values.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    ).mapInPandas(partials, _PARTIAL_SCHEMA)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sig = np.minimum.reduce(np.stack(pdf["psig"].to_numpy()), axis=0)
+        bands = band_hashes_r1(sig[None, :])[0]
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "sha": [""],
+                "cardinality": [int(pdf["pn"].sum())],
+                "signature": [sig],
+                "band_hashes": [bands],
+                "simhash": [np.int64(0)],
+            }
+        )
+
+    return part.groupBy("key").applyInPandas(merge, SKETCH_SCHEMA)

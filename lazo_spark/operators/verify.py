@@ -260,6 +260,82 @@ def verify_candidates(
     return out
 
 
+def verify_set_candidates(
+    candidates: DataFrame,
+    values: DataFrame,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Candidate-restricted exact JS/JCX/JCY over a (key, value) relation
+    — the value-SET analogue of verify_candidates, for data-discovery
+    workloads (column joinability) where the set elements are raw column
+    values rather than content shingles.
+
+    Shape: the intersection join is DRIVEN by the candidate pairs
+    (cands |><| x-side values on key_x, inner join the y side on
+    (key_y, value-hash)), so verification cost scales with
+    sum over candidate pairs of |set_x| — never the corpus cross
+    product; the LSH pruning win survives verification.  Values ship as
+    xxhash64 int64s through both joins (8-byte shuffle keys like every
+    other candidate path, operators/lazo.py:147); a cross-value hash
+    collision could inflate one intersection count with probability
+    ~2^-64 per colliding value pair — the same documented bound as the
+    shingle-hash verify above.
+
+    ``assume_distinct=True`` skips the defensive per-key distinct when
+    the caller already aggregated the melt (the sketch stage needs the
+    same distinct relation, so callers persist it and share).
+    """
+    cands = candidates.select("key_x", "key_y")
+    keys = (
+        cands.select(F.col("key_x").alias("key"))
+        .union(cands.select(F.col("key_y").alias("key")))
+        .distinct()
+    )
+    v = values.select("key", "value")
+    if not assume_distinct:
+        v = v.distinct()
+    v = v.join(keys.hint("SHUFFLE_HASH"), "key", "left_semi").select(
+        "key", F.xxhash64("value").alias("vh")
+    )
+    sizes = v.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("key").alias("key_x"), "vh")
+    b = v.select(F.col("key").alias("key_y"), "vh")
+    ix = (
+        cands.join(a.hint("SHUFFLE_HASH"), "key_x")
+        .join(b.hint("SHUFFLE_HASH"), ["key_y", "vh"])
+        .groupBy("key_x", "key_y")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    out = (
+        ix.join(
+            sizes.withColumnRenamed("key", "key_x").withColumnRenamed("n", "nx")
+            .hint("SHUFFLE_HASH"),
+            "key_x",
+        )
+        .join(
+            sizes.withColumnRenamed("key", "key_y").withColumnRenamed("n", "ny")
+            .hint("SHUFFLE_HASH"),
+            "key_y",
+        )
+        .select(
+            "key_x",
+            "key_y",
+            (F.col("ix") / (F.col("nx") + F.col("ny") - F.col("ix"))).alias("js"),
+            (F.col("ix") / F.col("nx")).alias("jcx"),
+            (F.col("ix") / F.col("ny")).alias("jcy"),
+        )
+    )
+    if js_threshold is not None:
+        out = out.filter(F.col("js") >= js_threshold)
+    if jcx_threshold is not None:
+        out = out.filter(
+            (F.col("jcx") >= jcx_threshold) | (F.col("jcy") >= jcx_threshold)
+        )
+    return out
+
+
 def canonicalize_pairs(df: DataFrame, x: str = "key_x", y: str = "key_y") -> DataFrame:
     """Unordered-pair canonicalization (Pair.java:17-40): least/greatest +
     distinct, dropping self-pairs."""

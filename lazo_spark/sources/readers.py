@@ -81,6 +81,48 @@ def column_sets_to_documents(column_sets: DataFrame) -> DataFrame:
     )
 
 
+def melt_parquet_columns(spark: SparkSession, sf_dir: str, spec) -> DataFrame:
+    """Melt parquet table columns into (key='table.column', value:string)
+    rows for data-lake discovery (the parquet analogue of
+    csv_column_sets; same validSet semantics — null/empty values
+    dropped, LazoBenchmark.java:187-196).
+
+    ``spec``: iterable of (table, column, kind) with kind in
+    {'str','int','date'} — the kinds whose string renderings are
+    engine-identical (bare integers, ISO dates); float/decimal columns
+    are excluded because their text formatting is engine-specific.
+
+    Scan shape: each table is read ONCE with only the spec'd columns
+    (column pruning reaches the scan), pre-cast to string, then stack()
+    emits one row per (row, column) — narrow, no shuffle; the caller
+    owns the .distinct() that turns the melt into value SETS.
+    """
+    from collections import defaultdict
+
+    by_table: dict[str, list] = defaultdict(list)
+    for t, c, kind in spec:
+        by_table[t].append((c, kind))
+    out = None
+    for t, cols in by_table.items():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        proj = []
+        for i, (c, kind) in enumerate(cols):
+            col = F.col(c)
+            if kind == "date":
+                col = F.to_date(col)
+            proj.append(col.cast("string").alias(f"__v{i}"))
+        stack_args = ", ".join(
+            f"'{t}.{c}', __v{i}" for i, (c, _) in enumerate(cols)
+        )
+        m = (
+            df.select(*proj)
+            .selectExpr(f"stack({len(cols)}, {stack_args}) as (key, value)")
+            .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        )
+        out = m if out is None else out.unionAll(m)
+    return out
+
+
 def read_column_file(spark: SparkSession, path: str, key: str | None = None) -> DataFrame:
     """One value per line -> (key, value) distinct rows
     (OOPHLSHSimilarity.java:99-114)."""

@@ -1,0 +1,163 @@
+"""Data-lake join discovery: distributed per-column sketches + the
+candidate-restricted exact set verifier (operators/discovery.py,
+operators/verify.verify_set_candidates, sources/readers.
+melt_parquet_columns).
+
+Pins:
+  * merged per-value sketches are BIT-IDENTICAL to line-mode sketching
+    the newline-joined value document (the single-column demo path) —
+    the mergeability theorem made a regression test;
+  * the merge is partitioning-independent (partial combine order
+    cannot matter);
+  * the LSH candidate stage at the widened 0.3 floor loses NOTHING in
+    the declared discoverability domain (jcx >= 0.8, js >= 0.4) on the
+    real sf0.001 melt — the recall theorem behind the green
+    joinable_columns oracle;
+  * verify_set_candidates equals the brute-force exact_set_jaccard on
+    the candidate subset.
+"""
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.discovery import column_sketches
+from lazo_spark.operators.sketch import sketch_stage
+from lazo_spark.operators.verify import (
+    exact_set_jaccard,
+    verify_set_candidates,
+)
+from lazo_spark.sources.readers import column_sets_to_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_VALUES = [
+    ("colA", [f"v{i}" for i in range(50)]),
+    ("colB", [f"v{i}" for i in range(40)]),          # jcx(B->A) = 1.0
+    ("colC", [f"w{i}" for i in range(30)]),          # disjoint
+    ("colD", [f"v{i}" for i in range(25, 75)]),      # half-overlap with A
+    ("colE", ["single"]),
+    ("colF", [str(i) for i in range(200)]),
+]
+
+
+def _values_df(spark):
+    rows = [(k, v) for k, vs in _VALUES for v in vs]
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+def test_column_sketches_match_content_doc_path(spark):
+    """Merged per-value sketch == line-mode sketch of the joined doc,
+    signature and exact cardinality both (mergeability pin)."""
+    vals = _values_df(spark)
+    cfg = LazoConfig(shingle_mode="line")
+    merged = {
+        r["key"]: r
+        for r in column_sketches(vals, cfg).collect()
+    }
+    docs = column_sets_to_documents(
+        vals.withColumnRenamed("key", "col_id")
+    )
+    ref = {r["key"]: r for r in sketch_stage(docs, cfg).collect()}
+    assert set(merged) == set(ref)
+    for k in ref:
+        assert merged[k]["signature"] == ref[k]["signature"], k
+        assert merged[k]["band_hashes"] == ref[k]["band_hashes"], k
+        assert merged[k]["cardinality"] == ref[k]["cardinality"], k
+
+
+def test_column_sketches_partitioning_independent(spark):
+    """Same sketches whether the melt arrives in 1 partition or 16
+    shuffled ones (partial-merge associativity/commutativity)."""
+    vals = _values_df(spark)
+    cfg = LazoConfig(shingle_mode="line")
+    one = {
+        r["key"]: (r["signature"], r["cardinality"])
+        for r in column_sketches(vals.coalesce(1), cfg).collect()
+    }
+    many = {
+        r["key"]: (r["signature"], r["cardinality"])
+        for r in column_sketches(
+            vals.repartition(16, F.col("value")), cfg
+        ).collect()
+    }
+    assert one == many
+
+
+def test_verify_set_candidates_matches_brute_force(spark):
+    vals = _values_df(spark)
+    truth = {
+        (r["key_x"], r["key_y"]): (r["js"], r["jcx"], r["jcy"])
+        for r in exact_set_jaccard(vals).collect()
+    }
+    cands = spark.createDataFrame(
+        [(x, y) for (x, y) in truth] + [("colA", "colC")],  # + a zero-overlap pair
+        "key_x string, key_y string",
+    )
+    got = {
+        (r["key_x"], r["key_y"]): (r["js"], r["jcx"], r["jcy"])
+        for r in verify_set_candidates(cands, vals).collect()
+    }
+    # zero-overlap candidates never materialize (no shared value row)
+    assert got == truth
+    for (x, y), (js, jcx, jcy) in truth.items():
+        assert got[(x, y)] == pytest.approx((js, jcx, jcy), abs=0)
+
+
+def test_discovery_candidates_complete_in_domain(spark):
+    """On the real sf0.001 melt: LSH candidates at the widened 0.3
+    containment floor cover EVERY exact pair in the declared domain
+    (jcx >= 0.8 either direction AND js >= 0.4) — the recall theorem
+    the green joinable_columns oracle rests on."""
+    if not os.path.exists(os.path.join(SF_DIR, "nation.parquet")):
+        pytest.skip("driver testdata missing")
+    import __spark_entry__ as em
+    from lazo_spark.operators.lazo import lazo_pairs
+
+    vals = em._discovery_values(spark, SF_DIR).persist()
+    cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+    cands = {
+        (r["key_x"], r["key_y"])
+        for r in lazo_pairs(column_sketches(vals, cfg), cfg)
+        .select("key_x", "key_y")
+        .collect()
+    }
+    exact = exact_set_jaccard(vals)
+    domain = {
+        (r["key_x"], r["key_y"])
+        for r in exact.filter(
+            ((F.col("jcx") >= 0.8) | (F.col("jcy") >= 0.8))
+            & (F.col("js") >= 0.4)
+        ).collect()
+    }
+    assert domain, "domain unexpectedly empty — fixture drifted"
+    missed = domain - cands
+    assert not missed, f"LSH candidates missed in-domain pairs: {missed}"
+    vals.unpersist()
+
+
+def test_melt_parquet_columns_shape(spark):
+    if not os.path.exists(os.path.join(SF_DIR, "nation.parquet")):
+        pytest.skip("driver testdata missing")
+    from lazo_spark.sources.readers import melt_parquet_columns
+
+    m = melt_parquet_columns(
+        spark, SF_DIR,
+        [("nation", "n_nationkey", "int"), ("nation", "n_name", "str"),
+         ("orders", "o_orderdate", "date")],
+    )
+    rows = m.collect()
+    keys = {r["key"] for r in rows}
+    assert keys == {"nation.n_nationkey", "nation.n_name",
+                    "orders.o_orderdate"}
+    dates = [r["value"] for r in rows if r["key"] == "orders.o_orderdate"]
+    assert dates and all(
+        len(v) == 10 and v[4] == "-" and v[7] == "-" for v in dates
+    )
+    nk = sorted(
+        int(r["value"]) for r in rows
+        if r["key"] == "nation.n_nationkey"
+    )
+    assert nk == list(range(25))
