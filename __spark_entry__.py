@@ -157,6 +157,26 @@ def q_decontaminate(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — identical semantics and
+    output to `decontaminate` (the bloom pass has no false negatives
+    and the exact semi-join kills false positives), but the eval-side
+    broadcast is a distributed-built m/8-byte bitmap instead of a gram
+    hash set: the scale path when the eval suite outgrows broadcast
+    range.  Shares decontaminate's oracle verbatim."""
+    docs = _docs(spark, sf_dir)
+    out = T.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=8,
+        m_bits=1 << 21,
+        k_hashes=7,
+    )
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1353,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_col_js_exact": q_single_col_js_exact,
         "column_sets": q_column_sets,
         "joinable_columns": q_joinable_columns,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2044,6 +2065,9 @@ def oracle_sql() -> dict[str, str]:
     # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
     sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
     sql["joinable_columns"] = _discovery_oracle_sql()
+    # bloom prefilter + exact verify == the broadcast-set exact join:
+    # same deterministic output, same oracle (see q_decontaminate_bloom)
+    sql["decontaminate_bloom"] = sql["decontaminate"]
     return sql
 
 

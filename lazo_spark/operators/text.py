@@ -229,6 +229,54 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    key_col: str,
+    content_col: str,
+    n: int = 13,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """`decontaminate` for when the eval gram set outgrows broadcast
+    range: a distributed-built Bloom filter (functions/bloom.py)
+    replaces the broadcast hash-set as the first-pass filter.
+
+    EXACT by construction, not approximately: a Bloom filter has no
+    false negatives, so phase 1 (scan-fused xxhash64 + k-bit probe
+    against the broadcast bitmap) only PRUNES the train grams; phase 2
+    re-verifies every survivor with the exact string semi-join — now a
+    SHUFFLED join, but over the matched+false-positive residue only,
+    a vanishing fraction of the corpus.  Output == decontaminate()
+    row-for-row (pinned in tests/test_bloom.py), and the broadcast
+    payload drops from O(grams x bytes/gram) set entries to m/8 bloom
+    bytes (a 10^9-gram eval suite: tens of GB as a broadcast set vs
+    ~1 GiB of bloom at ~1% FP).
+
+    Sizing: FP rate ~= (1 - e^(-k n / m))^k; the defaults (m = 2^23,
+    k = 7) hold ~1% FP to ~8e5 distinct eval grams — callers with real
+    suites size m ~ 10 bits/gram.
+    """
+    from ..functions.bloom import bloom_probe_column, build_bloom
+
+    grams = token_ngram_strings(F.col(content_col), n)
+    g_train = train.select(
+        F.col(key_col).alias("key"), F.explode(grams).alias("gram")
+    )
+    g_eval = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    bloom = build_bloom(
+        g_eval.select(F.xxhash64("gram").alias("h")), "h", m_bits, k_hashes
+    )
+    probe = bloom_probe_column(train.sparkSession, bloom, m_bits, k_hashes)
+    cand = g_train.filter(probe(F.xxhash64("gram")))
+    # exact phase: false positives die here; SHUFFLE_HASH because at
+    # target scale neither side is broadcastable (that's the premise)
+    matched = cand.join(g_eval.hint("SHUFFLE_HASH"), "gram", "left_semi")
+    return matched.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_grams")
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     key_col: str,

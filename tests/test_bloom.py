@@ -1,0 +1,107 @@
+"""Bloom filter (functions/bloom.py) + the bloom-prefiltered
+decontamination path (operators/text.decontaminate_bloom).
+
+Pins:
+  * zero false negatives (the structural guarantee the exactness
+    argument rests on) — every inserted hash probes true;
+  * FP rate within ~3x of the analytic (1 - e^(-kn/m))^k;
+  * the distributed chunk-merged build equals a single-partition
+    build byte-for-byte (OR-merge associativity);
+  * decontaminate_bloom == decontaminate row-for-row on the real
+    sf0.001 documents (the driver query's equality claim).
+"""
+import math
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.functions.bloom import (
+    bloom_positions,
+    bloom_probe_column,
+    build_bloom,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+M_BITS = 1 << 17
+K = 7
+
+
+def _hash_df(spark, values, parts=1):
+    df = spark.createDataFrame([(int(v),) for v in values], "h long")
+    return df.repartition(parts) if parts > 1 else df.coalesce(1)
+
+
+def test_bloom_no_false_negatives(spark):
+    rng = np.random.RandomState(7)
+    ins = rng.randint(-(2**62), 2**62, size=4000, dtype=np.int64)
+    bloom = build_bloom(_hash_df(spark, ins, parts=8), "h", M_BITS, K)
+    probe = bloom_probe_column(spark, bloom, M_BITS, K)
+    got = (
+        _hash_df(spark, ins, parts=4)
+        .select(probe(F.col("h")).alias("hit"))
+        .collect()
+    )
+    assert all(r["hit"] for r in got)
+
+
+def test_bloom_fp_rate_sane(spark):
+    rng = np.random.RandomState(13)
+    ins = rng.randint(-(2**62), 2**62, size=4000, dtype=np.int64)
+    out = rng.randint(-(2**62), 2**62, size=20000, dtype=np.int64)
+    out = np.setdiff1d(out, ins)
+    bloom = build_bloom(_hash_df(spark, ins), "h", M_BITS, K)
+    probe = bloom_probe_column(spark, bloom, M_BITS, K)
+    fp = sum(
+        r["hit"]
+        for r in _hash_df(spark, out)
+        .select(probe(F.col("h")).alias("hit"))
+        .collect()
+    )
+    theory = (1 - math.exp(-K * len(ins) / M_BITS)) ** K
+    assert fp / len(out) < max(3 * theory, 0.005), (fp, len(out), theory)
+
+
+def test_bloom_build_partitioning_independent(spark):
+    rng = np.random.RandomState(99)
+    ins = rng.randint(-(2**62), 2**62, size=3000, dtype=np.int64)
+    one = build_bloom(_hash_df(spark, ins, parts=1), "h", M_BITS, K)
+    many = build_bloom(_hash_df(spark, ins, parts=16), "h", M_BITS, K)
+    assert one == many
+
+
+def test_bloom_positions_deterministic_and_spread():
+    h = np.array([0, 1, -1, 2**62, -(2**62)], dtype=np.int64)
+    p1 = bloom_positions(h, M_BITS, K)
+    p2 = bloom_positions(h.copy(), M_BITS, K)
+    assert (p1 == p2).all()
+    assert (p1 < M_BITS).all()
+    # k positions per row are (near-)distinct — h2 forced odd
+    for row in p1:
+        assert len(set(row.tolist())) >= K - 1
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    if not os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
+        pytest.skip("driver testdata missing")
+    from lazo_spark.operators.text import decontaminate, decontaminate_bloom
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    exact = {
+        (r["key"], r["n_matched_grams"])
+        for r in decontaminate(train, ev, "doc_id", "text", n=8).collect()
+    }
+    bloomed = {
+        (r["key"], r["n_matched_grams"])
+        for r in decontaminate_bloom(
+            train, ev, "doc_id", "text", n=8, m_bits=1 << 19, k_hashes=7
+        ).collect()
+    }
+    assert exact == bloomed
+    assert exact, "fixture drifted: no contaminated docs at sf0.001"
