@@ -1133,34 +1133,55 @@ def q_joinable_columns(spark, sf_dir):
     nothing — the same widened-floor argument as dedup_clusters_lsh;
     candidate recall is pinned independently in tests/test_discovery.py.
 
-    Query domain = jcx >= 0.8 (either direction) AND js >= 0.4 — the
-    signature-LSH *discoverability* domain.  The js floor is load-
-    bearing and honest, not a fudge: a MinHash index (the reference's
-    included — LazoIndex.query needs >= 1 shared band) surfaces a pair
-    with probability ~1-(1-js)^k, so extreme-ratio containments (a
-    5-value key column inside a million-key column, js -> 0) are
-    invisible to ANY signature-based index; at js >= 0.4 with k = 64
-    the per-pair miss probability is < 1e-14 and the widened 0.3 keep
-    floor leaves the estimator ~5 sigma of margin, making the exact
-    twin a theorem rather than a hope.  The js floor is exact-verified
-    on both engines; the estimated/rows-only paths impose no such
-    floor."""
-    from lazo_spark.operators.discovery import column_sketches
+    The candidate stage is a HYBRID index, the production answer to
+    signature-LSH's structural blind spot: a MinHash index (the
+    reference's included — LazoIndex.query needs >= 1 shared band)
+    surfaces a pair with probability ~1-(1-js)^k, so extreme-ratio
+    containments (a 5-value key column inside a million-key column,
+    js -> 0) are invisible to ANY sketch banding.  So small columns
+    (<= 256 distinct values) additionally probe the melted value index
+    EXACTLY (small_set_probe_candidates — deterministically complete
+    for the small-side domain at |set| lookups apiece), and the LSH
+    path covers the js-discoverable rest.
+
+    Query domain = jcx >= 0.8 (either direction) AND (js >= 0.4 OR
+    min-cardinality <= 256) — exact-verified on both engines, so the
+    twin is a theorem: in-domain pairs with a small side are caught by
+    the exact probe (complete, no probability involved), and pairs
+    with js >= 0.4 are caught by LSH with per-pair miss probability
+    < 1e-14 at k = 64 (the widened 0.3 keep floor leaves the estimator
+    ~5 sigma of margin).  At sf0.001/sf0.01 the hybrid domain equals
+    the UNRESTRICTED brute force — every out-of-js-domain true pair
+    has a small side.  The estimated/rows-only paths impose no domain
+    restriction."""
+    from lazo_spark.operators.discovery import (
+        column_sketches,
+        small_set_probe_candidates,
+    )
     from lazo_spark.operators.verify import verify_set_candidates
 
     vals = _discovery_values(spark, sf_dir).persist()
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
     sk = column_sketches(vals, cfg)
-    cands = lazo_pairs(sk, cfg)
-    ver = verify_set_candidates(
-        cands, vals, js_threshold=0.4, jcx_threshold=0.8,
-        assume_distinct=True,
+    cands = (
+        lazo_pairs(sk, cfg).select("key_x", "key_y")
+        .union(small_set_probe_candidates(vals, max_card=256))
+        .distinct()
     )
-    return ver.select(
-        "key_x", "key_y",
-        F.round("js", 6).alias("js"),
-        F.round("jcx", 6).alias("jcx"),
-        F.round("jcy", 6).alias("jcy"),
+    ver = verify_set_candidates(
+        cands, vals, jcx_threshold=0.8, assume_distinct=True,
+        with_sizes=True,
+    )
+    return (
+        ver.filter(
+            (F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256)
+        )
+        .select(
+            "key_x", "key_y",
+            F.round("js", 6).alias("js"),
+            F.round("jcx", 6).alias("jcx"),
+            F.round("jcy", 6).alias("jcy"),
+        )
     )
 
 
@@ -2075,9 +2096,10 @@ def _discovery_oracle_sql() -> str:
     """Brute-force joinable-column twin: long-form UNION ALL melt of the
     same 29 columns with the same renderings, distinct value sets, exact
     pairwise containment, threshold 0.8 in either direction, restricted
-    to the signature-LSH discoverability domain js >= 0.4 (see
-    q_joinable_columns — the js floor is what makes an LSH-candidate
-    pipeline provably equal to brute force)."""
+    to the hybrid index's domain (js >= 0.4 OR min-cardinality <= 256 —
+    see q_joinable_columns: the small side is exact-probed so the clause
+    is deterministic; the js clause is what makes the LSH candidate leg
+    provably complete)."""
     branches = []
     for t, c, kind in _DISCOVERY_COLS:
         e = f"CAST({c} AS DATE)" if kind == "date" else c
@@ -2105,5 +2127,6 @@ def _discovery_oracle_sql() -> str:
         JOIN card ny ON ix.key_y = ny.key
         WHERE (CAST(i AS DOUBLE) / nx.n >= 0.8
                OR CAST(i AS DOUBLE) / ny.n >= 0.8)
-          AND CAST(i AS DOUBLE) / (nx.n + ny.n - i) >= 0.4
+          AND (CAST(i AS DOUBLE) / (nx.n + ny.n - i) >= 0.4
+               OR LEAST(nx.n, ny.n) <= 256)
     """

@@ -50,6 +50,56 @@ from .sketch import SKETCH_SCHEMA, band_hashes_r1
 _PARTIAL_SCHEMA = "key string, psig array<long>, pn long"
 
 
+def small_set_probe_candidates(
+    values: DataFrame,
+    max_card: int,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverted-index candidate generation for SMALL value sets — the
+    hybrid complement to the MinHash index in a discovery query.
+
+    Signature-LSH is blind to tiny-in-huge containments (a true
+    jcx >= 0.8 pair with extreme cardinality ratio has js -> 0, and a
+    sketch index surfaces a pair with probability ~1-(1-js)^k — the
+    reference's index included).  But a set of <= max_card values is
+    cheap to probe EXACTLY against the melted value index: any true
+    containment pair shares >= 1 value, so "pairs sharing a value with
+    a small column" is a deterministically COMPLETE candidate set for
+    the small-side domain.  This is the standard hybrid-index design
+    (sketch the big sets, exact-probe the small ones).
+
+    Cost: |small-side melt| (<= max_card rows per small column)
+    equi-joined against the full melt on the 8-byte value hash; a hot
+    value's fan-out is bounded by the number of columns containing it.
+    Input must be distinct (key, value) rows; returns canonical
+    (key_x, key_y) candidate pairs.
+    """
+    v = values.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(F.col(value_col)).alias("vh"),
+    )
+    small_keys = (
+        v.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_card)
+        .select("key")
+    )
+    sv = v.join(small_keys.hint("SHUFFLE_HASH"), "key", "left_semi")
+    pairs = (
+        sv.select(F.col("key").alias("key_s"), "vh")
+        .join(
+            v.select(F.col("key").alias("key_o"), "vh").hint("SHUFFLE_HASH"),
+            "vh",
+        )
+        .filter(F.col("key_s") != F.col("key_o"))
+    )
+    return pairs.select(
+        F.least("key_s", "key_o").alias("key_x"),
+        F.greatest("key_s", "key_o").alias("key_y"),
+    ).distinct()
+
+
 def column_sketches(
     values: DataFrame,
     config: LazoConfig,

@@ -266,6 +266,7 @@ def verify_set_candidates(
     js_threshold: float | None = None,
     jcx_threshold: float | None = None,
     assume_distinct: bool = False,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Candidate-restricted exact JS/JCX/JCY over a (key, value) relation
     — the value-SET analogue of verify_candidates, for data-discovery
@@ -286,6 +287,9 @@ def verify_set_candidates(
     ``assume_distinct=True`` skips the defensive per-key distinct when
     the caller already aggregated the melt (the sketch stage needs the
     same distinct relation, so callers persist it and share).
+    ``with_sizes=True`` keeps the exact set sizes (nx, ny) on the
+    output for callers whose domain predicates need them (e.g. the
+    hybrid discovery query's small-set clause).
     """
     cands = candidates.select("key_x", "key_y")
     keys = (
@@ -325,6 +329,8 @@ def verify_set_candidates(
             (F.col("ix") / (F.col("nx") + F.col("ny") - F.col("ix"))).alias("js"),
             (F.col("ix") / F.col("nx")).alias("jcx"),
             (F.col("ix") / F.col("ny")).alias("jcy"),
+            "nx",
+            "ny",
         )
     )
     if js_threshold is not None:
@@ -333,6 +339,8 @@ def verify_set_candidates(
         out = out.filter(
             (F.col("jcx") >= jcx_threshold) | (F.col("jcy") >= jcx_threshold)
         )
+    if not with_sizes:
+        out = out.drop("nx", "ny")
     return out
 
 

@@ -107,34 +107,51 @@ def test_verify_set_candidates_matches_brute_force(spark):
 
 
 def test_discovery_candidates_complete_in_domain(spark):
-    """On the real sf0.001 melt: LSH candidates at the widened 0.3
-    containment floor cover EVERY exact pair in the declared domain
-    (jcx >= 0.8 either direction AND js >= 0.4) — the recall theorem
-    the green joinable_columns oracle rests on."""
+    """On the real sf0.001 melt: the HYBRID candidate stage (LSH at the
+    widened 0.3 floor UNION exact small-set probes at max_card 256)
+    covers EVERY exact pair in the declared domain (jcx >= 0.8 either
+    direction AND (js >= 0.4 OR min-card <= 256)) — the recall theorem
+    the green joinable_columns oracle rests on.  At this sf the hybrid
+    domain equals the UNRESTRICTED brute-force pair set, which is also
+    asserted (every out-of-js-domain true pair has a small side)."""
     if not os.path.exists(os.path.join(SF_DIR, "nation.parquet")):
         pytest.skip("driver testdata missing")
     import __spark_entry__ as em
+    from lazo_spark.operators.discovery import small_set_probe_candidates
     from lazo_spark.operators.lazo import lazo_pairs
 
     vals = em._discovery_values(spark, SF_DIR).persist()
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+    lsh = lazo_pairs(column_sketches(vals, cfg), cfg).select(
+        "key_x", "key_y"
+    )
+    probe = small_set_probe_candidates(vals, max_card=256)
     cands = {
         (r["key_x"], r["key_y"])
-        for r in lazo_pairs(column_sketches(vals, cfg), cfg)
-        .select("key_x", "key_y")
-        .collect()
+        for r in lsh.union(probe).distinct().collect()
     }
-    exact = exact_set_jaccard(vals)
+    # exact_set_jaccard doesn't expose sizes; size the domain via
+    # verify_set_candidates over the full exact pair set
+    all_pairs = exact_set_jaccard(vals).filter(
+        (F.col("jcx") >= 0.8) | (F.col("jcy") >= 0.8)
+    )
+    full = {(r["key_x"], r["key_y"]) for r in all_pairs.collect()}
+    sized = verify_set_candidates(
+        spark.createDataFrame(
+            sorted(full), "key_x string, key_y string"
+        ),
+        vals, jcx_threshold=0.8, assume_distinct=True, with_sizes=True,
+    )
     domain = {
         (r["key_x"], r["key_y"])
-        for r in exact.filter(
-            ((F.col("jcx") >= 0.8) | (F.col("jcy") >= 0.8))
-            & (F.col("js") >= 0.4)
+        for r in sized.filter(
+            (F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256)
         ).collect()
     }
     assert domain, "domain unexpectedly empty — fixture drifted"
+    assert domain == full, "hybrid domain no longer covers brute force"
     missed = domain - cands
-    assert not missed, f"LSH candidates missed in-domain pairs: {missed}"
+    assert not missed, f"hybrid candidates missed in-domain pairs: {missed}"
     vals.unpersist()
 
 
