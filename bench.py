@@ -82,6 +82,8 @@ PIPELINE_OPS = [
     "pii_redact",
     "semdedup",
     "pack_sequences",
+    "decontaminate_bloom",
+    "joinable_columns",
 ]
 
 # `value` semantics are pinned (round-1/2 convention): sum of FIRST-pASS
