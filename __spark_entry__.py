@@ -1185,6 +1185,60 @@ def q_joinable_columns(spark, sf_dir):
     )
 
 
+def q_joinable_columns_incremental(spark, sf_dir):
+    """Aurum's incremental-registration workflow against the PERSISTED
+    bucketed index (sources/index_store.py): six tables' 22 columns are
+    indexed as the standing catalog; lineitem's 7 columns arrive as the
+    delta batch — distributed-sketched (operators/discovery.py),
+    LSM-appended, and delta-queried with the index side streaming
+    co-partitioned from its bucket files (zero index-side shuffle).
+    The hybrid small-set probe leg is restricted to pairs touching the
+    delta, and exact set verification runs at jcx >= 0.8 in the same
+    discoverability domain as joinable_columns (js >= 0.4 OR min-card
+    <= 256).  Output = the joinable pairs with >= 1 lineitem side; the
+    brute-force oracle is joinable_columns' plus exactly that
+    predicate.  Demonstrates the index store is use-case-generic: the
+    same tables serve document sketches (incremental_bucketed_verified)
+    and column sketches."""
+    from lazo_spark.operators.discovery import (
+        column_sketches,
+        small_set_probe_candidates,
+    )
+    from lazo_spark.operators.verify import verify_set_candidates
+    from lazo_spark.sources.index_store import (
+        create_index,
+        delta_pairs_indexed,
+    )
+
+    vals = _discovery_values(spark, sf_dir).persist()
+    is_new = F.col("key").startswith("lineitem.")
+    cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+    path = "/tmp/lazo_spark_ixstore"
+    create_index(spark, column_sketches(vals.filter(~is_new), cfg),
+                 "colix", path=path)
+    lsh = delta_pairs_indexed(
+        spark, "colix", column_sketches(vals.filter(is_new), cfg),
+        cfg, path=path,
+    ).select("key_x", "key_y")
+    probe = small_set_probe_candidates(vals, max_card=256).filter(
+        F.col("key_x").startswith("lineitem.")
+        | F.col("key_y").startswith("lineitem.")
+    )
+    ver = verify_set_candidates(
+        lsh.union(probe).distinct(), vals,
+        jcx_threshold=0.8, assume_distinct=True, with_sizes=True,
+    )
+    return (
+        ver.filter((F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256))
+        .select(
+            "key_x", "key_y",
+            F.round("js", 6).alias("js"),
+            F.round("jcx", 6).alias("jcx"),
+            F.round("jcy", 6).alias("jcy"),
+        )
+    )
+
+
 def q_merged_lang_sketches(spark, sf_dir):
     """Grouped signature union-merge (MinHash.merge as applyInPandas):
     per-language merged sketch; members + cardinality upper bound are
@@ -1394,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_col_js_exact": q_single_col_js_exact,
         "column_sets": q_column_sets,
         "joinable_columns": q_joinable_columns,
+        "joinable_columns_incremental": q_joinable_columns_incremental,
         "decontaminate_bloom": q_decontaminate_bloom,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
@@ -2086,13 +2141,18 @@ def oracle_sql() -> dict[str, str]:
     # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
     sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
     sql["joinable_columns"] = _discovery_oracle_sql()
+    # the incremental variant answers the same brute-force question
+    # restricted to pairs touching the delta batch (lineitem's columns)
+    sql["joinable_columns_incremental"] = _discovery_oracle_sql(
+        "(key_x LIKE 'lineitem.%' OR key_y LIKE 'lineitem.%')"
+    )
     # bloom prefilter + exact verify == the broadcast-set exact join:
     # same deterministic output, same oracle (see q_decontaminate_bloom)
     sql["decontaminate_bloom"] = sql["decontaminate"]
     return sql
 
 
-def _discovery_oracle_sql() -> str:
+def _discovery_oracle_sql(pair_predicate: str | None = None) -> str:
     """Brute-force joinable-column twin: long-form UNION ALL melt of the
     same 29 columns with the same renderings, distinct value sets, exact
     pairwise containment, threshold 0.8 in either direction, restricted
@@ -2109,6 +2169,7 @@ def _discovery_oracle_sql() -> str:
             f"WHERE {c} IS NOT NULL AND {e} <> ''"
         )
     vals = " UNION ALL ".join(branches)
+    extra = f"AND {pair_predicate}" if pair_predicate else ""
     return f"""
         WITH vals AS ({vals}),
         d AS (SELECT DISTINCT key, value FROM vals),
@@ -2129,4 +2190,5 @@ def _discovery_oracle_sql() -> str:
                OR CAST(i AS DOUBLE) / ny.n >= 0.8)
           AND (CAST(i AS DOUBLE) / (nx.n + ny.n - i) >= 0.4
                OR LEAST(nx.n, ny.n) <= 256)
+          {extra}
     """

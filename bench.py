@@ -669,7 +669,10 @@ def main() -> None:
         qs = entrymod.queries()
         pipe: dict[str, float] = {}
         for name in PIPELINE_OPS:
-            if _left() < 120:
+            # joinable_columns is the one multi-join heavyweight here
+            # (~50 s at sf0.1): demand a fatter reserve so it can never
+            # starve the flagship/scaling sections that follow
+            if _left() < (300 if name == "joinable_columns" else 120):
                 break
             tq = time.time()
             n = qs[name](spark, sf_dir).count()
