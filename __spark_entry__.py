@@ -2166,7 +2166,7 @@ def _discovery_oracle_sql(pair_predicate: str | None = None) -> str:
         e = f"CAST({e} AS VARCHAR)"
         branches.append(
             f"SELECT '{t}.{c}' AS key, {e} AS value FROM {t} "
-            f"WHERE {c} IS NOT NULL AND {e} <> ''"
+            f"WHERE {c} IS NOT NULL AND TRIM({e}) <> ''"
         )
     vals = " UNION ALL ".join(branches)
     extra = f"AND {pair_predicate}" if pair_predicate else ""

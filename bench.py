@@ -669,11 +669,14 @@ def main() -> None:
         qs = entrymod.queries()
         pipe: dict[str, float] = {}
         for name in PIPELINE_OPS:
-            # joinable_columns is the one multi-join heavyweight here
-            # (~50 s at sf0.1): demand a fatter reserve so it can never
-            # starve the flagship/scaling sections that follow
-            if _left() < (300 if name == "joinable_columns" else 120):
+            if _left() < 120:
                 break
+            # joinable_columns is the one multi-join heavyweight here
+            # (~50 s at sf0.1): it runs LAST from leftover budget (see
+            # section 7) so it can never starve the flagship / scaling
+            # / cluster-probe sections that follow
+            if name == "joinable_columns":
+                continue
             tq = time.time()
             n = qs[name](spark, sf_dir).count()
             pipe[name] = round(time.time() - tq, 3)
@@ -761,6 +764,30 @@ def main() -> None:
     # budget only — every required section is already in the artifact
     if scaling_state is not None:
         scaling_retries(out, scaling_state)
+
+    # 7. the heavyweight pipeline op (joinable_columns, ~50 s at sf0.1)
+    # from whatever is left — purely additive evidence, lowest priority
+    if "joinable_columns" in PIPELINE_OPS and _left() > 150:
+        try:
+            import __spark_entry__ as entrymod
+
+            spark = get_spark(
+                "bench-tail", master=f"local[{min(cpus, 8)}]",
+                shuffle_partitions=min(cpus, 16),
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            tq = time.time()
+            n = entrymod.queries()["joinable_columns"](spark, sf_dir).count()
+            out.setdefault("pipeline_ops", {})["joinable_columns"] = round(
+                time.time() - tq, 3
+            )
+            print(f"# joinable_columns: {n} rows in "
+                  f"{out['pipeline_ops']['joinable_columns']}s",
+                  file=sys.stderr, flush=True)
+            _partial["pipeline_ops"] = out["pipeline_ops"]
+            spark.stop()
+        except Exception as e:
+            out["pipeline_ops_tail_error"] = str(e)[:200]
 
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)

@@ -95,16 +95,18 @@ def build_bloom(
     n_bytes = m_bits // 8
 
     def partials(batches):
-        local = np.zeros(m_bits, dtype=bool)
-        touched = False
+        # allocate the (large) scratch lazily: empty tasks — common
+        # after selective filters — must not pay the m_bits-byte zeroing
+        local = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            touched = True
+            if local is None:
+                local = np.zeros(m_bits, dtype=bool)
             _set_bits(local, bloom_positions(
                 pdf[hash_col].to_numpy(), m_bits, k
             ))
-        if not touched:
+        if local is None:
             return
         packed = np.packbits(local, bitorder="little")
         for c0 in range(0, n_bytes, _CHUNK_BYTES):

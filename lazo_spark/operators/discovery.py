@@ -85,19 +85,14 @@ def small_set_probe_candidates(
         .filter(F.col("n") <= max_card)
         .select("key")
     )
+    from .verify import canonicalize_pairs
+
     sv = v.join(small_keys.hint("SHUFFLE_HASH"), "key", "left_semi")
-    pairs = (
-        sv.select(F.col("key").alias("key_s"), "vh")
-        .join(
-            v.select(F.col("key").alias("key_o"), "vh").hint("SHUFFLE_HASH"),
-            "vh",
-        )
-        .filter(F.col("key_s") != F.col("key_o"))
+    pairs = sv.select(F.col("key").alias("key_s"), "vh").join(
+        v.select(F.col("key").alias("key_o"), "vh").hint("SHUFFLE_HASH"),
+        "vh",
     )
-    return pairs.select(
-        F.least("key_s", "key_o").alias("key_x"),
-        F.greatest("key_s", "key_o").alias("key_y"),
-    ).distinct()
+    return canonicalize_pairs(pairs, "key_s", "key_o")
 
 
 def column_sketches(
@@ -121,10 +116,18 @@ def column_sketches(
     string, so a merged column sketch is bit-identical to line-mode
     sketching the newline-joined value document
     (column_sets_to_documents parity, pinned in tests/test_discovery.py).
-    Values that strip to nothing contribute no element (the content-doc
-    path drops them too) but still count in the exact cardinality —
-    identical for whitespace-clean value sets, which the melt
-    guarantees by dropping null/empty values.
+
+    Input assumption — trimmed, newline-free values (the shape melted
+    relational scalars actually have; melt_parquet_columns drops
+    whitespace-only values to hold it).  Outside that shape the SKETCH
+    drifts from the declared exact cardinality: a value stripping to
+    nothing under line-mode's separator set contributes no element but
+    still counts; ' a' and 'a' sketch identically but count as two; an
+    embedded newline sketches as multiple elements.  All of it skews
+    only the LSH leg's estimates (bounded by the fraction of such
+    values) — the exact small-set probe leg and the exact verification
+    compare raw values and are unaffected.  Callers with padded or
+    multiline string columns should pre-normalize.
     """
     if config.sketch_type != "minhash":
         raise ValueError(

@@ -263,7 +263,12 @@ def decontaminate_bloom(
     g_train = train.select(
         F.col(key_col).alias("key"), F.explode(grams).alias("gram")
     )
-    g_eval = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    # persist: the eval explode+distinct (the expensive eval-side
+    # shuffle) feeds BOTH the bloom build (collected eagerly below) and
+    # the exact re-verify semi-join — without the persist it runs twice
+    g_eval = (
+        eval_df.select(F.explode(grams).alias("gram")).distinct().persist()
+    )
     bloom = build_bloom(
         g_eval.select(F.xxhash64("gram").alias("h")), "h", m_bits, k_hashes
     )

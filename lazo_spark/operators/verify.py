@@ -290,8 +290,15 @@ def verify_set_candidates(
     ``with_sizes=True`` keeps the exact set sizes (nx, ny) on the
     output for callers whose domain predicates need them (e.g. the
     hybrid discovery query's small-set clause).
+
+    Candidates are deduped here, NOT just as hygiene: a duplicated
+    (x, y) row would flow through the x-side expansion twice and the
+    pair aggregation would fold both copies into ix = 2|intersection|
+    — silently doubled scores (verify_candidates above only duplicates
+    output rows; this shape double-COUNTS).  The distinct is one tiny
+    shuffle on the pair relation.
     """
-    cands = candidates.select("key_x", "key_y")
+    cands = candidates.select("key_x", "key_y").distinct()
     keys = (
         cands.select(F.col("key_x").alias("key"))
         .union(cands.select(F.col("key_y").alias("key")))

@@ -117,7 +117,14 @@ def melt_parquet_columns(spark: SparkSession, sf_dir: str, spec) -> DataFrame:
         m = (
             df.select(*proj)
             .selectExpr(f"stack({len(cols)}, {stack_args}) as (key, value)")
-            .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+            # drop null / empty / whitespace-only values: a value with
+            # no line-mode sketch element would still count in the
+            # exact cardinality, skewing the LSH leg's estimates
+            # (operators/discovery.py docstring) — and space-trim is
+            # expressible identically in the DuckDB twin
+            .filter(
+                F.col("value").isNotNull() & (F.trim(F.col("value")) != "")
+            )
         )
         out = m if out is None else out.unionAll(m)
     return out
