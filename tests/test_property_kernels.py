@@ -1,0 +1,72 @@
+"""Hypothesis property pins for the mergeable-sketch and bloom kernels
+(pure NumPy — no Spark session, so these stay fast).
+
+  * MinHash mergeability: sig(A U B) == elementwise-min(sig(A), sig(B))
+    for ANY split of any hash multiset — the theorem
+    operators/discovery.column_sketches' distributed partial-combine
+    rests on (MinHash.java:85-99 semantics).
+  * Merge associativity/commutativity across arbitrary 3-way splits.
+  * Bloom: no false negatives for ANY insert set / m / k (the
+    exactness argument of decontaminate_bloom), and positions in range.
+"""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lazo_spark.functions.bloom import bloom_positions, _test_bits
+from lazo_spark.functions.sketch_kernels import minhash_sigs
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+def _sig(hashes: list[int], k: int = 16) -> np.ndarray:
+    flat = np.asarray(hashes, dtype=np.int64)
+    offsets = np.asarray([0, len(flat)], dtype=np.int64)
+    return minhash_sigs(flat, offsets, k)[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(i64, min_size=1, max_size=40), st.integers(0, 40))
+def test_minhash_merge_is_union(hashes, cut):
+    cut = min(cut, len(hashes) - 1)
+    a, b = hashes[: cut + 1], hashes[cut + 1 :]
+    whole = _sig(hashes)
+    parts = (
+        np.minimum(_sig(a), _sig(b)) if b else _sig(a)
+    )
+    assert (whole == parts).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(i64, min_size=1, max_size=15),
+    st.lists(i64, min_size=1, max_size=15),
+    st.lists(i64, min_size=1, max_size=15),
+)
+def test_minhash_merge_assoc_comm(a, b, c):
+    sa, sb, sc = _sig(a), _sig(b), _sig(c)
+    left = np.minimum(np.minimum(sa, sb), sc)
+    right = np.minimum(sa, np.minimum(sb, sc))
+    swapped = np.minimum(np.minimum(sc, sa), sb)
+    assert (left == right).all() and (left == swapped).all()
+    assert (left == _sig(a + b + c)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(i64, min_size=1, max_size=200, unique=True),
+    st.sampled_from([1 << 10, 1 << 13, 1 << 16]),
+    st.integers(min_value=1, max_value=10),
+)
+def test_bloom_never_false_negative(hashes, m_bits, k):
+    h = np.asarray(hashes, dtype=np.int64)
+    pos = bloom_positions(h, m_bits, k)
+    assert (pos < m_bits).all()
+    packed = np.zeros(m_bits // 8, dtype=np.uint8)
+    byte = (pos >> np.uint64(3)).astype(np.int64).ravel()
+    mask = np.left_shift(
+        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8).ravel(),
+        dtype=np.uint8,
+    )
+    np.bitwise_or.at(packed, byte, mask)
+    assert _test_bits(packed, pos).all()
