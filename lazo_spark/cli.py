@@ -65,9 +65,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
     p.add_argument(
-        "--phase", choices=["full", "sketch-lsh"], default="full",
+        "--phase", choices=["full", "sketch-lsh", "discover"], default="full",
         help="sketch-lsh: stop after candidate generation (the BASELINE "
-        "throughput metric is files/sec of the sketch+LSH phase)",
+        "throughput metric is files/sec of the sketch+LSH phase). "
+        "discover: data-lake join discovery — --input is a directory of "
+        "parquet tables (melted automatically) or a melted (key, value) "
+        "parquet; emits joinable column pairs at --jcx-threshold, "
+        "estimated (reference Lazo-in-Aurum behavior) or, with --verify, "
+        "exact over the hybrid LSH + small-set-probe candidate domain "
+        "(operators/discovery.py)",
     )
     return p
 
@@ -107,6 +113,9 @@ def main(argv: list[str] | None = None) -> dict:
         jcx_threshold=args.jcx_threshold,
         bucket_cap=args.bucket_cap,
     )
+    if args.phase == "discover":
+        return _run_discover(spark, args)
+
     source = read_table(spark, args.input)
     n_files = source.count()
 
@@ -175,6 +184,87 @@ def main(argv: list[str] | None = None) -> dict:
         with open(args.metrics_out, "w") as f:
             json.dump(metrics, f, indent=2)
     print(json.dumps(metrics))
+    return metrics
+
+
+def _run_discover(spark, args) -> dict:
+    """Data-lake join discovery (the reference's Aurum use case) via the
+    same CLI surface: melt -> distributed column sketches -> banded-LSH
+    candidates (estimates at the configured thresholds), or with
+    --verify the hybrid candidate stage (widened LSH floor + exact
+    small-set probe) followed by exact set-containment verification —
+    exact over the hybrid-discoverable domain (js above the LSH floor
+    OR a small side; see operators/discovery.py for why sketch indexes
+    cannot see tiny-in-huge containments)."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.operators.discovery import (
+        column_sketches,
+        small_set_probe_candidates,
+    )
+    from lazo_spark.operators.lazo import lazo_pairs
+    from lazo_spark.operators.verify import verify_set_candidates
+    from lazo_spark.sources.readers import melt_directory
+
+    t0 = time.time()
+    if _os.path.isdir(args.input) and glob.glob(
+        _os.path.join(args.input, "*.parquet")
+    ):
+        melted = melt_directory(spark, args.input)
+    else:
+        melted = spark.read.parquet(args.input).select("key", "value")
+    vals = melted.distinct().persist()
+
+    if args.verify:
+        cfg = LazoConfig(
+            k=args.k, shingle_mode="line", js_threshold=0.0,
+            jcx_threshold=min(args.jcx_threshold, 0.3),
+            bucket_cap=args.bucket_cap,
+        )
+    else:
+        cfg = LazoConfig(
+            k=args.k, shingle_mode="line",
+            js_threshold=args.js_threshold,
+            jcx_threshold=args.jcx_threshold,
+            bucket_cap=args.bucket_cap,
+        )
+    sk = column_sketches(vals, cfg)
+    cands = lazo_pairs(sk, cfg, salt=True)
+    if args.verify:
+        hybrid = (
+            cands.select("key_x", "key_y")
+            .union(small_set_probe_candidates(vals, max_card=256))
+            .distinct()
+        )
+        pairs = verify_set_candidates(
+            hybrid, vals,
+            js_threshold=args.js_threshold or None,
+            jcx_threshold=args.jcx_threshold,
+            assume_distinct=True,
+        )
+    else:
+        pairs = cands
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+
+    elapsed = time.time() - t0
+    metrics = {
+        "phase": "discover",
+        "verified": bool(args.verify),
+        "columns": sk.count(),
+        "values": vals.count(),
+        "pairs": spark.read.parquet(f"{args.output}/pairs").count(),
+        "seconds": round(elapsed, 3),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "config_fingerprint": cfg.fingerprint(),
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            _json.dump(metrics, f, indent=2)
+    print(_json.dumps(metrics))
     return metrics
 
 

@@ -130,6 +130,34 @@ def melt_parquet_columns(spark: SparkSession, sf_dir: str, spec) -> DataFrame:
     return out
 
 
+def melt_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Melt every engine-renderable column of every ``*.parquet`` table
+    under ``path`` (the whole "data lake") into (key, value) rows —
+    spec inferred from the parquet schemas: integral types -> 'int',
+    string -> 'str', date/timestamp -> 'date'; float/decimal/binary/
+    nested are skipped (their text renderings are engine-specific —
+    see melt_parquet_columns)."""
+    import glob
+
+    spec = []
+    for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        t = os.path.basename(p)[: -len(".parquet")]
+        for f in spark.read.parquet(p).schema.fields:
+            dt = f.dataType.simpleString()
+            if dt in ("tinyint", "smallint", "int", "bigint"):
+                kind = "int"
+            elif dt == "string":
+                kind = "str"
+            elif dt == "date" or dt.startswith("timestamp"):
+                kind = "date"
+            else:
+                continue
+            spec.append((t, f.name, kind))
+    if not spec:
+        raise ValueError(f"no meltable parquet columns under {path}")
+    return melt_parquet_columns(spark, path, spec)
+
+
 def read_column_file(spark: SparkSession, path: str, key: str | None = None) -> DataFrame:
     """One value per line -> (key, value) distinct rows
     (OOPHLSHSimilarity.java:99-114)."""

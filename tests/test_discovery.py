@@ -155,6 +155,26 @@ def test_discovery_candidates_complete_in_domain(spark):
     vals.unpersist()
 
 
+def test_cli_discover_verified(spark, tmp_path):
+    """The spark-submit discovery surface end-to-end in-process: melt
+    the whole sf0.001 lake directory, hybrid candidates, exact verify,
+    parquet pair sink + metrics dict."""
+    if not os.path.exists(os.path.join(SF_DIR, "nation.parquet")):
+        pytest.skip("driver testdata missing")
+    from lazo_spark.cli import main
+
+    out = str(tmp_path / "disc")
+    m = main([
+        "--phase", "discover", "--input", SF_DIR, "--output", out,
+        "--jcx-threshold", "0.8", "--verify",
+    ])
+    assert m["phase"] == "discover" and m["verified"]
+    assert m["columns"] >= 29 and m["pairs"] > 0
+    got = spark.read.parquet(os.path.join(out, "pairs"))
+    assert {"key_x", "key_y", "js", "jcx", "jcy"} <= set(got.columns)
+    assert got.count() == m["pairs"]
+
+
 def test_melt_parquet_columns_shape(spark):
     if not os.path.exists(os.path.join(SF_DIR, "nation.parquet")):
         pytest.skip("driver testdata missing")
