@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 
 from ..config import LazoConfig
 from ..functions.shingles import shingle_hashes
-from ..functions.sketch_kernels import minhash_sigs
+from ..functions.sketch_kernels import minhash_sigs, oph_densify, oph_raw_sigs
 from .sketch import SKETCH_SCHEMA, band_hashes_r1
 
 _PARTIAL_SCHEMA = "key string, psig array<long>, pn long"
@@ -105,12 +105,16 @@ def column_sketches(
     (SKETCH_SCHEMA: key, sha, cardinality, signature, band_hashes,
     simhash).  See module docstring for the two-stage merge shape.
 
-    Only sketch_type='minhash' merges exactly (elementwise min); OPH
-    raw bins would merge the same way but densification must run after
-    the final merge — not wired up until a caller needs it.  Only
-    cardinality='exact' is supported: the summed partial counts ARE the
-    distinct-value count (callers wanting clearspring-HLL parity merge
-    HLL registers instead — functions/hll.py has the kernels).
+    Both sketch families merge exactly: minhash signatures are an
+    elementwise signed min, and OPH RAW bins (empty = Long.MAX_VALUE,
+    occupied = signed min — sketch_kernels.oph_raw_sigs) min-merge the
+    same way, with the reference's optimal densification applied ONCE
+    to the fully-merged bins (densify commutes with nothing, so it must
+    run after the last merge; pinned against the content-doc path).
+    Only cardinality='exact' is supported: the summed partial counts
+    ARE the distinct-value count (callers wanting clearspring-HLL
+    parity merge HLL registers instead — functions/hll.py has the
+    kernels).
 
     Per-value element hash = the line-mode shingle hash of the value
     string, so a merged column sketch is bit-identical to line-mode
@@ -129,17 +133,15 @@ def column_sketches(
     compare raw values and are unaffected.  Callers with padded or
     multiline string columns should pre-normalize.
     """
-    if config.sketch_type != "minhash":
-        raise ValueError(
-            "column_sketches merges minhash signatures only "
-            f"(got sketch_type={config.sketch_type!r})"
-        )
+    if config.sketch_type not in ("minhash", "oph"):
+        raise ValueError(f"unknown sketch_type {config.sketch_type!r}")
     if config.cardinality != "exact":
         raise ValueError(
             "column_sketches computes exact merged cardinalities only "
             f"(got cardinality={config.cardinality!r})"
         )
     k, seed = config.k, config.seed
+    oph = config.sketch_type == "oph"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,7 +158,11 @@ def column_sketches(
                 np.concatenate(([True], keys[1:] != keys[:-1]))
             )
             bounds = np.concatenate((change, [len(keys)]))
-            sigs = minhash_sigs(h, offsets[bounds], k, seed)
+            sigs = (
+                oph_raw_sigs(h, offsets[bounds], k)  # RAW bins: mergeable
+                if oph
+                else minhash_sigs(h, offsets[bounds], k, seed)
+            )
             yield pd.DataFrame(
                 {
                     "key": keys[change],
@@ -172,6 +178,8 @@ def column_sketches(
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sig = np.minimum.reduce(np.stack(pdf["psig"].to_numpy()), axis=0)
+        if oph:
+            sig = oph_densify(sig[None, :], k, seed)[0]
         bands = band_hashes_r1(sig[None, :])[0]
         return pd.DataFrame(
             {

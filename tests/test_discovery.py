@@ -48,11 +48,13 @@ def _values_df(spark):
     return spark.createDataFrame(rows, "key string, value string")
 
 
-def test_column_sketches_match_content_doc_path(spark):
+@pytest.mark.parametrize("sketch_type", ["minhash", "oph"])
+def test_column_sketches_match_content_doc_path(spark, sketch_type):
     """Merged per-value sketch == line-mode sketch of the joined doc,
-    signature and exact cardinality both (mergeability pin)."""
+    signature and exact cardinality both (mergeability pin) — for both
+    sketch families (OPH merges RAW bins, densifies once at the end)."""
     vals = _values_df(spark)
-    cfg = LazoConfig(shingle_mode="line")
+    cfg = LazoConfig(shingle_mode="line", sketch_type=sketch_type)
     merged = {
         r["key"]: r
         for r in column_sketches(vals, cfg).collect()
@@ -68,11 +70,12 @@ def test_column_sketches_match_content_doc_path(spark):
         assert merged[k]["cardinality"] == ref[k]["cardinality"], k
 
 
-def test_column_sketches_partitioning_independent(spark):
+@pytest.mark.parametrize("sketch_type", ["minhash", "oph"])
+def test_column_sketches_partitioning_independent(spark, sketch_type):
     """Same sketches whether the melt arrives in 1 partition or 16
     shuffled ones (partial-merge associativity/commutativity)."""
     vals = _values_df(spark)
-    cfg = LazoConfig(shingle_mode="line")
+    cfg = LazoConfig(shingle_mode="line", sketch_type=sketch_type)
     one = {
         r["key"]: (r["signature"], r["cardinality"])
         for r in column_sketches(vals.coalesce(1), cfg).collect()
