@@ -210,29 +210,61 @@ def _run_discover(spark, args) -> dict:
     from lazo_spark.sources.readers import melt_directory
 
     t0 = time.time()
-    if _os.path.isdir(args.input) and glob.glob(
-        _os.path.join(args.input, "*.parquet")
-    ):
+    # route by SCHEMA, not directory shape: a Spark-written melted
+    # relation is itself a directory of part-*.parquet files, which a
+    # glob test would misread as a lake of tables named "part-...".
+    table_files = (
+        sorted(glob.glob(_os.path.join(args.input, "*.parquet")))
+        if _os.path.isdir(args.input)
+        else []
+    )
+    probe_cols = set(
+        spark.read.parquet(table_files[0] if table_files else args.input)
+        .columns
+    )
+    if table_files and probe_cols != {"key", "value"}:
         melted = melt_directory(spark, args.input)
     else:
-        melted = spark.read.parquet(args.input).select("key", "value")
+        # pre-melted (key, value) input: enforce the same validSet
+        # filter the melt applies — column_sketches' exact-cardinality
+        # contract requires no null/whitespace-only values
+        from pyspark.sql import functions as F
+
+        melted = (
+            spark.read.parquet(args.input)
+            .select("key", "value")
+            .filter(
+                F.col("value").isNotNull() & (F.trim(F.col("value")) != "")
+            )
+        )
     vals = melted.distinct().persist()
 
     if args.verify:
         cfg = LazoConfig(
-            k=args.k, shingle_mode="line", js_threshold=0.0,
+            k=args.k, sketch_type=args.sketch_type,
+            shingle_mode="line", js_threshold=0.0,
             jcx_threshold=min(args.jcx_threshold, 0.3),
             bucket_cap=args.bucket_cap,
         )
     else:
         cfg = LazoConfig(
-            k=args.k, shingle_mode="line",
+            k=args.k, sketch_type=args.sketch_type,
+            shingle_mode="line",
             js_threshold=args.js_threshold,
             jcx_threshold=args.jcx_threshold,
             bucket_cap=args.bucket_cap,
         )
-    sk = column_sketches(vals, cfg)
-    cands = lazo_pairs(sk, cfg, salt=True)
+    # the sketch relation feeds the salt-count pass / both band-join
+    # sides / the key join-back / the metrics count — persist it (same
+    # rationale as the sketch-lsh phase above)
+    sk = column_sketches(vals, cfg).persist()
+    # salting splits oversized band buckets and only pairs within a
+    # shard — fine for the estimated mode, but it would break the
+    # verified mode's "exact over the hybrid domain" claim (the recall
+    # pin and the oracle both run unsalted), so --verify runs unsalted:
+    # hot low-cardinality buckets are exactly what the small-set probe
+    # leg absorbs
+    cands = lazo_pairs(sk, cfg, salt=not args.verify)
     if args.verify:
         hybrid = (
             cands.select("key_x", "key_y")

@@ -107,12 +107,16 @@ def melt_parquet_columns(spark: SparkSession, sf_dir: str, spec) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         proj = []
         for i, (c, kind) in enumerate(cols):
-            col = F.col(c)
+            # df[c] resolves the LITERAL column name (no dot/backtick
+            # parsing) — melt_directory feeds arbitrary lake schemas
+            col = df[c]
             if kind == "date":
                 col = F.to_date(col)
             proj.append(col.cast("string").alias(f"__v{i}"))
         stack_args = ", ".join(
-            f"'{t}.{c}', __v{i}" for i, (c, _) in enumerate(cols)
+            # the key is a SQL string literal: double embedded quotes
+            "'{0}', __v{1}".format(f"{t}.{c}".replace("'", "''"), i)
+            for i, (c, _) in enumerate(cols)
         )
         m = (
             df.select(*proj)
@@ -146,9 +150,16 @@ def melt_directory(spark: SparkSession, path: str) -> DataFrame:
             dt = f.dataType.simpleString()
             if dt in ("tinyint", "smallint", "int", "bigint"):
                 kind = "int"
-            elif dt == "string":
+            elif dt.startswith("timestamp"):
+                # LOSSLESS full-timestamp rendering ('str' = plain string
+                # cast), never date truncation: truncating would collapse
+                # distinct instants and invent exactly-verified "joins"
+                # between columns whose real values never match (and
+                # shrink cardinalities under the small-probe threshold)
                 kind = "str"
-            elif dt == "date" or dt.startswith("timestamp"):
+            elif dt in ("string",):
+                kind = "str"
+            elif dt == "date":
                 kind = "date"
             else:
                 continue
