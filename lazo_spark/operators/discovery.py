@@ -3,8 +3,15 @@ distributed aggregation over melted (column, value) rows.
 
 This is the reference library's production use case (Lazo inside Aurum:
 sketch every column of every table in a data lake, query the index for
-joinable/similar columns — LazoBenchmark.java:207-235 sketches column
-value sets one value at a time via update(value)).  The existing
+joinable/similar columns — the ICDE'19 Lazo paper's deployment setting;
+LazoBenchmark.java:207-235 sketches column value sets one value at a
+time via update(value)).  The hybrid small-set probe below addresses
+the known structural gap of Jaccard-banded indexes for asymmetric
+containment across extreme cardinality ratios — the problem
+cardinality-partitioned designs like LSH Ensemble (Zhu et al.,
+VLDB'16) target; for genuinely SMALL sets an exact inverted-index
+probe is both cheaper and deterministic, which is what makes the
+brute-force oracle achievable.  The existing
 single-column path (`sources/readers.column_sets_to_documents`)
 reproduces that by concatenating a column's whole value set into ONE
 document row and line-mode sketching it — fine for a handful of demo
