@@ -1119,6 +1119,29 @@ def _discovery_values(spark, sf_dir):
     return melt_parquet_columns(spark, sf_dir, _DISCOVERY_COLS).distinct()
 
 
+def _verified_joinable(cands, vals):
+    """Shared tail of every hybrid-discovery query: exact set
+    verification at jcx >= 0.8 (either direction) restricted to the
+    hybrid index's provable domain (js >= 0.4, where the widened LSH
+    floor is ~5 sigma safe, OR min-cardinality <= 256, where the exact
+    probe is complete), rounded for engine-stable comparison."""
+    from lazo_spark.operators.verify import verify_set_candidates
+
+    ver = verify_set_candidates(
+        cands, vals, jcx_threshold=0.8, assume_distinct=True,
+        with_sizes=True,
+    )
+    return (
+        ver.filter((F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256))
+        .select(
+            "key_x", "key_y",
+            F.round("js", 6).alias("js"),
+            F.round("jcx", 6).alias("jcx"),
+            F.round("jcy", 6).alias("jcy"),
+        )
+    )
+
+
 def q_joinable_columns(spark, sf_dir):
     """Lazo's production data-discovery use case end-to-end (Lazo inside
     Aurum: find joinable column pairs across a data lake): melt all 29
@@ -1158,7 +1181,6 @@ def q_joinable_columns(spark, sf_dir):
         column_sketches,
         small_set_probe_candidates,
     )
-    from lazo_spark.operators.verify import verify_set_candidates
 
     vals = _discovery_values(spark, sf_dir).persist()
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
@@ -1168,21 +1190,7 @@ def q_joinable_columns(spark, sf_dir):
         .union(small_set_probe_candidates(vals, max_card=256))
         .distinct()
     )
-    ver = verify_set_candidates(
-        cands, vals, jcx_threshold=0.8, assume_distinct=True,
-        with_sizes=True,
-    )
-    return (
-        ver.filter(
-            (F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256)
-        )
-        .select(
-            "key_x", "key_y",
-            F.round("js", 6).alias("js"),
-            F.round("jcx", 6).alias("jcx"),
-            F.round("jcy", 6).alias("jcy"),
-        )
-    )
+    return _verified_joinable(cands, vals)
 
 
 def q_joinable_columns_incremental(spark, sf_dir):
@@ -1204,7 +1212,6 @@ def q_joinable_columns_incremental(spark, sf_dir):
         column_sketches,
         small_set_probe_candidates,
     )
-    from lazo_spark.operators.verify import verify_set_candidates
     from lazo_spark.sources.index_store import (
         create_index,
         delta_pairs_indexed,
@@ -1224,19 +1231,78 @@ def q_joinable_columns_incremental(spark, sf_dir):
         F.col("key_x").startswith("lineitem.")
         | F.col("key_y").startswith("lineitem.")
     )
-    ver = verify_set_candidates(
-        lsh.union(probe).distinct(), vals,
-        jcx_threshold=0.8, assume_distinct=True, with_sizes=True,
+    return _verified_joinable(lsh.union(probe).distinct(), vals)
+
+
+def _repo_manifests(spark, sf_dir):
+    """Synthetic repository-grained corpus with PLANTED forks, built from
+    integer arithmetic only so the DuckDB twin reproduces it verbatim:
+    the documents table's files are grouped into 20 repositories
+    (``repo_<doc_id % 20>``) and every 4th repository is forked, with
+    m = doc_id % 100 deciding each file's fate in the fork — m < 85
+    kept byte-identical, 85 <= m < 95 mutated (a patch line appended,
+    so a fresh sha), m >= 95 dropped.  Returns the distinct
+    (key=repo, value=sha256-hex) file-MANIFEST relation the discovery
+    machinery consumes; at the driver scales this plants five fork
+    pairs spanning three regimes (byte-identical copy, 10% of files
+    mutated, 20% of files dropped)."""
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
-    return (
-        ver.filter((F.col("js") >= 0.4) | (F.least("nx", "ny") <= 256))
-        .select(
-            "key_x", "key_y",
-            F.round("js", 6).alias("js"),
-            F.round("jcx", 6).alias("jcx"),
-            F.round("jcy", 6).alias("jcy"),
-        )
+    rid = (F.col("doc_id") % 20).cast("string")
+    m = F.col("doc_id") % 100
+    base = docs.select(
+        F.concat(F.lit("repo_"), rid).alias("key"),
+        F.sha2(F.col("text"), 256).alias("value"),
     )
+    fork = docs.filter(((F.col("doc_id") % 20) % 4 == 0) & (m < 95)).select(
+        F.concat(F.lit("fork_"), rid).alias("key"),
+        F.sha2(
+            F.when(
+                m >= 85, F.concat(F.col("text"), F.lit("\n// fork patch"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("value"),
+    )
+    return base.unionAll(fork).distinct()
+
+
+def q_repo_near_forks(spark, sf_dir):
+    """Repository-level near-fork detection — the repo-granularity dedup
+    pass a source-code corpus pipeline runs BEFORE file-level MinHash
+    (The-Stack-style: drop near-forks wholesale rather than pay
+    file-pairwise verification across them): each repository is
+    summarized by its file-sha256 manifest SET, manifests are sketched
+    distributedly (operators/discovery.py — a repo's manifest never
+    materializes in one row, so a 10M-file monorepo streams through the
+    same mergeable-partials path as everything else), and the same
+    hybrid index as q_joinable_columns (banded LSH at a widened 0.3
+    floor + exact small-manifest probe) generates candidate repo pairs,
+    exact-verified by manifest containment at jcx >= 0.8.
+
+    The input repos are synthesized deterministically from the
+    documents table (_repo_manifests); the expected pair set (five
+    planted forks, three regimes) is value-pinned in
+    tests/test_repo_forks.py, and the DuckDB twin replays the identical
+    integer-arithmetic construction, so a green hash-match covers the
+    manifest melt, candidate completeness over the query domain, and
+    the exact verification scores."""
+    from lazo_spark.operators.discovery import (
+        column_sketches,
+        small_set_probe_candidates,
+    )
+
+    vals = _repo_manifests(spark, sf_dir).persist()
+    cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+    sk = column_sketches(vals, cfg)
+    cands = (
+        lazo_pairs(sk, cfg).select("key_x", "key_y")
+        .union(small_set_probe_candidates(vals, max_card=256))
+        .distinct()
+    )
+    return _verified_joinable(cands, vals)
 
 
 def q_merged_lang_sketches(spark, sf_dir):
@@ -1449,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_sets": q_column_sets,
         "joinable_columns": q_joinable_columns,
         "joinable_columns_incremental": q_joinable_columns_incremental,
+        "repo_near_forks": q_repo_near_forks,
         "decontaminate_bloom": q_decontaminate_bloom,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
@@ -2146,6 +2213,44 @@ def oracle_sql() -> dict[str, str]:
     sql["joinable_columns_incremental"] = _discovery_oracle_sql(
         "(key_x LIKE 'lineitem.%' OR key_y LIKE 'lineitem.%')"
     )
+    # repo-level near-fork detection: the twin replays _repo_manifests'
+    # integer-arithmetic fork construction verbatim (sha256/CHR(10)/||
+    # render identically in both engines), then brute-forces manifest
+    # containment over the same domain as the column-discovery oracle
+    sql["repo_near_forks"] = """
+        WITH files AS (
+            SELECT 'repo_' || CAST(doc_id % 20 AS VARCHAR) AS key,
+                   sha256(text) AS value
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            UNION ALL
+            SELECT 'fork_' || CAST(doc_id % 20 AS VARCHAR) AS key,
+                   sha256(CASE WHEN doc_id % 100 >= 85
+                               THEN text || CHR(10) || '// fork patch'
+                               ELSE text END) AS value
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+              AND (doc_id % 20) % 4 = 0 AND doc_id % 100 < 95
+        ),
+        d AS (SELECT DISTINCT key, value FROM files),
+        card AS (SELECT key, COUNT(*) AS n FROM d GROUP BY key),
+        ix AS (
+            SELECT a.key AS key_x, b.key AS key_y, COUNT(*) AS i
+            FROM d a JOIN d b ON a.value = b.value AND a.key < b.key
+            GROUP BY 1, 2
+        )
+        SELECT key_x, key_y,
+               ROUND(CAST(i AS DOUBLE) / (nx.n + ny.n - i), 6) AS js,
+               ROUND(CAST(i AS DOUBLE) / nx.n, 6) AS jcx,
+               ROUND(CAST(i AS DOUBLE) / ny.n, 6) AS jcy
+        FROM ix
+        JOIN card nx ON ix.key_x = nx.key
+        JOIN card ny ON ix.key_y = ny.key
+        WHERE (CAST(i AS DOUBLE) / nx.n >= 0.8
+               OR CAST(i AS DOUBLE) / ny.n >= 0.8)
+          AND (CAST(i AS DOUBLE) / (nx.n + ny.n - i) >= 0.4
+               OR LEAST(nx.n, ny.n) <= 256)
+    """
     # bloom prefilter + exact verify == the broadcast-set exact join:
     # same deterministic output, same oracle (see q_decontaminate_bloom)
     sql["decontaminate_bloom"] = sql["decontaminate"]

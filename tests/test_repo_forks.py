@@ -1,0 +1,77 @@
+"""Repository-level near-fork detection (q_repo_near_forks): the
+repo-granularity dedup pass over file-sha manifests.
+
+Pins, on the real sf0.001 documents table (500 files, doc_ids 0..499,
+all-distinct shas — so manifest overlap comes ONLY from the planted
+forks, making the expected pair set a closed-form function of the
+integer-arithmetic construction in _repo_manifests):
+
+  * exactly the five planted fork pairs survive jcx >= 0.8, with exact
+    scores per regime — byte-identical copy (repos 0 and 4: every
+    member's m = doc_id % 100 stays < 85, so js = jcx = jcy = 1),
+    five files mutated (repos 8 and 12: m = 88 / 92 hits [85, 95), so
+    |intersection| = 20 of 25-vs-25, js = 2/3, jcx = jcy = 0.8), and
+    five files dropped (repo 16: m = 96 >= 95, fork is a 20-file
+    strict subset, jcx = 1, jcy = js = 0.8);
+  * the banded-LSH candidate leg ALONE (no small-set probe) already
+    surfaces all five pairs at the widened 0.3 floor — the fork pairs
+    sit at js >= 2/3, far inside the index's discoverable band, so the
+    hybrid union is belt-and-braces here, not load-bearing.
+"""
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.discovery import column_sketches
+from lazo_spark.operators.lazo import lazo_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXPECTED = {
+    ("fork_0", "repo_0"): (1.0, 1.0, 1.0),
+    ("fork_4", "repo_4"): (1.0, 1.0, 1.0),
+    ("fork_8", "repo_8"): (0.666667, 0.8, 0.8),
+    ("fork_12", "repo_12"): (0.666667, 0.8, 0.8),
+    ("fork_16", "repo_16"): (0.8, 1.0, 0.8),
+}
+
+
+def test_planted_fork_pairs_exact_scores(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_repo_near_forks(spark, SF_DIR).collect()
+    got = {(r.key_x, r.key_y): (r.js, r.jcx, r.jcy) for r in rows}
+    assert got == EXPECTED
+
+
+def test_lsh_leg_alone_finds_every_fork(spark):
+    import __spark_entry__ as entry
+
+    vals = entry._repo_manifests(spark, SF_DIR).persist()
+    try:
+        cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
+        cands = lazo_pairs(column_sketches(vals, cfg), cfg)
+        got = {
+            (r.key_x, r.key_y)
+            for r in cands.select("key_x", "key_y").collect()
+        }
+        assert set(EXPECTED) <= got
+    finally:
+        vals.unpersist()
+
+
+def test_manifest_relation_shape(spark):
+    """25 repos (20 bases + 5 forks); fork sizes reflect the planted
+    drop regime; values are 64-hex shas (the melt never ships
+    content)."""
+    import __spark_entry__ as entry
+
+    vals = entry._repo_manifests(spark, SF_DIR)
+    sizes = {
+        r.key: r.n
+        for r in vals.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(sizes) == 25
+    assert sizes["repo_0"] == 25 and sizes["fork_0"] == 25
+    assert sizes["fork_16"] == 20  # m >= 95 members dropped
+    bad = vals.filter(~F.col("value").rlike(r"^[0-9a-f]{64}$")).count()
+    assert bad == 0
