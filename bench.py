@@ -83,8 +83,15 @@ PIPELINE_OPS = [
     "semdedup",
     "pack_sequences",
     "decontaminate_bloom",
+    "repo_near_forks",
     "joinable_columns",
 ]
+
+# hybrid-discovery heavyweights (many sequential exchange waves —
+# ~30/~50 s at sf0.1): run LAST from leftover budget (bench section 7)
+# so they can never starve the flagship / scaling / cluster-probe
+# sections.  (op, minimum _left() seconds to attempt it)
+TAIL_OPS = [("repo_near_forks", 90), ("joinable_columns", 150)]
 
 # `value` semantics are pinned (round-1/2 convention): sum of FIRST-pASS
 # per-query sweep times, flagship excluded.  Best-of-2 lives under
@@ -671,11 +678,10 @@ def main() -> None:
         for name in PIPELINE_OPS:
             if _left() < 120:
                 break
-            # joinable_columns is the one multi-join heavyweight here
-            # (~50 s at sf0.1): it runs LAST from leftover budget (see
-            # section 7) so it can never starve the flagship / scaling
-            # / cluster-probe sections that follow
-            if name == "joinable_columns":
+            # the hybrid-discovery heavyweights run LAST from leftover
+            # budget (TAIL_OPS, section 7) so they can never starve
+            # the flagship / scaling / cluster-probe sections
+            if name in {n for n, _ in TAIL_OPS}:
                 continue
             tq = time.time()
             n = qs[name](spark, sf_dir).count()
@@ -765,29 +771,41 @@ def main() -> None:
     if scaling_state is not None:
         scaling_retries(out, scaling_state)
 
-    # 7. the heavyweight pipeline op (joinable_columns, ~50 s at sf0.1)
-    # from whatever is left — purely additive evidence, lowest priority
-    if "joinable_columns" in PIPELINE_OPS and _left() > 150:
+    # 7. the heavyweight hybrid-discovery ops (TAIL_OPS) from whatever
+    # is left — purely additive evidence, lowest priority; one shared
+    # session, each op individually budget-gated
+    if TAIL_OPS and _left() > min(gate for _, gate in TAIL_OPS):
+        spark = None
         try:
             import __spark_entry__ as entrymod
 
-            spark = get_spark(
-                "bench-tail", master=f"local[{min(cpus, 8)}]",
-                shuffle_partitions=min(cpus, 16),
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            tq = time.time()
-            n = entrymod.queries()["joinable_columns"](spark, sf_dir).count()
-            out.setdefault("pipeline_ops", {})["joinable_columns"] = round(
-                time.time() - tq, 3
-            )
-            print(f"# joinable_columns: {n} rows in "
-                  f"{out['pipeline_ops']['joinable_columns']}s",
-                  file=sys.stderr, flush=True)
-            _partial["pipeline_ops"] = out["pipeline_ops"]
-            spark.stop()
+            for name, gate in TAIL_OPS:
+                if name not in PIPELINE_OPS or _left() < gate:
+                    continue
+                if spark is None:
+                    spark = get_spark(
+                        "bench-tail", master=f"local[{min(cpus, 8)}]",
+                        shuffle_partitions=min(cpus, 16),
+                    )
+                    spark.sparkContext.setLogLevel("ERROR")
+                tq = time.time()
+                n = entrymod.queries()[name](spark, sf_dir).count()
+                out.setdefault("pipeline_ops", {})[name] = round(
+                    time.time() - tq, 3
+                )
+                print(f"# {name}: {n} rows in "
+                      f"{out['pipeline_ops'][name]}s",
+                      file=sys.stderr, flush=True)
+                _partial["pipeline_ops"] = out["pipeline_ops"]
+            if spark is not None:
+                spark.stop()
         except Exception as e:
             out["pipeline_ops_tail_error"] = str(e)[:200]
+            try:
+                if spark is not None:
+                    spark.stop()
+            except Exception:
+                pass
 
     out["bench_wall_seconds"] = round(time.time() - T0, 3)
     _emit(out)
