@@ -88,10 +88,11 @@ PIPELINE_OPS = [
 ]
 
 # hybrid-discovery heavyweights (many sequential exchange waves —
-# ~30/~50 s at sf0.1): run LAST from leftover budget (bench section 7)
-# so they can never starve the flagship / scaling / cluster-probe
-# sections.  (op, minimum _left() seconds to attempt it)
-TAIL_OPS = [("repo_near_forks", 90), ("joinable_columns", 150)]
+# ~15/~12 s at sf0.1 since verify_set_candidates persists its fan-out
+# relations): run LAST from leftover budget (bench section 7) so they
+# can never starve the flagship / scaling / cluster-probe sections.
+# (op, minimum _left() seconds to attempt it — ~3x the calm runtime)
+TAIL_OPS = [("repo_near_forks", 45), ("joinable_columns", 45)]
 
 # `value` semantics are pinned (round-1/2 convention): sum of FIRST-pASS
 # per-query sweep times, flagship excluded.  Best-of-2 lives under
