@@ -1,0 +1,242 @@
+"""Code-corpus pipeline operators — the admission / hygiene stages a
+source-code training pipeline (The Stack, StarCoder, CodeParrot) runs
+over `(repo, path, lang, content)` tables before and alongside the
+Lazo dedup core: license detection, secret scanning + redaction,
+StarCoder-style quality gating, and Type-2 clone grouping
+(comment / literal / whitespace-insensitive exact groups).
+
+Reference context: mitdbg/lazo is the dedup/sketch kernel of such a
+pipeline (`LazoBenchmark.java:57-75` drives it over a code-file
+directory); these operators are the surrounding corpus stages the
+north rule's 10^12-file deployment needs around it.
+
+Scale shape (shared by all four): every per-document feature is a pure
+Column expression — JVM regex / string ops inside whole-stage codegen,
+scan-fused, shuffle-free.  Only `code_clones` shuffles, and it
+shuffles (group-hash, key) rows — never content.  All regexes are
+written in the common Java-regex / RE2 subset (no lookaround, no
+backreferences) so the DuckDB oracles run the identical patterns.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# License detection (The-Stack-style permissive-license admission)
+# ---------------------------------------------------------------------------
+
+SPDX_PATTERN = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+# (family, header keyword probe) — checked in order on the lowercased
+# header window when no SPDX tag is present.
+LICENSE_KEYWORDS = (
+    ("mit", "%mit license%"),
+    ("apache-2.0", "%apache license%"),
+    ("gpl", "%gnu general public license%"),
+    ("bsd", "%bsd%"),
+)
+PERMISSIVE_FAMILIES = ("mit", "apache-2.0", "bsd")
+
+
+def license_detect(
+    df: DataFrame, key_col: str, content_col: str, *, header_chars: int = 2000
+) -> DataFrame:
+    """(key, spdx, license_family, permissive) — SPDX tag extraction
+    with keyword fallback over the first `header_chars` characters
+    (license headers live at the top of the file; bounding the window
+    keeps the regex cost independent of file size).
+
+    Family mapping: an SPDX id wins and maps by prefix (MIT* → mit,
+    Apache* → apache-2.0, *GPL* → gpl, BSD* → bsd, else other);
+    otherwise the keyword probes fire in precedence order; else
+    unknown.  `permissive` is the admission bit a Stack-style filter
+    keeps.
+    """
+    head = F.substring(F.col(content_col), 1, header_chars)
+    lhead = F.lower(head)
+    spdx = F.nullif(F.regexp_extract(head, SPDX_PATTERN, 1), F.lit(""))
+    lspdx = F.lower(spdx)
+    spdx_family = (
+        F.when(lspdx.like("mit%"), "mit")
+        .when(lspdx.like("apache%"), "apache-2.0")
+        .when(lspdx.like("%gpl%"), "gpl")
+        .when(lspdx.like("bsd%"), "bsd")
+        .otherwise("other")
+    )
+    kw_family = F.lit("unknown")
+    for fam, probe in reversed(LICENSE_KEYWORDS):
+        kw_family = F.when(lhead.like(probe), fam).otherwise(kw_family)
+    family = F.when(spdx.isNotNull(), spdx_family).otherwise(kw_family)
+    return df.select(
+        F.col(key_col).alias("key"),
+        spdx.alias("spdx"),
+        family.alias("license_family"),
+        family.isin(*PERMISSIVE_FAMILIES).alias("permissive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secret scanning + redaction (The Stack runs exactly this pass)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) — patterns in the Java/RE2 common
+# subset; counts are taken on the ORIGINAL text so they are independent
+# of replacement order.  hex40 (sha1-shaped blob) goes LAST in the
+# redaction chain so typed tokens never get half-eaten.
+SECRET_PATTERNS = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    ("api_token", r"ghp_[A-Za-z0-9]{36}", "<API_TOKEN>"),
+    ("hex40", r"\b[0-9a-f]{40}\b", "<HEX40>"),
+)
+
+
+def secret_scan(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """(key, n_aws_key, n_private_key, n_api_token, n_hex40,
+    has_secret, redacted) — credential scrubbing before content leaves
+    the trust boundary: AWS access-key ids, PEM private-key headers,
+    GitHub-style tokens, and bare 40-hex blobs are replaced by typed
+    tokens, with per-pattern counts on the original text.
+    """
+    c = F.col(content_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in SECRET_PATTERNS
+    ]
+    red = c
+    for _, pat, tok in SECRET_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    has = None
+    for name, pat, _ in SECRET_PATTERNS:
+        term = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))) > 0
+        has = term if has is None else (has | term)
+    return df.select(
+        F.col(key_col).alias("key"),
+        *counts,
+        has.alias("has_secret"),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# StarCoder-style quality gate
+# ---------------------------------------------------------------------------
+
+AUTOGEN_PROBES = ("%auto-generated%", "%do not edit%")
+
+
+def code_quality(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    max_line: int = 1000,
+    max_avg_line: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    autogen_window: int = 300,
+) -> DataFrame:
+    """(key, n_lines, max_line_len, avg_line_len, alnum_frac,
+    autogenerated, keep) — the StarCoder/The-Stack file-level quality
+    gate: drop files with any line over `max_line` chars, mean line
+    length over `max_avg_line`, alphanumeric fraction under
+    `min_alnum_frac`, or an auto-generated marker in the first
+    `autogen_window` chars.
+
+    avg_line_len is derived as (n_chars - (n_lines-1)) / n_lines — the
+    newline count fully determines the sum of line lengths, so no
+    per-line aggregation is needed; max_line_len is one
+    array_max(transform(...)) over the split, all inside codegen.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    n_chars = F.length(c).cast("long")
+    max_len = F.array_max(F.transform(lines, F.length)).cast("long")
+    avg_len = F.round((n_chars - (n_lines - 1)) / n_lines, 4)
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")).cast("long")
+    alnum_frac = F.round(alnum / F.greatest(n_chars, F.lit(1)), 4)
+    head = F.lower(F.substring(c, 1, autogen_window))
+    autogen = F.lit(False)
+    for probe in AUTOGEN_PROBES:
+        autogen = autogen | head.like(probe)
+    keep = (
+        (max_len <= max_line)
+        & (avg_len <= max_avg_line)
+        & (alnum_frac >= min_alnum_frac)
+        & ~autogen
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        avg_len.alias("avg_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        autogen.alias("autogenerated"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-2 clone grouping (comment/literal/whitespace-insensitive)
+# ---------------------------------------------------------------------------
+
+# Normalization chain — ORDER MATTERS and is part of the operator's
+# contract: string/char literals are blanked FIRST so comment markers
+# inside strings can't open a false comment (and comment text
+# containing quotes was already a comment when the string pass ran is
+# irrelevant: a quote inside a comment becomes "S…" only if it forms a
+# complete literal, which then gets erased with the comment around it —
+# both engines apply the identical chain, so grouping is deterministic
+# either way).  Numbers then collapse to 0 (Type-2: parameter-
+# substituted literals), whitespace runs to one space.
+CODE_NORM_CHAIN = (
+    (r'"([^"\\\n]|\\.)*"', '"S"'),  # string literals
+    (r"'([^'\\\n]|\\.)'", "'C'"),  # char literals
+    (r"/\*[\s\S]*?\*/", " "),  # block comments (non-greedy)
+    (r"//[^\n]*", " "),  # line comments
+    (r"\b\d+(\.\d+)?\b", "0"),  # numeric literals
+    (r"[ \t\r\n]+", " "),  # whitespace runs
+)
+
+
+def normalize_code(content: Column) -> Column:
+    """Type-2 code normalization as one codegen'd expression chain."""
+    out = content
+    for pat, rep in CODE_NORM_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def code_clones(
+    df: DataFrame, key_col: str, content_col: str, *, min_group: int = 2
+) -> DataFrame:
+    """(key, clone_group, group_size) — Type-2 clone groups: files
+    identical after comment stripping, string/char/number literal
+    substitution and whitespace collapse.  clone_group is the minimum
+    member key; groups below `min_group` members (singletons) drop.
+
+    Scale shape: the scan projects (key, sha256(normalized)) — content
+    never shuffles, only 8-byte keys + 64-hex group digests through
+    ONE hash aggregation (map-side combinable min/count) and the
+    join-back.  Empty-after-normalization files (pure-comment files)
+    are excluded — they are not clones of each other in any useful
+    sense.
+    """
+    norm = normalize_code(F.col(content_col))
+    keyed = df.select(
+        F.col(key_col).alias("key"), F.sha2(norm, 256).alias("grp")
+    ).where(F.length(norm) > 0)
+    groups = keyed.groupBy("grp").agg(
+        F.min("key").alias("clone_group"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups.where(F.col("group_size") >= min_group), "grp")
+        .select("key", "clone_group", "group_size")
+    )
