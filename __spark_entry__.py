@@ -472,16 +472,65 @@ def q_code_clones(spark, sf_dir):
     name = F.when(
         d % 17 == 0, F.concat(F.lit("u"), d.cast("string"))
     ).otherwise(F.concat(F.lit("f"), (d % 50).cast("string")))
-    s = d % 4
+    a, b = _clone_style_cols()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(a, name, b).alias("text")
+    )
+    return code_clones(docs, "doc_id", "text")
+
+
+def _clone_style_cols():
+    """(A, B) style columns selecting CLONE_STYLES pieces by doc_id%4."""
+    s = F.col("doc_id") % 4
     a = F.lit(CLONE_STYLES[3][0])
     b = F.lit(CLONE_STYLES[3][1])
     for i in (2, 1, 0):
         a = F.when(s == i, F.lit(CLONE_STYLES[i][0])).otherwise(a)
         b = F.when(s == i, F.lit(CLONE_STYLES[i][1])).otherwise(b)
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.concat(a, name, b).alias("text")
+    return a, b
+
+
+def q_snippet_clones(spark, sf_dir):
+    """Function-granularity Type-2 clone groups over synthesized
+    multi-function files: fn A cloned across files (family doc_id%25,
+    style-varied), fn B unique per file (must drop as singleton), fn C
+    cloned across files (family doc_id%10, comment-varied) and ALSO
+    duplicated within the file when doc_id%9==0 (n_files < group_size
+    separates within-file repetition from cross-file cloning)."""
+    from lazo_spark.operators.code import snippet_clones
+
+    d = F.col("doc_id")
+    a, b = _clone_style_cols()
+    fn_a = F.concat(a, F.lit("a"), (d % 25).cast("string"), b)
+    fn_b = F.concat(
+        F.lit("int u"), d.cast("string"), F.lit("(int z) { return z - 4; }")
     )
-    return code_clones(docs, "doc_id", "text")
+    c_id = (d % 10).cast("string")
+    fn_c = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("// helper\nint c"), c_id, F.lit("(int q) { return q * 2; }")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("/* helper */\nint c"),
+            c_id,
+            F.lit("(int q) {  return q * 2; }"),
+        )
+    )
+    content = F.concat(fn_a, F.lit("\n\n"), fn_b, F.lit("\n\n"), fn_c)
+    content = F.when(
+        d % 9 == 0, F.concat(content, F.lit("\n\n"), fn_c)
+    ).otherwise(content)
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("text"))
+    out = snippet_clones(docs, "doc_id", "text")
+    return out.select(
+        "key",
+        F.col("fn_index").cast("long").alias("fn_index"),
+        "rep_key",
+        "group_size",
+        "n_files",
+    )
 
 
 def q_semdedup(spark, sf_dir):
@@ -1629,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": q_secret_scan,
         "code_quality": q_code_quality,
         "code_clones": q_code_clones,
+        "snippet_clones": q_snippet_clones,
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
@@ -1948,6 +1998,54 @@ def _code_clones_sql() -> str:
     """
 
 
+def _snippet_clones_sql() -> str:
+    from lazo_spark.operators.code import CODE_NORM_CHAIN, FUNCTION_BOUNDARY
+
+    a = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN e'{_sqle(st[0])}'" for i, st in enumerate(CLONE_STYLES)
+    ) + " END"
+    b = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN e'{_sqle(st[1])}'" for i, st in enumerate(CLONE_STYLES)
+    ) + " END"
+    fn_c = (
+        "CASE WHEN doc_id % 2 = 0"
+        " THEN e'// helper\\nint c' || CAST(doc_id % 10 AS VARCHAR)"
+        " || '(int q) { return q * 2; }'"
+        " ELSE e'/* helper */\\nint c' || CAST(doc_id % 10 AS VARCHAR)"
+        " || '(int q) {  return q * 2; }' END"
+    )
+    norm = "snippet"
+    for pat, rep in CODE_NORM_CHAIN:
+        norm = f"regexp_replace({norm}, '{_sqlq(pat)}', '{_sqlq(rep)}', 'g')"
+    return f"""
+        WITH d AS (SELECT doc_id AS key,
+                     ({a}) || 'a' || CAST(doc_id % 25 AS VARCHAR) || ({b})
+                     || e'\\n\\n' || 'int u' || CAST(doc_id AS VARCHAR)
+                     || '(int z) {{ return z - 4; }}'
+                     || e'\\n\\n' || ({fn_c})
+                     || CASE WHEN doc_id % 9 = 0
+                          THEN e'\\n\\n' || ({fn_c}) ELSE '' END AS content
+                   FROM documents),
+        sp AS (SELECT key,
+                 regexp_split_to_array(content, '{_sqlq(FUNCTION_BOUNDARY)}')
+                   AS arr
+               FROM d),
+        sn AS (SELECT key, u.i - 1 AS fn_index, arr[u.i] AS snippet
+               FROM sp
+               CROSS JOIN unnest(generate_series(1, len(arr))) AS u(i)
+               WHERE length(trim(arr[u.i],
+                     ' ' || chr(9) || chr(13) || chr(10))) > 0),
+        n AS (SELECT key, fn_index, trim({norm}) AS norm FROM sn),
+        nn AS (SELECT * FROM n WHERE length(norm) > 0),
+        g AS (SELECT norm, min(key) AS rep_key, count(*) AS group_size,
+                     count(DISTINCT key) AS n_files
+              FROM nn GROUP BY norm)
+        SELECT nn.key, nn.fn_index, g.rep_key, g.group_size, g.n_files
+        FROM nn JOIN g USING (norm)
+        WHERE g.group_size >= 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "exact_dedup": """
@@ -2204,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "secret_scan": _secret_scan_sql(),
         "code_quality": _code_quality_sql(),
         "code_clones": _code_clones_sql(),
+        "snippet_clones": _snippet_clones_sql(),
         "semdedup": """
             WITH e AS (SELECT vec_id AS key, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -83,6 +83,7 @@ PIPELINE_OPS = [
     "semdedup",
     "pack_sequences",
     "decontaminate_bloom",
+    "code_clones",
     "repo_near_forks",
     "joinable_columns",
 ]

@@ -213,6 +213,66 @@ def normalize_code(content: Column) -> Column:
     return F.trim(out)
 
 
+FUNCTION_BOUNDARY = r"\n[ \t]*\n"
+
+
+def split_functions(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    boundary: str = FUNCTION_BOUNDARY,
+) -> DataFrame:
+    """(key, fn_index, snippet) — split files into function-granularity
+    snippets on blank-line boundaries (the language-agnostic convention
+    separating top-level definitions).  posexplode over a split is a
+    narrow, shuffle-free transform; whitespace-only fragments drop.
+    """
+    parts = F.split(F.col(content_col), boundary, -1)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(parts).alias("fn_index", "snippet"),
+    ).where(F.length(F.btrim(F.col("snippet"), F.lit(" \t\r\n"))) > 0)
+
+
+def snippet_clones(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    boundary: str = FUNCTION_BOUNDARY,
+    min_group: int = 2,
+) -> DataFrame:
+    """(key, fn_index, rep_key, group_size, n_files) — Type-2 clone
+    groups at FUNCTION granularity: the sub-file dedup pass that
+    catches a copied function inside otherwise-distinct files (file-
+    level MinHash dilutes it; line-level dedup shreds it).  Snippets
+    normalize with the same chain as `code_clones`; a group's rep_key
+    is its minimum member file key; `n_files` counts distinct files so
+    within-file repetition is distinguishable from cross-file cloning.
+
+    Scale shape: split+explode is narrow (content stays in place); the
+    one aggregation and the join-back ship (8-byte key, int fn_index,
+    64-hex digest) rows only.  Completes the granularity ladder:
+    repo (`repo_near_forks`) → file (`dedup_clusters`) → function
+    (this) → line (`line_dedup`).
+    """
+    sn = split_functions(df, key_col, content_col, boundary=boundary)
+    norm = normalize_code(F.col("snippet"))
+    keyed = sn.select(
+        "key", "fn_index", F.sha2(norm, 256).alias("grp")
+    ).where(F.length(norm) > 0)
+    groups = keyed.groupBy("grp").agg(
+        F.min("key").alias("rep_key"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("key").alias("n_files"),
+    )
+    return (
+        keyed.join(groups.where(F.col("group_size") >= min_group), "grp")
+        .select("key", "fn_index", "rep_key", "group_size", "n_files")
+    )
+
+
 def code_clones(
     df: DataFrame, key_col: str, content_col: str, *, min_group: int = 2
 ) -> DataFrame:

@@ -8,6 +8,8 @@ from lazo_spark.operators.code import (
     license_detect,
     normalize_code,
     secret_scan,
+    snippet_clones,
+    split_functions,
 )
 
 
@@ -100,6 +102,33 @@ def test_secret_scan_counts_and_redaction(spark):
     assert out[4]["n_hex40"] == 1 and "<HEX40>" in out[4]["redacted"]
     assert out[5]["n_hex40"] == 0 and not out[5]["has_secret"]
     assert not out[6]["has_secret"] and out[6]["redacted"] == rows[5][1]
+
+
+def test_split_functions_boundaries(spark):
+    rows = [(1, "int a() {}\n\nint b() {}\n\n  \t\n\nint c() {}")]
+    out = split_functions(_df(spark, rows), "key", "content").collect()
+    # the whitespace-only fragment between b and c drops
+    snippets = {r["fn_index"]: r["snippet"].strip() for r in out}
+    assert list(snippets.values()).count("") == 0
+    assert {s for s in snippets.values()} == {
+        "int a() {}", "int b() {}", "int c() {}"
+    }
+
+
+def test_snippet_clones_cross_vs_within_file(spark):
+    shared = "int f(int x) { return x + 1; }"
+    rows = [
+        # file 1: shared fn (comment-varied) + a unique fn
+        (1, "// v1\n" + shared + "\n\nint only1() { return 0; }"),
+        # file 2: shared fn twice (within-file dup) + unique fn
+        (2, shared + "\n\nint only2() { return 9; }\n\n/* dup */\n" + shared),
+    ]
+    out = snippet_clones(_df(spark, rows), "key", "content").collect()
+    # only the shared-fn group survives: 3 snippets across 2 files
+    assert len(out) == 3
+    for r in out:
+        assert r["rep_key"] == 1
+        assert r["group_size"] == 3 and r["n_files"] == 2
 
 
 def test_code_quality_gates(spark):
