@@ -533,6 +533,53 @@ def q_snippet_clones(spark, sf_dir):
     )
 
 
+def _stack_content():
+    """Synthesized curation corpus: license header (doc_id%3: MIT /
+    Apache / none), auto-generated marker (%13), a body family (%10),
+    and an embedded AWS credential (%2) whose VALUE varies per doc —
+    so redaction-before-hash is what creates the duplicate groups."""
+    d = F.col("doc_id")
+    hdr = (
+        F.when(d % 3 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(
+            d % 3 == 1,
+            F.lit("// Licensed under the Apache License, Version 2.0\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    autog = F.when(
+        d % 13 == 0, F.lit("// AUTO-GENERATED do not edit\n")
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("int g"),
+        (d % 10).cast("string"),
+        F.lit("(int x) {\n  int y = x + 2;\n  return y;\n}\n"),
+    )
+    secret = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("// token AKIA"),
+            F.lpad(d.cast("string"), 16, "0"),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(hdr, autog, body, secret)
+
+
+def q_stack_pipeline(spark, sf_dir):
+    """The composed code-curation admission flow in ONE plan:
+    permissive-license gate AND StarCoder quality gate, secrets
+    redacted, exact dedup on sha256(redacted) keeping the lowest
+    admitted key.  Docs differing only in credential VALUES must land
+    in one group — redaction creates the duplicates."""
+    from lazo_spark.operators.code import stack_admission
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _stack_content().alias("text")
+    )
+    return stack_admission(docs, "doc_id", "text")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table:
     nearest-of-16-centroids clustering, then within-cluster pruning of
@@ -1679,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "code_clones": q_code_clones,
         "snippet_clones": q_snippet_clones,
+        "stack_pipeline": q_stack_pipeline,
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
@@ -2046,6 +2094,80 @@ def _snippet_clones_sql() -> str:
     """
 
 
+def _stack_pipeline_sql() -> str:
+    from lazo_spark.operators.code import SECRET_PATTERNS, SPDX_PATTERN
+
+    red = "content"
+    for _, pat, rep in SECRET_PATTERNS:
+        red = f"regexp_replace({red}, '{_sqlq(pat)}', '{_sqlq(rep)}', 'g')"
+    return f"""
+        WITH d AS (SELECT doc_id AS key,
+            (CASE doc_id % 3
+               WHEN 0 THEN e'// SPDX-License-Identifier: MIT\\n'
+               WHEN 1 THEN
+                 e'// Licensed under the Apache License, Version 2.0\\n'
+               ELSE '' END)
+            || (CASE WHEN doc_id % 13 = 0
+                  THEN e'// AUTO-GENERATED do not edit\\n' ELSE '' END)
+            || 'int g' || CAST(doc_id % 10 AS VARCHAR)
+            || e'(int x) {{\\n  int y = x + 2;\\n  return y;\\n}}\\n'
+            || (CASE WHEN doc_id % 2 = 0
+                  THEN '// token AKIA'
+                       || lpad(CAST(doc_id AS VARCHAR), 16, '0') || chr(10)
+                  ELSE '' END) AS content
+          FROM documents),
+        lic AS (SELECT key, content,
+                  nullif(regexp_extract(substr(content, 1, 2000),
+                    '{_sqlq(SPDX_PATTERN)}', 1), '') AS spdx,
+                  lower(substr(content, 1, 2000)) AS lhead
+                FROM d),
+        fam AS (SELECT key, content,
+                  CASE WHEN spdx IS NOT NULL THEN
+                    CASE WHEN lower(spdx) LIKE 'mit%' THEN 'mit'
+                         WHEN lower(spdx) LIKE 'apache%' THEN 'apache-2.0'
+                         WHEN lower(spdx) LIKE '%gpl%' THEN 'gpl'
+                         WHEN lower(spdx) LIKE 'bsd%' THEN 'bsd'
+                         ELSE 'other' END
+                  ELSE
+                    CASE WHEN lhead LIKE '%mit license%' THEN 'mit'
+                         WHEN lhead LIKE '%apache license%'
+                           THEN 'apache-2.0'
+                         WHEN lhead LIKE '%gnu general public license%'
+                           THEN 'gpl'
+                         WHEN lhead LIKE '%bsd%' THEN 'bsd'
+                         ELSE 'unknown' END
+                  END AS license_family
+                FROM lic),
+        q AS (SELECT key, content, license_family,
+                CAST(len(string_split(content, chr(10))) AS BIGINT)
+                  AS n_lines,
+                CAST(length(content) AS BIGINT) AS n_chars,
+                CAST(list_max(list_transform(string_split(content, chr(10)),
+                       x -> length(x))) AS BIGINT) AS max_line_len,
+                CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS n_alnum
+              FROM fam),
+        keepq AS (SELECT key, content, license_family
+                  FROM q
+                  WHERE license_family IN ('mit', 'apache-2.0', 'bsd')
+                    AND max_line_len <= 1000
+                    AND round((n_chars - (n_lines - 1)) / n_lines, 4)
+                          <= 100.0
+                    AND round(n_alnum / greatest(n_chars, 1), 4) >= 0.25
+                    AND NOT (lower(substr(content, 1, 300))
+                               LIKE '%auto-generated%'
+                             OR lower(substr(content, 1, 300))
+                               LIKE '%do not edit%')),
+        adm AS (SELECT key, license_family, {red} AS redacted FROM keepq),
+        g AS (SELECT redacted, min(key) AS keeper_id,
+                     count(*) AS group_size
+              FROM adm GROUP BY redacted)
+        SELECT adm.key, adm.license_family, g.keeper_id, g.group_size,
+               (adm.key = g.keeper_id) AS canonical
+        FROM adm JOIN g USING (redacted)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "exact_dedup": """
@@ -2303,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "code_quality": _code_quality_sql(),
         "code_clones": _code_clones_sql(),
         "snippet_clones": _snippet_clones_sql(),
+        "stack_pipeline": _stack_pipeline_sql(),
         "semdedup": """
             WITH e AS (SELECT vec_id AS key, embedding::DOUBLE[] AS v
                        FROM embeddings),

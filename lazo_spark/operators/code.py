@@ -38,21 +38,12 @@ LICENSE_KEYWORDS = (
 PERMISSIVE_FAMILIES = ("mit", "apache-2.0", "bsd")
 
 
-def license_detect(
-    df: DataFrame, key_col: str, content_col: str, *, header_chars: int = 2000
-) -> DataFrame:
-    """(key, spdx, license_family, permissive) — SPDX tag extraction
-    with keyword fallback over the first `header_chars` characters
-    (license headers live at the top of the file; bounding the window
-    keeps the regex cost independent of file size).
-
-    Family mapping: an SPDX id wins and maps by prefix (MIT* → mit,
-    Apache* → apache-2.0, *GPL* → gpl, BSD* → bsd, else other);
-    otherwise the keyword probes fire in precedence order; else
-    unknown.  `permissive` is the admission bit a Stack-style filter
-    keeps.
-    """
-    head = F.substring(F.col(content_col), 1, header_chars)
+def license_exprs(
+    content: Column, *, header_chars: int = 2000
+) -> tuple[Column, Column, Column]:
+    """(spdx, family, permissive) expressions — exposed so composed
+    pipelines can fuse the license gate into one scan projection."""
+    head = F.substring(content, 1, header_chars)
     lhead = F.lower(head)
     spdx = F.nullif(F.regexp_extract(head, SPDX_PATTERN, 1), F.lit(""))
     lspdx = F.lower(spdx)
@@ -67,11 +58,31 @@ def license_detect(
     for fam, probe in reversed(LICENSE_KEYWORDS):
         kw_family = F.when(lhead.like(probe), fam).otherwise(kw_family)
     family = F.when(spdx.isNotNull(), spdx_family).otherwise(kw_family)
+    return spdx, family, family.isin(*PERMISSIVE_FAMILIES)
+
+
+def license_detect(
+    df: DataFrame, key_col: str, content_col: str, *, header_chars: int = 2000
+) -> DataFrame:
+    """(key, spdx, license_family, permissive) — SPDX tag extraction
+    with keyword fallback over the first `header_chars` characters
+    (license headers live at the top of the file; bounding the window
+    keeps the regex cost independent of file size).
+
+    Family mapping: an SPDX id wins and maps by prefix (MIT* → mit,
+    Apache* → apache-2.0, *GPL* → gpl, BSD* → bsd, else other);
+    otherwise the keyword probes fire in precedence order; else
+    unknown.  `permissive` is the admission bit a Stack-style filter
+    keeps.
+    """
+    spdx, family, permissive = license_exprs(
+        F.col(content_col), header_chars=header_chars
+    )
     return df.select(
         F.col(key_col).alias("key"),
         spdx.alias("spdx"),
         family.alias("license_family"),
-        family.isin(*PERMISSIVE_FAMILIES).alias("permissive"),
+        permissive.alias("permissive"),
     )
 
 
@@ -95,6 +106,15 @@ SECRET_PATTERNS = (
 )
 
 
+def redact_secrets(content: Column) -> Column:
+    """The redaction chain as one expression — exposed so composed
+    pipelines can fuse scrubbing into the scan projection."""
+    red = content
+    for _, pat, tok in SECRET_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return red
+
+
 def secret_scan(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     """(key, n_aws_key, n_private_key, n_api_token, n_hex40,
     has_secret, redacted) — credential scrubbing before content leaves
@@ -109,9 +129,7 @@ def secret_scan(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
         .alias(f"n_{name}")
         for name, pat, _ in SECRET_PATTERNS
     ]
-    red = c
-    for _, pat, tok in SECRET_PATTERNS:
-        red = F.regexp_replace(red, pat, tok)
+    red = redact_secrets(c)
     has = None
     for name, pat, _ in SECRET_PATTERNS:
         term = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))) > 0
@@ -153,15 +171,39 @@ def code_quality(
     per-line aggregation is needed; max_line_len is one
     array_max(transform(...)) over the split, all inside codegen.
     """
-    c = F.col(content_col)
-    lines = F.split(c, "\n", -1)
+    q = quality_exprs(
+        F.col(content_col),
+        max_line=max_line,
+        max_avg_line=max_avg_line,
+        min_alnum_frac=min_alnum_frac,
+        autogen_window=autogen_window,
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        *[expr.alias(name) for name, expr in q.items()],
+    )
+
+
+def quality_exprs(
+    content: Column,
+    *,
+    max_line: int = 1000,
+    max_avg_line: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    autogen_window: int = 300,
+) -> dict[str, Column]:
+    """The quality-gate feature expressions, name → Column — exposed
+    so composed pipelines can fuse the gate into one scan projection."""
+    lines = F.split(content, "\n", -1)
     n_lines = F.size(lines).cast("long")
-    n_chars = F.length(c).cast("long")
+    n_chars = F.length(content).cast("long")
     max_len = F.array_max(F.transform(lines, F.length)).cast("long")
     avg_len = F.round((n_chars - (n_lines - 1)) / n_lines, 4)
-    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", "")).cast("long")
+    alnum = F.length(
+        F.regexp_replace(content, r"[^A-Za-z0-9]", "")
+    ).cast("long")
     alnum_frac = F.round(alnum / F.greatest(n_chars, F.lit(1)), 4)
-    head = F.lower(F.substring(c, 1, autogen_window))
+    head = F.lower(F.substring(content, 1, autogen_window))
     autogen = F.lit(False)
     for probe in AUTOGEN_PROBES:
         autogen = autogen | head.like(probe)
@@ -171,15 +213,14 @@ def code_quality(
         & (alnum_frac >= min_alnum_frac)
         & ~autogen
     )
-    return df.select(
-        F.col(key_col).alias("key"),
-        n_lines.alias("n_lines"),
-        max_len.alias("max_line_len"),
-        avg_len.alias("avg_line_len"),
-        alnum_frac.alias("alnum_frac"),
-        autogen.alias("autogenerated"),
-        keep.alias("keep"),
-    )
+    return {
+        "n_lines": n_lines,
+        "max_line_len": max_len,
+        "avg_line_len": avg_len,
+        "alnum_frac": alnum_frac,
+        "autogenerated": autogen,
+        "keep": keep,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +252,64 @@ def normalize_code(content: Column) -> Column:
     for pat, rep in CODE_NORM_CHAIN:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+# ---------------------------------------------------------------------------
+# Composed admission pipeline (The Stack's file-level curation flow)
+# ---------------------------------------------------------------------------
+
+
+def stack_admission(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    header_chars: int = 2000,
+    max_line: int = 1000,
+    max_avg_line: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """(key, license_family, keeper_id, group_size, canonical) — the
+    composed file-level curation pipeline a code corpus runs before
+    sketch-based near-dedup: permissive-license gate AND quality gate,
+    secrets redacted, then EXACT dedup on sha256(redacted content)
+    keeping the lowest admitted key per group.
+
+    The composition order matters and is the operator's point:
+    redaction runs BEFORE the dedup hash, so two files differing only
+    in embedded credential VALUES collapse into one group (redaction
+    CREATES duplicates the raw-sha pass cannot see).
+
+    Scale shape: one scan projects (key, family, sha256(redacted)) —
+    the license/quality/redaction expressions all fuse into the scan
+    and rejected files die there; keeper/group-size come from ONE
+    window over the sha (the corpus_filter keeper shape: a single
+    exchange carrying (32-byte sha, 8-byte key) rows, one pass over
+    the scan — a groupBy+join-back would re-derive the scan and its
+    regex chains twice).  Content never shuffles.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(content_col)
+    _, family, permissive = license_exprs(c, header_chars=header_chars)
+    q = quality_exprs(
+        c,
+        max_line=max_line,
+        max_avg_line=max_avg_line,
+        min_alnum_frac=min_alnum_frac,
+    )
+    admitted = df.select(
+        F.col(key_col).alias("key"),
+        family.alias("license_family"),
+        F.sha2(redact_secrets(c), 256).alias("sha"),
+    ).where(permissive & q["keep"])
+    w = Window.partitionBy("sha")
+    return admitted.select(
+        "key",
+        "license_family",
+        F.min("key").over(w).alias("keeper_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("canonical", F.col("key") == F.col("keeper_id"))
 
 
 FUNCTION_BOUNDARY = r"\n[ \t]*\n"
