@@ -65,7 +65,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
     p.add_argument(
-        "--phase", choices=["full", "sketch-lsh", "discover"], default="full",
+        "--phase", choices=["full", "sketch-lsh", "discover", "curate"],
+        default="full",
         help="sketch-lsh: stop after candidate generation (the BASELINE "
         "throughput metric is files/sec of the sketch+LSH phase). "
         "discover: data-lake join discovery — --input is a directory of "
@@ -73,7 +74,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "parquet; emits joinable column pairs at --jcx-threshold, "
         "estimated (reference Lazo-in-Aurum behavior) or, with --verify, "
         "exact over the hybrid LSH + small-set-probe candidate domain "
-        "(operators/discovery.py)",
+        "(operators/discovery.py). "
+        "curate: composed admission pipeline (license + quality gates, "
+        "secret redaction, redaction-aware exact dedup) — writes per-file "
+        "stats and the canonical redacted corpus (operators/code.py)",
     )
     return p
 
@@ -115,6 +119,8 @@ def main(argv: list[str] | None = None) -> dict:
     )
     if args.phase == "discover":
         return _run_discover(spark, args)
+    if args.phase == "curate":
+        return _run_curate(spark, args)
 
     source = read_table(spark, args.input)
     n_files = source.count()
@@ -297,6 +303,73 @@ def _run_discover(spark, args) -> dict:
         with open(args.metrics_out, "w") as f:
             _json.dump(metrics, f, indent=2)
     print(_json.dumps(metrics))
+    return metrics
+
+
+def _run_curate(spark, args) -> dict:
+    """Composed code-curation admission (--phase curate): the file-level
+    pipeline a code corpus runs BEFORE sketch-based near-dedup —
+    permissive-license + quality gates fused into the scan, secret
+    redaction before the exact-dedup hash (credential-value-only
+    variants collapse), keeper window.  Writes:
+
+      stats/   one row per admitted file (key, license_family,
+               keeper_id, group_size, canonical) — content never
+               shuffles on this path (the exchange carries sha+key)
+      corpus/  the curated training corpus: canonical files with
+               REDACTED content.  The one content movement in the
+               phase: a semi-join of the re-scanned (gate-filtered)
+               content against the canonical key list; AQE broadcasts
+               the key list when it is small, and on a bucketed lake
+               the content side would join in place.
+    """
+    from pyspark.sql import functions as F
+
+    from lazo_spark.operators.code import (
+        license_exprs,
+        quality_exprs,
+        redact_secrets,
+        stack_admission,
+    )
+    from lazo_spark.operators.sketch import with_key_and_sha
+    from lazo_spark.sources.readers import read_table
+
+    t0 = time.time()
+    source = with_key_and_sha(read_table(spark, args.input))
+    n_files = source.count()
+
+    stats = stack_admission(source, "key", "content")
+    stats.write.mode("overwrite").parquet(f"{args.output}/stats")
+    stats = spark.read.parquet(f"{args.output}/stats")
+
+    c = F.col("content")
+    _, _, permissive = license_exprs(c)
+    keep = quality_exprs(c)["keep"]
+    corpus = (
+        source.where(permissive & keep)
+        .select("key", "lang", redact_secrets(c).alias("content"))
+        .join(stats.where("canonical").select("key"), "key", "left_semi")
+    )
+    corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    elapsed = time.time() - t0
+
+    admitted = stats.count()
+    metrics = {
+        "phase": "curate",
+        "files": n_files,
+        "admitted": admitted,
+        "canonical": spark.read.parquet(f"{args.output}/corpus").count(),
+        "dup_files_removed": admitted
+        - stats.where("canonical").count(),
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round(n_files / elapsed, 1),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
     return metrics
 
 
