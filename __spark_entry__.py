@@ -194,6 +194,34 @@ def q_decontaminate_bloom(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination via the production sketch machinery: train
+    docs (doc_id % 10 != 0) near-duplicate to any eval doc (% 10 == 0)
+    under bigram Jaccard containment >= 0.8 in either direction.  The
+    BIPARTITE LSH candidate stage (train bands vs eval bands, widened
+    0.5 floor) stays in-plan; exact shingle-hash verification applies
+    the real threshold, so the output is the deterministic exact set and
+    the DuckDB cross-pair twin hash-matches iff the candidate stage lost
+    nothing (same oracle pattern as dedup_clusters_lsh)."""
+    docs = _docs_capped(spark, sf_dir)
+    out = T.decontaminate_fuzzy(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        mode="token_ngram:2",
+        jc_threshold=0.8,
+        candidate_floor=0.5,
+    )
+    return out.select(
+        F.col("train_key").cast("long").alias("train_key"),
+        F.col("eval_key").cast("long").alias("eval_key"),
+        F.round("js", 6).alias("js"),
+        F.round("jc_train", 6).alias("jc_train"),
+        F.round("jc_eval", 6).alias("jc_eval"),
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1765,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joinable_columns_incremental": q_joinable_columns_incremental,
         "repo_near_forks": q_repo_near_forks,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2264,6 +2293,21 @@ def oracle_sql() -> dict[str, str]:
                    WHERE doc_id % 10 != 0)
             SELECT tr.doc_id AS key, COUNT(*) AS n_matched_grams
             FROM tr JOIN e USING (gram) GROUP BY 1
+        """,
+        "decontaminate_fuzzy": f"""
+            WITH bg AS ({_bigrams_sql("documents")}),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+            ix AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS c
+                   FROM bg a JOIN bg b ON a.g = b.g
+                   WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                   GROUP BY 1, 2)
+            SELECT x AS train_key, y AS eval_key,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS js,
+                   round(c * 1.0 / sa.n, 6) AS jc_train,
+                   round(c * 1.0 / sb.n, 6) AS jc_eval
+            FROM ix JOIN sz sa ON ix.x = sa.doc_id
+                    JOIN sz sb ON ix.y = sb.doc_id
+            WHERE c * 1.0 / sa.n >= 0.8 OR c * 1.0 / sb.n >= 0.8
         """,
         "corpus_sample": f"""
             WITH l AS (

@@ -530,3 +530,57 @@ def lazo_pairs(
         corrections_acc=corrections_acc, engine=engine,
         metrics_acc=metrics_acc,
     )
+
+
+def bipartite_pairs(
+    sketches_x: DataFrame,
+    sketches_y: DataFrame,
+    config: LazoConfig,
+    js_threshold: float | None = None,
+    jcx_threshold: float | None = None,
+) -> DataFrame:
+    """Cross-corpus candidate pairs: X bands joined against Y bands —
+    never X×X or Y×Y (the bipartite variant of candidate_pairs; the
+    reference's equivalent is querying an index built over Y with every
+    sketch of X, LazoBenchmark.java:237-254, without self-candidates).
+
+    Output is DIRECTIONAL: key_x always names a sketches_x row and key_y
+    a sketches_y row — no canonicalization, so jcx is always "X contained
+    in Y" and jcy "Y contained in X".  Callers must supply globally
+    unique keys across the two inputs (same contract as an index shared
+    by two corpora).
+
+    Plan shape: both sides are truncated to the useful band prefix
+    (max_useful_band, lossless), join on the packed xxhash64(pos, band)
+    key like the flagship, and the Y side is hash-built — in the fuzzy-
+    decontamination use the Y relation (an eval suite) is orders of
+    magnitude smaller than the X corpus, so X streams.  A hot Y bucket
+    splits under AQE skew handling; the string keys ride the band rows
+    directly (the bipartite row volume is |X bands| + |Y bands|, not the
+    self-join's quadratic bucket blow-up, so the hashed-key join-back
+    rewrite buys little here).
+    """
+    js_t = config.js_threshold if js_threshold is None else js_threshold
+    jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
+    max_pos = max_useful_band(config, js_t, jcx_t)
+    bx = band_explode(sketches_x, max_pos=max_pos).select(
+        F.xxhash64("pos", "bh").alias("bhp"),
+        "pos",
+        F.col("key").alias("key_x"),
+        F.col("card").alias("card_x"),
+    )
+    by = band_explode(sketches_y, max_pos=max_pos).select(
+        F.xxhash64("pos", "bh").alias("bhp"),
+        F.col("key").alias("key_y"),
+        F.col("card").alias("card_y"),
+    )
+    pairs = (
+        bx.join(by.hint("SHUFFLE_HASH"), "bhp")
+        .groupBy("key_x", "key_y")
+        .agg(
+            F.min("pos").alias("min_pos"),
+            F.first("card_x").alias("card_x"),
+            F.first("card_y").alias("card_y"),
+        )
+    )
+    return estimate_candidates(pairs, config, js_threshold, jcx_threshold)

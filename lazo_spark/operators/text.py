@@ -608,3 +608,71 @@ def text_normalize(
         F.length(norm).cast("long").alias("n_chars_after"),
         norm.alias("normalized"),
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    key_col: str,
+    content_col: str,
+    mode: str = "token_ngram:2",
+    jc_threshold: float = 0.8,
+    candidate_floor: float = 0.5,
+    config=None,
+) -> DataFrame:
+    """FUZZY train/eval decontamination (the GPT-3 appendix-C method,
+    upgraded from exact gram overlap to near-duplicate detection):
+    training documents whose shingle set is a near-duplicate of — or
+    nearly contains / is contained in — ANY eval document, found with
+    the production sketch machinery instead of a quadratic cross join.
+
+    Dataflow: both corpora run the narrow Arrow sketch stage; the
+    BIPARTITE band join (bipartite_pairs — X bands vs Y bands only)
+    generates candidates at a WIDENED estimation floor; exact
+    shingle-hash verification (verify_candidates) re-scores each
+    candidate and applies the real threshold.  Verified-exact pairs at
+    jc_threshold are a deterministic set, so the operator is
+    oracle-expressible: the widened floor loses a true pair only if both
+    estimated containment directions fall below candidate_floor — far
+    outside the estimator's error band at jc_threshold (same losslessness
+    argument as the corpus_pipeline_lsh / dedup_clusters_lsh paths, and
+    the recall gate pins the unwidened setting independently).
+
+    Scale shape: the eval suite is tiny next to a 100 TB corpus, so the
+    eval band relation is the hash-BUILD side and the train corpus
+    STREAMS — train content is never shuffled (sketches collapse it to
+    ~600-byte rows) and only candidate-pair keys reach verification.
+
+    Returns directional (train_key, eval_key, js, jc_train, jc_eval):
+    jc_train = |T∩E|/|T| (train doc inside eval doc), jc_eval = |T∩E|/|E|
+    (eval doc inside train doc — the contamination direction).  Keys must
+    be globally unique across the two inputs.
+    """
+    from ..config import LazoConfig
+    from ..operators.lazo import bipartite_pairs
+    from ..operators.sketch import sketch_stage
+    from ..operators.verify import verify_candidates
+
+    cfg = config or LazoConfig(jcx_threshold=candidate_floor, shingle_mode=mode)
+    keyed = lambda d: d.select(  # noqa: E731
+        F.col(key_col).cast("string").alias("key"),
+        F.col(content_col).alias("content"),
+    ).withColumn("sha", F.sha2(F.col("content"), 256))
+    sk_t = sketch_stage(keyed(train), cfg)
+    sk_e = sketch_stage(keyed(eval_df), cfg)
+    cands = bipartite_pairs(
+        sk_t, sk_e, cfg, js_threshold=None, jcx_threshold=candidate_floor
+    ).select("key_x", "key_y")
+    # one union relation feeds verification; key spaces are disjoint by
+    # contract so the shingle rows never collide
+    both = keyed(train).unionByName(keyed(eval_df)).select("key", "content")
+    verified = verify_candidates(
+        cands, both, "key", "content", mode, jcx_threshold=jc_threshold
+    )
+    return verified.select(
+        F.col("key_x").alias("train_key"),
+        F.col("key_y").alias("eval_key"),
+        "js",
+        F.col("jcx").alias("jc_train"),
+        F.col("jcy").alias("jc_eval"),
+    )

@@ -1,0 +1,74 @@
+"""Fuzzy decontamination: bipartite LSH candidates + exact verification."""
+import pyspark.sql.functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.operators.lazo import bipartite_pairs
+from lazo_spark.operators.sketch import sketch_stage
+from lazo_spark.operators.text import decontaminate_fuzzy
+
+BASE = (
+    "def parse ( line ) : return line . split ( ',' ) and the value "
+    "for key in table rows where column matches the given filter "
+)
+
+
+def _corpora(spark):
+    # train docs t1/t2 near-copy eval docs e1/e2; t3 and e3 unrelated
+    train = [
+        ("t1", BASE + "extra token tail one"),
+        ("t2", BASE + "another small change two"),
+        ("t3", "completely different content about quicksort pivots "
+               "and binary heaps with no shared phrasing at all ok"),
+    ]
+    ev = [
+        ("e1", BASE + "extra token tail one"),      # exact dup of t1
+        ("e2", BASE),                               # contained in t2
+        ("e3", "unrelated benchmark question about chemistry dates"),
+    ]
+    t = spark.createDataFrame(train, "key string, content string")
+    e = spark.createDataFrame(ev, "key string, content string")
+    return t, e
+
+
+def test_bipartite_pairs_strictly_cross(spark):
+    t, e = _corpora(spark)
+    cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="token_ngram:2")
+    sha = lambda d: d.withColumn("sha", F.sha2("content", 256))  # noqa: E731
+    pairs = bipartite_pairs(
+        sketch_stage(sha(t), cfg), sketch_stage(sha(e), cfg), cfg
+    ).collect()
+    assert pairs, "near-copies must surface as candidates"
+    for r in pairs:
+        assert r["key_x"].startswith("t") and r["key_y"].startswith("e")
+
+
+def test_decontaminate_fuzzy_matches_exact_cross_scores(spark):
+    t, e = _corpora(spark)
+    out = {
+        (r["train_key"], r["eval_key"]): r
+        for r in decontaminate_fuzzy(
+            t, e, "key", "content", jc_threshold=0.8
+        ).collect()
+    }
+    # brute-force truth: distinct-bigram containment per cross pair
+    def grams(s):
+        toks = s.split()
+        return (
+            {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+            if len(toks) >= 2 else {s}
+        )
+    texts = {k: v for k, v in t.collect() + e.collect()}
+    truth = {}
+    for tk in ("t1", "t2", "t3"):
+        for ek in ("e1", "e2", "e3"):
+            a, b = grams(texts[tk]), grams(texts[ek])
+            i = len(a & b)
+            if i and max(i / len(a), i / len(b)) >= 0.8:
+                truth[(tk, ek)] = (i / len(a), i / len(b))
+    assert set(out) == set(truth)
+    for k, (jct, jce) in truth.items():
+        assert abs(out[k]["jc_train"] - jct) < 1e-9
+        assert abs(out[k]["jc_eval"] - jce) < 1e-9
+    assert ("t1", "e1") in out and out[("t1", "e1")]["js"] == 1.0
+    assert ("t2", "e2") in out  # containment direction: eval inside train
+    assert all(ek != "e3" for _, ek in out)
