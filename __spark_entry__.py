@@ -222,6 +222,34 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the CCNet/fastText stage of a
+    curation pipeline): a Bernoulli Naive-Bayes token classifier is
+    TRAINED distributedly on a deterministic seed slice (doc_id % 5 == 0,
+    label = stopword tokens >= 5% of tokens — an integer comparison both
+    engines compute identically), then scores EVERY document.  Token
+    log-likelihood ratios are quantized to int64 micro-nats, so the
+    per-doc score is an integer sum — exact, order-independent, and
+    hash-matchable against the DuckDB twin that replays training
+    verbatim."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    )
+    seed = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "label", n_stop * 20 >= F.size(toks)
+    )
+    model, prior = T.train_token_classifier(
+        seed, "doc_id", "text", "label", min_df=2
+    )
+    out = T.classifier_score(docs, model, "doc_id", "text", prior)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "score_micro", "admitted"
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1794,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_near_forks": q_repo_near_forks,
         "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "quality_classifier": q_quality_classifier,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2308,6 +2337,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ix JOIN sz sa ON ix.x = sa.doc_id
                     JOIN sz sb ON ix.y = sb.doc_id
             WHERE c * 1.0 / sa.n >= 0.8 OR c * 1.0 / sb.n >= 0.8
+        """,
+        "quality_classifier": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            toks AS (SELECT doc_id, t AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(arr, x -> lower(x)))) AS t
+                FROM d) z),
+            lab AS (SELECT doc_id,
+                     (20 * len(list_filter(arr,
+                        w -> list_contains({_STOPWORDS_SQL}, lower(w))))
+                      >= len(arr)) AS label
+                    FROM d WHERE doc_id % 5 = 0),
+            nn AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+                          sum(CASE WHEN label THEN 0 ELSE 1 END) AS ng
+                   FROM lab),
+            dfc AS (SELECT tok,
+                           sum(CASE WHEN label THEN 1 ELSE 0 END) AS dp,
+                           sum(CASE WHEN label THEN 0 ELSE 1 END) AS dn
+                    FROM toks t JOIN lab l USING (doc_id) GROUP BY tok),
+            model AS (SELECT tok,
+                        CAST(round((ln((dp + 1) / (np + 2.0))
+                                  - ln((dn + 1) / (ng + 2.0))) * 1e6) AS BIGINT)
+                          AS llr
+                      FROM dfc, nn WHERE dp + dn >= 2),
+            prior AS (SELECT CAST(round((ln((np + 1) / (np + ng + 2.0))
+                                       - ln((ng + 1) / (np + ng + 2.0))) * 1e6)
+                             AS BIGINT) AS p FROM nn),
+            sums AS (SELECT t.doc_id, sum(m.llr) AS s
+                     FROM toks t JOIN model m USING (tok) GROUP BY t.doc_id)
+            SELECT d.doc_id AS key,
+                   CAST(coalesce(s.s, 0) + (SELECT p FROM prior) AS BIGINT)
+                     AS score_micro,
+                   (coalesce(s.s, 0) + (SELECT p FROM prior)) > 0 AS admitted
+            FROM d LEFT JOIN sums s ON d.doc_id = s.doc_id
         """,
         "corpus_sample": f"""
             WITH l AS (

@@ -676,3 +676,122 @@ def decontaminate_fuzzy(
         F.col("jcx").alias("jc_train"),
         F.col("jcy").alias("jc_eval"),
     )
+
+
+def train_token_classifier(
+    labeled: DataFrame,
+    key_col: str,
+    content_col: str,
+    label_col: str,
+    min_df: int = 1,
+) -> tuple[DataFrame, int]:
+    """Distributed training of a Bernoulli Naive-Bayes document
+    classifier over distinct lowercase tokens — the model-based quality
+    filter of CCNet/fastText-style curation pipelines, expressed as ONE
+    hash aggregation (not in the reference; its text handling stops at
+    n-grams, StringUtils.java:14-29).
+
+    Per token t the model stores the Laplace-smoothed presence
+    log-likelihood ratio  llr(t) = ln((df_pos+1)/(n_pos+2)) −
+    ln((df_neg+1)/(n_neg+2)), QUANTIZED to integer micro-nats
+    (round(llr·1e6) as int64): scoring then sums int64s, which is exact
+    and ORDER-INDEPENDENT — bit-identical across engines, partitionings
+    and runs (a float sum would vary in the last ulp with aggregation
+    order).  min_df drops tokens seen in fewer labeled docs (noise and
+    vocabulary-size control).
+
+    Returns (model, prior_micro): model is (tok, llr_micro); the prior
+    is ln((n_pos+1)/(n+2)) − ln((n_neg+1)/(n+2)) in micro-nats.
+
+    Scale shape: training is explode → distinct → one map-side-combined
+    aggregation keyed on the token; the two global doc counts come from
+    the same pass (a 2-row aggregate).  Nothing driver-side except the
+    two counts.
+    """
+    toks = labeled.select(
+        F.col(key_col).alias("key"),
+        F.col(label_col).cast("boolean").alias("label"),
+        F.explode_outer(F.array_distinct(F.transform(
+            _tokens(F.col(content_col)), lambda t: F.lower(t)
+        ))).alias("tok"),
+    )
+    n_pos, n_neg = (
+        labeled.agg(
+            F.sum(F.col(label_col).cast("int")).alias("p"),
+            F.sum((~F.col(label_col).cast("boolean")).cast("int")).alias("n"),
+        ).first()
+    )
+    n_pos, n_neg = int(n_pos or 0), int(n_neg or 0)
+    df_counts = toks.groupBy("tok").agg(
+        F.sum(F.col("label").cast("int")).alias("df_pos"),
+        F.sum((~F.col("label")).cast("int")).alias("df_neg"),
+    )
+    model = (
+        df_counts.filter(F.col("df_pos") + F.col("df_neg") >= min_df)
+        .select(
+            "tok",
+            F.round(
+                (
+                    F.log((F.col("df_pos") + 1) / F.lit(float(n_pos + 2)))
+                    - F.log((F.col("df_neg") + 1) / F.lit(float(n_neg + 2)))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+    import math
+
+    prior_micro = round(
+        (
+            math.log((n_pos + 1) / (n_pos + n_neg + 2))
+            - math.log((n_neg + 1) / (n_pos + n_neg + 2))
+        )
+        * 1e6
+    )
+    return model, prior_micro
+
+
+def classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    key_col: str,
+    content_col: str,
+    prior_micro: int = 0,
+) -> DataFrame:
+    """Score every document with a trained token classifier:
+    score_micro = prior + Σ llr_micro over the doc's DISTINCT tokens
+    found in the model (int64 micro-nat sum — exact, order-independent);
+    admitted = score_micro > 0.
+
+    Scale shape: docs explode to distinct (key, tok) rows and join the
+    model on the token.  The model is vocabulary-sized — usually
+    broadcastable, but not by 100-TB contract — so the join gets a
+    SHUFFLE_HASH hint with the model as build side (AQE still upgrades
+    to broadcast when the runtime size allows); the per-doc sum is one
+    map-side-combined aggregation on the key, and unmatched docs rejoin
+    via a left join so every input row scores (prior only).
+    """
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(F.transform(
+            _tokens(F.col(content_col)), lambda t: F.lower(t)
+        ))).alias("tok"),
+    )
+    sums = (
+        toks.join(model.hint("SHUFFLE_HASH"), "tok")
+        .groupBy("key")
+        .agg(F.sum("llr_micro").alias("s"))
+    )
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .join(sums, "key", "left")
+        .select(
+            "key",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.lit(int(prior_micro)))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .withColumn("admitted", F.col("score_micro") > 0)
+    )

@@ -1,0 +1,65 @@
+"""Naive-Bayes token quality classifier: training math + invariances."""
+import math
+
+from lazo_spark.operators.text import classifier_score, train_token_classifier
+
+
+def _llr(dp, dn, np_, ng):
+    return round(
+        (math.log((dp + 1) / (np_ + 2)) - math.log((dn + 1) / (ng + 2))) * 1e6
+    )
+
+
+def test_training_counts_and_quantized_llr(spark):
+    rows = [
+        (1, "good clean prose here", True),
+        (2, "good solid prose too", True),
+        (3, "spam spam buy now", False),
+        (4, "buy spam now cheap", False),
+        (5, "good prose wins again", True),
+    ]
+    df = spark.createDataFrame(rows, "key long, text string, label boolean")
+    model, prior = train_token_classifier(df, "key", "text", "label", min_df=1)
+    m = {r["tok"]: r["llr_micro"] for r in model.collect()}
+    # df counts by hand: 'good' in 3 pos / 0 neg; 'spam' in 0 pos / 2 neg
+    assert m["good"] == _llr(3, 0, 3, 2)
+    assert m["spam"] == _llr(0, 2, 3, 2)
+    assert m["prose"] == _llr(3, 0, 3, 2)
+    # 'spam' appears twice in doc 3 but distinct-token features count it once
+    assert prior == round(
+        (math.log(4 / 7) - math.log(3 / 7)) * 1e6
+    )
+
+
+def test_scores_are_partitioning_independent(spark):
+    rows = [(i, ("alpha beta " * (i % 7 + 1)) + f"tail{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "key long, text string")
+    labeled = df.withColumn("label", (df.key % 2 == 0))
+    model, prior = train_token_classifier(labeled, "key", "text", "label")
+    s1 = {
+        r["key"]: (r["score_micro"], r["admitted"])
+        for r in classifier_score(df, model, "key", "text", prior).collect()
+    }
+    s2 = {
+        r["key"]: (r["score_micro"], r["admitted"])
+        for r in classifier_score(
+            df.repartition(13), model.repartition(7), "key", "text", prior
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 60
+
+
+def test_unmatched_docs_score_prior_only(spark):
+    seed = spark.createDataFrame(
+        [(1, "known words only", True), (2, "known words again", False)],
+        "key long, text string, label boolean",
+    )
+    model, prior = train_token_classifier(seed, "key", "text", "label")
+    out = {
+        r["key"]: r["score_micro"]
+        for r in classifier_score(
+            spark.createDataFrame([(9, "zz qq pp")], "key long, text string"),
+            model, "key", "text", prior,
+        ).collect()
+    }
+    assert out[9] == prior
