@@ -250,6 +250,32 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval: deterministic query set (docs with
+    doc_id % 100 == 3 contribute their first 6 tokens as the query
+    string) against the whole documents corpus.  Per-term contributions
+    quantize to int64 micro-units before the per-(query, doc) sum, so
+    ranking is exact and order-independent; the DuckDB twin replays the
+    identical arithmetic (constants written as the same float ops both
+    engines constant-fold, e.g. (1.2 + 1.0), so literal parsing can't
+    diverge in the last ulp)."""
+    from lazo_spark.operators.search import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qs = docs.filter(F.col("doc_id") % 100 == 3).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("qtext"),
+    )
+    out = bm25_topk(docs, qs, "doc_id", "text", "qid", "qtext", topk=10)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("key").cast("long").alias("key"),
+        "score_micro",
+        "rank",
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1823,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "quality_classifier": q_quality_classifier,
+        "bm25_search": q_bm25_search,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2371,6 +2398,39 @@ def oracle_sql() -> dict[str, str]:
                      AS score_micro,
                    (coalesce(s.s, 0) + (SELECT p FROM prior)) > 0 AS admitted
             FROM d LEFT JOIN sums s ON d.doc_id = s.doc_id
+        """,
+        "bm25_search": f"""
+            WITH d AS (SELECT doc_id,
+                              list_transform({_TOKS}, t -> lower(t)) AS arr
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(arr) AS tok FROM d),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl
+                  FROM dl),
+            dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            q AS (SELECT doc_id AS qid, unnest(list_distinct(arr[1:6])) AS tok
+                  FROM d WHERE doc_id % 100 = 3),
+            contrib AS (
+              SELECT q.qid, tf.doc_id AS key,
+                     CAST(round((ln(1.0 + (g.n * 1.0 - dft.df + 0.5)
+                                         / (dft.df + 0.5))
+                                 * (tf.tf * (1.2 + 1.0))
+                                 / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * dl.dl / g.avgdl)))
+                                * 1e6) AS BIGINT) AS c
+              FROM q JOIN tf USING (tok)
+                     JOIN dft USING (tok)
+                     JOIN dl ON tf.doc_id = dl.doc_id
+                     CROSS JOIN g),
+            s AS (SELECT qid, key, sum(c) AS score_micro
+                  FROM contrib GROUP BY 1, 2),
+            r AS (SELECT qid, key, CAST(score_micro AS BIGINT) AS score_micro,
+                         row_number() OVER (PARTITION BY qid
+                             ORDER BY score_micro DESC, key ASC) AS rank
+                  FROM s)
+            SELECT qid, key, score_micro, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
         """,
         "corpus_sample": f"""
             WITH l AS (

@@ -1,0 +1,119 @@
+"""BM25 full-text retrieval over a document corpus.
+
+Not present in the reference (mitdbg/lazo stops at set-similarity
+search); a corpus engine needs keyword retrieval for curation tooling —
+eval-leak triage, targeted corpus inspection, nearest-neighbor sanity
+checks on dedup output.  Classic distributed IR shape: the corpus
+becomes an inverted-index posting relation, the (tiny) query side
+broadcasts onto it, scores aggregate per (query, doc).
+
+Engine-portable scoring: every per-term contribution is quantized to
+int64 micro-units before the per-document sum, so scores are integer
+sums — exact, order-independent, and identical across engines,
+partitionings and runs (a float sum would drift in the last ulp with
+aggregation order).  Ranking tie-breaks on the doc key, so top-k is
+fully deterministic.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _tok_rows(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """(key, tok) rows, lowercased whitespace tokens (NOT distinct —
+    BM25 needs term frequencies)."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.lower(t)
+            )
+        ).alias("tok"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    content_col: str,
+    query_key_col: str,
+    query_text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Top-k BM25 retrieval: for every query row, the k highest-scoring
+    documents.
+
+    score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf(t,d)·(k1+1) /
+                  (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl)),
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))   (always ≥ 0).
+
+    Each per-term contribution is rounded to integer micro-units and the
+    per-(query, doc) sum runs on int64 — see module docstring.
+
+    Scale shape: the corpus explodes once into tf postings
+    (tok, key, tf, dl) — one map-side-combined aggregation; the query
+    term relation is tiny by contract and BROADCAST onto the postings
+    (corpus never shuffles by token); the per-(query, doc) score is one
+    hash aggregation and top-k is a window partitioned by query id.
+    Only the two global scalars (N, Σdl) touch the driver.  High-df
+    terms (near-zero idf, hot postings) can be dropped with
+    max_df_frac — the standard stopword-pruning knob for skew control;
+    scores then exclude those terms on BOTH ranking and output.
+    """
+    toks = _tok_rows(docs, key_col, content_col)
+    # tf postings + per-doc length in one aggregation each (tf carries dl
+    # via a count-window-free second join on the doc key)
+    tf = toks.groupBy("key", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("key").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    n_docs = int(n_docs)
+    avgdl = float(sum_dl) / n_docs if n_docs else 1.0
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        df_t = df_t.filter(F.col("df") <= int(max_df_frac * n_docs))
+    postings = tf.join(df_t, "tok").join(dl.hint("SHUFFLE_HASH"), "key")
+
+    q_terms = queries.select(
+        F.col(query_key_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.trim(F.col(query_text_col)), r"\s+"),
+                    lambda t: F.lower(t),
+                )
+            )
+        ).alias("tok"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        postings.join(F.broadcast(q_terms), "tok")
+        .select(
+            "qid",
+            "key",
+            F.round(contrib * 1e6).cast("long").alias("c_micro"),
+        )
+        .groupBy("qid", "key")
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_micro"), F.asc("key")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "key", "score_micro", "rank")
+    )

@@ -1,0 +1,67 @@
+"""BM25 retrieval: hand-checked scores, determinism, df pruning."""
+import math
+
+from lazo_spark.operators.search import bm25_topk
+
+
+def _hand_bm25(docs, qtoks, k1=1.2, b=0.75):
+    toks = {k: [t.lower() for t in v.split()] for k, v in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for k, v in toks.items():
+        s = 0
+        for t in set(qtoks):
+            if t not in df or t not in v:
+                continue
+            tf = v.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            c = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(v) / avgdl)
+            )
+            s += round(c * 1e6)
+        if s:
+            out[k] = s
+    return out
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "quantum flux capacitors hum quietly"),
+        (4, "cat cat cat everywhere cat"),
+    ]
+    qs = [(100, "cat mat")]
+    out = {
+        r["key"]: (r["score_micro"], r["rank"])
+        for r in bm25_topk(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(qs, "qid long, qtext string"),
+            "doc_id", "text", "qid", "qtext", topk=10,
+        ).collect()
+    }
+    truth = _hand_bm25(docs, ["cat", "mat"])
+    assert {k: v[0] for k, v in out.items()} == truth
+    # doc 1 has both terms; doc 3 matches nothing and must be absent
+    assert out[1][1] == 1 and 3 not in out
+
+
+def test_bm25_partitioning_independent_and_df_pruned(spark):
+    docs = [(i, f"alpha beta gamma token{i % 5} alpha") for i in range(40)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(1, "alpha token3")], "qid long, qtext string")
+    a = bm25_topk(d, q, "doc_id", "text", "qid", "qtext", topk=5).collect()
+    bdf = bm25_topk(
+        d.repartition(11), q, "doc_id", "text", "qid", "qtext", topk=5
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, bdf))
+    # 'alpha' appears in every doc; pruning df > 50% keeps only token3 docs
+    pruned = bm25_topk(
+        d, q, "doc_id", "text", "qid", "qtext", topk=40, max_df_frac=0.5
+    ).collect()
+    assert {r["key"] % 5 for r in pruned} == {3}
