@@ -276,6 +276,21 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """ExactSubstr dedup statistics (Lee et al. 2022 measure): per-doc
+    coverage by 20-char grams occurring >= 2 times anywhere in the
+    corpus, interval-union exact.  Runs the operator with hashed=False
+    (gram-string count keys) so the DuckDB twin is collision-free; the
+    hashed=True scale path is pinned equal on this corpus in
+    tests/test_dup_spans.py."""
+    from lazo_spark.operators.suffix import duplicate_span_stats
+
+    out = duplicate_span_stats(
+        _docs(spark, sf_dir), "doc_id", "text", L=20, hashed=False
+    )
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1850,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
+        "dup_span_stats": q_dup_span_stats,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2431,6 +2447,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT qid, key, score_micro, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "dup_span_stats": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                         substr(text, CAST(i AS INTEGER), 20) AS gram
+                  FROM d, UNNEST(range(1, n - 18)) AS u(i) WHERE n >= 20),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            s AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            c AS (SELECT doc_id,
+                         least(20, coalesce(lead(pos) OVER (
+                             PARTITION BY doc_id ORDER BY pos) - pos, 20)) AS c
+                  FROM s),
+            st AS (SELECT doc_id, count(*) AS n_dup_grams, sum(c) AS dup_chars
+                   FROM c GROUP BY doc_id)
+            SELECT d.doc_id AS key, CAST(d.n AS BIGINT) AS n_chars,
+                   CAST(coalesce(st.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+                   round(coalesce(st.dup_chars, 0) * 1.0
+                         / greatest(d.n, 1), 6) AS dup_frac
+            FROM d LEFT JOIN st USING (doc_id)
         """,
         "corpus_sample": f"""
             WITH l AS (

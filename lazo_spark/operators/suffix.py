@@ -374,3 +374,91 @@ def verify_substring_pairs(
             yield out[out["lcs_len"] >= min_len]
 
     return joined.mapInPandas(run, schema)
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    L: int = 20,
+    hashed: bool = True,
+) -> DataFrame:
+    """ExactSubstr dedup statistics (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" measure, exact variant):
+    per document, how much of it is covered by length-L character grams
+    that occur at least twice ANYWHERE in the corpus (within-document
+    repeats included).
+
+    Output: (key, n_chars, n_dup_grams, dup_chars, dup_frac) for every
+    input row — dup_chars is the size of the UNION of the duplicated
+    grams' [pos, pos+L) intervals, computed without expanding positions:
+    for per-document sorted duplicate starts, covered = Σ min(L,
+    next_start − start) with the last interval contributing L (a single
+    lead() window — exact interval union for fixed-length intervals).
+
+    Scale shape: this is the thorough/expensive dedup pass by design
+    (its cost model is the distributed analogue of the paper's suffix
+    array): every position ships through the duplicate-count shuffle.
+    With hashed=True the grams collapse to xxhash64 longs BEFORE any
+    exchange — 8-byte keys like every other candidate path; a collision
+    can only mark a unique gram as duplicated (expected extra-marked
+    grams ~ positions²/2⁶⁴ — negligible below ~10⁹ positions per the
+    suffix-path bound) and is bounded-tested against hashed=False.  The
+    winnowed substring_pairs path remains the cheap sampled alternative.
+    Grams are CHARACTER-based (engine-portable substring semantics);
+    documents shorter than L contribute no grams and report zero
+    coverage.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(content_col)
+    n = F.length(c)
+    grams = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(L - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.substr(c, i, F.lit(L)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array())
+    g = df.select(
+        F.col(key_col).alias("key"), F.explode(grams).alias("pg")
+    ).select("key", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    gk = (F.xxhash64("gram") if hashed else F.col("gram")).alias("gk")
+    gg = g.select("key", "pos", gk)
+    dup_keys = (
+        gg.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gk")
+    )
+    dup_starts = gg.join(dup_keys.hint("SHUFFLE_HASH"), "gk", "left_semi")
+    w = Window.partitionBy("key").orderBy("pos")
+    contrib = F.least(
+        F.lit(L),
+        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(L)),
+    )
+    stats = (
+        dup_starts.withColumn("c", contrib)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("c").alias("dup_chars"),
+        )
+    )
+    return (
+        df.select(F.col(key_col).alias("key"), n.cast("long").alias("n_chars"))
+        .join(stats, "key", "left")
+        .select(
+            "key",
+            "n_chars",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""ExactSubstr duplicate-span coverage: hand math + hashed parity."""
+from lazo_spark.operators.suffix import duplicate_span_stats
+
+
+def _stats(spark, rows, L=10, hashed=True):
+    df = spark.createDataFrame(rows, "key long, text string")
+    return {
+        r["key"]: r
+        for r in duplicate_span_stats(df, "key", "text", L=L, hashed=hashed).collect()
+    }
+
+
+def test_interval_union_hand_checked(spark):
+    shared = "0123456789abcdefghij"          # 20 chars shared verbatim
+    rows = [
+        (1, "XX" + shared + "YYYY"),          # dup starts 3..13 (L=10)
+        (2, shared + "zz unrelated tail"),    # dup starts 1..11
+        (3, "totally different text with no repeats at all here"),
+    ]
+    out = _stats(spark, rows, L=10)
+    # doc 1: 11 consecutive starts, union = 10 + (11-1) = 20 chars
+    assert out[1]["n_dup_grams"] == 11 and out[1]["dup_chars"] == 20
+    assert out[2]["dup_chars"] == 20
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[1]["n_chars"] == len(rows[0][1])
+
+
+def test_within_doc_repeats_count(spark):
+    # the same 10-gram twice INSIDE one doc is a duplicate (Lee et al.
+    # semantics: any second occurrence anywhere)
+    out = _stats(spark, [(1, "abcdefghij-----abcdefghij")], L=10)
+    assert out[1]["n_dup_grams"] == 2 and out[1]["dup_chars"] == 20
+
+
+def test_short_docs_and_disjoint_spans(spark):
+    s1, s2 = "AAAAABBBBB", "CCCCCDDDDD"
+    rows = [
+        (1, s1 + "qwertyuiopasdfgh" + s2),   # two disjoint dup spans
+        (2, s1), (3, s2),
+        (4, "tiny"),                          # shorter than L
+    ]
+    out = _stats(spark, rows, L=10)
+    assert out[1]["dup_chars"] == 20 and out[1]["n_dup_grams"] == 2
+    assert out[4]["n_dup_grams"] == 0 and out[4]["n_chars"] == 4
+
+
+def test_hashed_equals_string_keys(spark):
+    rows = [
+        (i, f"prefix {i % 4} shared middle segment here tail {i}")
+        for i in range(30)
+    ]
+    a = _stats(spark, rows, L=12, hashed=True)
+    b = _stats(spark, rows, L=12, hashed=False)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k])
