@@ -291,6 +291,21 @@ def q_dup_span_stats(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_dedup_spans_clean(spark, sf_dir):
+    """ExactSubstr span REMOVAL: every position covered by a duplicated
+    20-char gram is cut and the residual text reassembled (aggressive
+    drop-every-copy variant of Lee et al.'s tool).  hashed=False so the
+    DuckDB twin counts collision-free gram strings; complementarity with
+    dup_span_stats (n_chars - dup_chars == len(clean_text)) is pinned in
+    tests/test_dup_spans.py."""
+    from lazo_spark.operators.suffix import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _docs(spark, sf_dir), "doc_id", "text", L=20, hashed=False
+    )
+    return out.withColumn("key", F.col("key").cast("long"))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1866,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "dup_span_stats": q_dup_span_stats,
+        "dedup_spans_clean": q_dedup_spans_clean,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2467,6 +2483,50 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(st.dup_chars, 0) * 1.0
                          / greatest(d.n, 1), 6) AS dup_frac
             FROM d LEFT JOIN st USING (doc_id)
+        """,
+        "dedup_spans_clean": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                         substr(text, CAST(i AS INTEGER), 20) AS gram
+                  FROM d, UNNEST(range(1, n - 18)) AS u(i) WHERE n >= 20),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            s AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            i0 AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) THEN 1 ELSE 0 END AS ni
+                   FROM s),
+            i1 AS (SELECT doc_id, pos,
+                          sum(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS island
+                   FROM i0),
+            isl AS (SELECT doc_id, island, min(pos) AS st,
+                           max(pos) + 20 AS e
+                    FROM i1 GROUP BY 1, 2),
+            segs AS (SELECT doc_id,
+                            coalesce(lag(e) OVER (PARTITION BY doc_id
+                                ORDER BY st), 1) AS seg_s,
+                            st AS seg_e, e
+                     FROM isl),
+            agg AS (SELECT segs.doc_id,
+                           string_agg(substr(d.text, segs.seg_s,
+                                             segs.seg_e - segs.seg_s),
+                                      '' ORDER BY segs.seg_s) AS head,
+                           max(segs.e) AS tail_s,
+                           count(*) AS n_removed
+                    FROM segs JOIN d ON d.doc_id = segs.doc_id
+                    GROUP BY 1),
+            fin AS (SELECT d.doc_id AS key, CAST(d.n AS BIGINT) AS n_chars,
+                           CASE WHEN a.tail_s IS NULL THEN d.text
+                                ELSE coalesce(a.head, '')
+                                     || substr(d.text, a.tail_s,
+                                          greatest(d.n - a.tail_s + 1, 0))
+                           END AS clean_text,
+                           CAST(coalesce(a.n_removed, 0) AS BIGINT)
+                             AS n_removed_spans
+                    FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+            SELECT * FROM fin
         """,
         "corpus_sample": f"""
             WITH l AS (

@@ -462,3 +462,116 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    L: int = 20,
+    hashed: bool = True,
+) -> DataFrame:
+    """ExactSubstr dedup REMOVAL (the companion of duplicate_span_stats):
+    cut from every document all character positions covered by a
+    length-L gram that occurs >= 2 times anywhere in the corpus, and
+    reassemble the residual text.  This is the aggressive variant of
+    Lee et al.'s tool (drop every copy, not all-but-one): deterministic,
+    engine-portable, and exactly complementary to the stats operator —
+    len(text) - dup_chars == len(clean_text) by construction.
+
+    Plan: duplicate starts (same count shuffle as the stats path; see
+    that docstring for the hashed-key story) -> gaps-and-islands merge
+    of the fixed-length intervals (running max over a per-doc window)
+    -> island (start, end) aggregation -> per-doc kept segments cut with
+    substr after ONE hash join back to the content -> ordered
+    reassembly via sort_array(collect_list) (packed argmax-style
+    aggregation, no second window).  Documents with no duplicated spans
+    pass through unchanged via the left join.
+
+    Output: (key, n_chars, clean_text, n_removed_spans).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(content_col)
+    n = F.length(c)
+    grams = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(L - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.substr(c, i, F.lit(L)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array())
+    g = df.select(
+        F.col(key_col).alias("key"), F.explode(grams).alias("pg")
+    ).select("key", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    gk = (F.xxhash64("gram") if hashed else F.col("gram")).alias("gk")
+    gg = g.select("key", "pos", gk)
+    dup_keys = (
+        gg.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gk")
+    )
+    dup_starts = gg.join(dup_keys.hint("SHUFFLE_HASH"), "gk", "left_semi")
+    w = Window.partitionBy("key").orderBy("pos")
+    prev_end = F.max(F.col("pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup_starts.withColumn(
+            "new_island",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("key", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + L).alias("e"))
+    )
+    # kept segment BEFORE each island: [prev island end, island start);
+    # the tail after the last island is emitted per doc from the island
+    # count + max end in the same aggregation below
+    iw = Window.partitionBy("key").orderBy("s")
+    segs = islands.select(
+        "key",
+        F.coalesce(F.lag("e").over(iw), F.lit(1)).alias("seg_s"),
+        F.col("s").alias("seg_e"),
+        F.col("e").alias("island_e"),
+    )
+    per_doc = segs.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seg_s", "seg_e"))
+        ).alias("gaps"),
+        F.max("island_e").alias("tail_s"),
+        F.count(F.lit(1)).cast("long").alias("n_removed_spans"),
+    )
+    keyed = df.select(
+        F.col(key_col).alias("key"),
+        c.alias("__content"),
+        n.cast("long").alias("n_chars"),
+    )
+    joined = keyed.join(per_doc.hint("SHUFFLE_HASH"), "key", "left")
+    cut = F.concat(
+        F.array_join(
+            F.transform(
+                F.col("gaps"),
+                lambda s: F.substr(
+                    F.col("__content"), s["seg_s"], s["seg_e"] - s["seg_s"]
+                ),
+            ),
+            "",
+        ),
+        F.substr(
+            F.col("__content"),
+            F.col("tail_s"),
+            F.greatest(F.col("n_chars") - F.col("tail_s") + 1, F.lit(0)),
+        ),
+    )
+    return joined.select(
+        "key",
+        "n_chars",
+        F.when(F.col("gaps").isNull(), F.col("__content"))
+        .otherwise(cut)
+        .alias("clean_text"),
+        F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+    )

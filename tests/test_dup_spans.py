@@ -54,3 +54,34 @@ def test_hashed_equals_string_keys(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert tuple(a[k]) == tuple(b[k])
+
+
+def test_removal_complements_stats(spark):
+    from lazo_spark.operators.suffix import remove_duplicate_spans
+
+    rows = [
+        (1, "XX0123456789abcdefghijYYYY"),
+        (2, "0123456789abcdefghijzz unrelated tail"),
+        (3, "totally different text with no repeats at all here"),
+        (4, "abcdefghij-----abcdefghij"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "key long, text string")
+    stats = {
+        r["key"]: r
+        for r in duplicate_span_stats(df, "key", "text", L=10).collect()
+    }
+    clean = {
+        r["key"]: r
+        for r in remove_duplicate_spans(df, "key", "text", L=10).collect()
+    }
+    texts = dict(rows)
+    for k in texts:
+        assert len(clean[k]["clean_text"]) == stats[k]["n_chars"] - stats[k]["dup_chars"]
+        if stats[k]["n_dup_grams"] == 0:
+            assert clean[k]["clean_text"] == texts[k]
+    # doc 1: the shared 20 chars vanish, the XX head and YYYY tail stay
+    assert clean[1]["clean_text"] == "XXYYYY"
+    # doc 4: both in-doc copies cut; the dash run between them stays
+    assert clean[4]["clean_text"] == "-----"
+    assert clean[4]["n_removed_spans"] == 2
