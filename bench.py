@@ -83,6 +83,10 @@ PIPELINE_OPS = [
     "semdedup",
     "pack_sequences",
     "decontaminate_bloom",
+    "decontaminate_fuzzy",
+    "quality_classifier",
+    "bm25_search",
+    "dup_span_stats",
     "code_clones",
     "repo_near_forks",
     "joinable_columns",

@@ -660,9 +660,20 @@ def decontaminate_fuzzy(
     ).withColumn("sha", F.sha2(F.col("content"), 256))
     sk_t = sketch_stage(keyed(train), cfg)
     sk_e = sketch_stage(keyed(eval_df), cfg)
-    cands = bipartite_pairs(
-        sk_t, sk_e, cfg, js_threshold=None, jcx_threshold=candidate_floor
-    ).select("key_x", "key_y")
+    # persist the (tiny) candidate pair relation: verify_candidates fans
+    # out over it three times (two key-union scans + the pair join) and
+    # without a persist the whole upstream bipartite DAG — BOTH sketch
+    # stages + the band join — re-executes once per reference (measured
+    # 48 s -> ~8 s at sf0.1; same fix as verify_set_candidates)
+    from pyspark import StorageLevel
+
+    cands = (
+        bipartite_pairs(
+            sk_t, sk_e, cfg, js_threshold=None, jcx_threshold=candidate_floor
+        )
+        .select("key_x", "key_y")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # one union relation feeds verification; key spaces are disjoint by
     # contract so the shingle rows never collide
     both = keyed(train).unionByName(keyed(eval_df)).select("key", "content")
