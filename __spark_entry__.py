@@ -306,6 +306,38 @@ def q_dedup_spans_clean(spark, sf_dir):
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus profiling rollup — the per-(lang, source) quality dashboard
+    a curation pipeline publishes each snapshot: doc counts, token
+    totals, mean size, and EXACT dyadic quantiles (p25/p50/p75 over
+    integer lengths interpolate to dyadic rationals, which both engines
+    compute as identical doubles — no rounding slack needed).  Covers
+    ROLLUP grouping sets + exact percentile aggregates in the relational
+    checklist; null group keys mark the subtotal/total rows."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nt"),
+    )
+    return (
+        base.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.sum("nc") / F.count(F.lit(1)), 6).alias("avg_chars"),
+            F.percentile("nc", F.lit(0.25)).alias("p25_chars"),
+            F.percentile("nc", F.lit(0.5)).alias("p50_chars"),
+            F.percentile("nc", F.lit(0.75)).alias("p75_chars"),
+        )
+        .select(
+            "lang", "source", "n_docs", "total_tokens", "avg_chars",
+            "p25_chars", "p50_chars", "p75_chars",
+        )
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Language-stratified deterministic corpus sampling (downsample en,
     upsample fr/de): md5-hash admission, reproducible across engines."""
@@ -1882,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "dup_span_stats": q_dup_span_stats,
         "dedup_spans_clean": q_dedup_spans_clean,
+        "corpus_report": q_corpus_report,
         "merged_lang_sketches": q_merged_lang_sketches,
         "incremental_delta_pairs": q_incremental_delta_pairs,
         "incremental_delta_verified": q_incremental_delta_verified,
@@ -2527,6 +2560,20 @@ def oracle_sql() -> dict[str, str]:
                              AS n_removed_spans
                     FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id)
             SELECT * FROM fin
+        """,
+        "corpus_report": f"""
+            WITH base AS (SELECT lang, source,
+                                 CAST(n_chars AS BIGINT) AS nc,
+                                 CAST(len({_TOKS}) AS BIGINT) AS nt
+                          FROM documents)
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   sum(nt) AS total_tokens,
+                   round(sum(nc) * 1.0 / count(*), 6) AS avg_chars,
+                   quantile_cont(nc, 0.25) AS p25_chars,
+                   quantile_cont(nc, 0.5) AS p50_chars,
+                   quantile_cont(nc, 0.75) AS p75_chars
+            FROM base GROUP BY ROLLUP (lang, source)
         """,
         "corpus_sample": f"""
             WITH l AS (

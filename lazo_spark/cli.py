@@ -62,10 +62,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "the whole sketch stage onto one worker.  On a large cluster "
         "with TB inputs, raise this back toward 128m.",
     )
+    p.add_argument(
+        "--eval-input", default=None,
+        help="second corpus for --phase decontaminate (the eval suite): "
+        "Iceberg table name or parquet path, same schema as --input",
+    )
     p.add_argument("--lineage", action="store_true", help="collect per-partition lineage/metrics")
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
     p.add_argument(
-        "--phase", choices=["full", "sketch-lsh", "discover", "curate"],
+        "--phase",
+        choices=["full", "sketch-lsh", "discover", "curate", "decontaminate"],
         default="full",
         help="sketch-lsh: stop after candidate generation (the BASELINE "
         "throughput metric is files/sec of the sketch+LSH phase). "
@@ -77,7 +83,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(operators/discovery.py). "
         "curate: composed admission pipeline (license + quality gates, "
         "secret redaction, redaction-aware exact dedup) — writes per-file "
-        "stats and the canonical redacted corpus (operators/code.py)",
+        "stats and the canonical redacted corpus (operators/code.py). "
+        "decontaminate: fuzzy train/eval decontamination — --input is the "
+        "training corpus, --eval-input the eval suite; emits near-duplicate "
+        "(train, eval) pairs at --jcx-threshold via the bipartite LSH + "
+        "exact-verification path (operators/text.decontaminate_fuzzy)",
     )
     return p
 
@@ -121,6 +131,8 @@ def main(argv: list[str] | None = None) -> dict:
         return _run_discover(spark, args)
     if args.phase == "curate":
         return _run_curate(spark, args)
+    if args.phase == "decontaminate":
+        return _run_decontaminate(spark, args, config)
 
     source = read_table(spark, args.input)
     n_files = source.count()
@@ -363,6 +375,56 @@ def _run_curate(spark, args) -> dict:
         - stats.where("canonical").count(),
         "seconds": round(elapsed, 3),
         "files_per_sec": round(n_files / elapsed, 1),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return metrics
+
+
+def _run_decontaminate(spark, args, config) -> dict:
+    """Fuzzy train/eval decontamination (--phase decontaminate): the
+    bipartite LSH + exact-verification path over two corpora.  Keys are
+    prefixed ('t:'/'e:') so the two inputs can never collide in the
+    shared verification relation; pairs land at <output>/pairs with the
+    directional (train_key, eval_key, js, jc_train, jc_eval) schema."""
+    from pyspark.sql import functions as F
+
+    from lazo_spark.operators.sketch import with_key_and_sha
+    from lazo_spark.operators.text import decontaminate_fuzzy
+    from lazo_spark.sources.readers import read_table
+
+    if not args.eval_input:
+        raise SystemExit("--phase decontaminate requires --eval-input")
+    prefix = lambda df, p: with_key_and_sha(df).withColumn(  # noqa: E731
+        "key", F.concat(F.lit(p), F.col("key"))
+    )
+    t0 = time.time()
+    train = prefix(read_table(spark, args.input), "t:")
+    ev = prefix(read_table(spark, args.eval_input), "e:")
+    n_train, n_eval = train.count(), ev.count()
+    pairs = decontaminate_fuzzy(
+        train, ev, "key", "content",
+        mode=config.shingle_mode,
+        jc_threshold=args.jcx_threshold,
+        candidate_floor=min(0.5, args.jcx_threshold),
+    )
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    pairs = spark.read.parquet(f"{args.output}/pairs")
+    n_pairs = pairs.count()
+    contaminated = pairs.select("train_key").distinct().count()
+    elapsed = time.time() - t0
+    metrics = {
+        "phase": "decontaminate",
+        "train_files": n_train,
+        "eval_files": n_eval,
+        "pairs": n_pairs,
+        "contaminated_train_files": contaminated,
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round((n_train + n_eval) / elapsed, 1),
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
     }
