@@ -222,6 +222,50 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): importance-resample the
+    training pool (doc_id % 10 != 0) toward the held-out in-domain
+    sample (doc_id % 10 == 0) — unigram+bigram bag distributions with
+    Laplace smoothing, per-doc importance log-weights as exact int64
+    micro-nat sums, Gumbel-top-k selection via a portable integer LCG.
+    Exact (gram-keyed) mode: the DuckDB twin replays the fit verbatim."""
+    docs = _docs(spark, sf_dir)
+    from lazo_spark.operators.select import dsir_select
+
+    return dsir_select(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=100,
+        key_col="doc_id",
+        content_col="text",
+        id_col="doc_id",
+        seed=7,
+    )
+
+
+def q_dsir_select_hashed(spark, sf_dir):
+    """DSIR selection on the HASHED feature space (the paper's actual
+    formulation and the 100-TB path: pmod(xxhash64(gram), 4096) buckets
+    make the distribution table a 4096-row broadcast, so scoring's only
+    shuffle is the final map-side-combined groupBy(key)).  Bucketing is
+    engine-specific (xxhash64), so this variant is rows-only for the
+    driver; tests/test_dsir.py pins it against a NumPy replica and
+    against the exact-mode ranking."""
+    docs = _docs(spark, sf_dir)
+    from lazo_spark.operators.select import dsir_select
+
+    return dsir_select(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=100,
+        key_col="doc_id",
+        content_col="text",
+        id_col="doc_id",
+        seed=7,
+        n_buckets=4096,
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the CCNet/fastText stage of a
     curation pipeline): a Bernoulli Naive-Bayes token classifier is
@@ -1910,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_near_forks": q_repo_near_forks,
         "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "dsir_select": q_dsir_select,
+        "dsir_select_hashed": q_dsir_select_hashed,
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "dup_span_stats": q_dup_span_stats,
@@ -2429,6 +2475,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ix JOIN sz sa ON ix.x = sa.doc_id
                     JOIN sz sb ON ix.y = sb.doc_id
             WHERE c * 1.0 / sa.n >= 0.8 OR c * 1.0 / sb.n >= 0.8
+        """,
+        "dsir_select": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+            u AS (
+              SELECT doc_id, unnest(arr) AS gram FROM t
+              UNION ALL
+              SELECT doc_id, arr[i] || ' ' || arr[i+1] AS gram
+              FROM t, UNNEST(range(1, len(arr))) AS r(i)
+            ),
+            rgk AS (SELECT doc_id, gram, COUNT(*)::BIGINT AS n FROM u
+                    WHERE doc_id % 10 != 0 GROUP BY 1, 2),
+            tg AS (SELECT gram, COUNT(*)::BIGINT AS ct FROM u
+                   WHERE doc_id % 10 = 0 GROUP BY 1),
+            rg AS (SELECT gram, SUM(n)::BIGINT AS cr FROM rgk GROUP BY 1),
+            d AS (SELECT COALESCE(tg.gram, rg.gram) AS gram,
+                         COALESCE(ct, 0)::DOUBLE AS ct,
+                         COALESCE(cr, 0)::DOUBLE AS cr
+                  FROM tg FULL OUTER JOIN rg ON tg.gram = rg.gram),
+            tot AS (SELECT COUNT(*)::DOUBLE AS v, SUM(ct) AS tt,
+                           SUM(cr) AS tr FROM d),
+            lr AS (SELECT gram,
+                     CAST(round((ln((ct + 1) / (tt + v))
+                               - ln((cr + 1) / (tr + v))) * 1e6) AS BIGINT)
+                       AS lm
+                   FROM d, tot),
+            w AS (SELECT doc_id, SUM(n * lm)::BIGINT AS lw
+                  FROM rgk JOIN lr USING (gram) GROUP BY 1),
+            s AS (SELECT doc_id, lw,
+                     lw + CAST(round(-ln(-ln(
+                       (((doc_id % 2147483648) * 1103515245 + 7)
+                          % 2147483648 + 0.5) / 2147483648.0)) * 1e6)
+                       AS BIGINT) AS sc
+                  FROM w)
+            SELECT doc_id AS key, lw AS lw_micro, sc AS score_micro
+            FROM s ORDER BY sc DESC, doc_id ASC LIMIT 100
         """,
         "quality_classifier": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS arr FROM documents),

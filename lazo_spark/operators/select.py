@@ -1,0 +1,183 @@
+"""DSIR-style data selection via importance resampling.
+
+Not present in the reference (mitdbg/lazo stops at dedup); this is the
+data-SELECTION stage of a training pipeline (Xie et al., "Data
+Selection for Language Models via Importance Resampling", NeurIPS
+2023): fit bag-of-ngram distributions over a small in-domain target
+sample (p) and the raw pool (q), weight every raw document by its
+importance log-ratio sum, and resample top-k via Gumbel-top-k (sampling
+without replacement with probability proportional to the importance
+weight).
+
+Features are token unigrams + bigrams WITH multiplicity.  Two modes:
+
+* ``n_buckets=None`` (exact): distributions are keyed on the gram
+  string itself.  Oracle-expressible (the DuckDB twin replays the same
+  full-outer join + Laplace smoothing), used by the driver query.
+* ``n_buckets=m`` (hashed, the scale path): grams are bucketed by
+  ``pmod(xxhash64(gram), m)`` exactly as the paper hashes into a fixed
+  feature space.  The distribution table is then AT MOST m rows —
+  broadcast onto the per-doc count relation, so NO gram-keyed shuffle
+  join exists in the scoring plan; the gram stream is reduced map-side
+  into (key, bucket, n) counts (grams of a doc never leave their scan
+  partition before the partial agg) and the remaining exchanges carry
+  only those packed rows.  Pinned against a replica in
+  tests/test_dsir.py.
+
+Per-gram log-ratios are quantized to int64 MICRO-NATS before the
+per-document sum (the same exactness idiom as the quality classifier's
+micro-nat LLRs): the doc score is an integer sum — exact,
+order-independent, and engine-portable — instead of a float whose
+hash depends on summation order and libm ulps.  Quantization happens
+once per VOCAB entry (not per occurrence), so the rounding-boundary
+exposure scales with vocabulary size, not corpus size.
+
+Scale shape (100 TB): the raw-pool gram stream never materializes —
+per-document gram counts (bounded by distinct grams per doc) are the
+persisted working set and feed BOTH the q-distribution aggregate and
+the scoring join (one traversal each; the fan-out persist lesson from
+verify_set_candidates applies).  With hashing, the dist relation is m
+rows broadcast; totals/vocab-size ride a single-row broadcast
+crossJoin, never a driver round-trip inside the plan.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+
+MICRO = 1_000_000  # micro-nat quantization grid for log-ratios
+
+
+def gram_occurrences(content: Column) -> Column:
+    """Token unigrams + bigrams, WITH multiplicity (array<string>).
+
+    Tokens are ``split(trim(text), '\\s+')`` — the same token law every
+    text operator and oracle in this repo uses.  A doc with fewer than
+    two tokens contributes its unigrams only.
+    """
+    toks = F.split(F.trim(content), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _doc_gram_counts(
+    df: DataFrame, key_col: str, content_col: str, n_buckets: int | None
+) -> DataFrame:
+    """(key, unit, n): per-document gram-occurrence counts, where unit
+    is the gram string (exact mode) or its int64 hash bucket."""
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(gram_occurrences(F.col(content_col))).alias("gram"),
+    )
+    unit = (
+        F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("unit")
+        if n_buckets
+        else F.col("gram").alias("unit")
+    )
+    return g.groupBy("key", unit).agg(F.count(F.lit(1)).alias("n"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+    n_buckets: int | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(key, lw_micro, n_grams) for every raw-pool document.
+
+    lw_micro = sum over the doc's gram occurrences of the int64
+    micro-nat quantization of ln(p_hat(g)) - ln(q_hat(g)), with
+    add-``alpha`` (Laplace) smoothing over the union vocabulary:
+    p_hat(g) = (ct(g)+a)/(Tt+aV) where V is the union vocab size
+    (== n_buckets when hashing).
+    """
+    rgk = _doc_gram_counts(raw, key_col, content_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tgt = (
+        _doc_gram_counts(target, key_col, content_col, n_buckets)
+        .groupBy("unit")
+        .agg(F.sum("n").alias("ct"))
+    )
+    pool = rgk.groupBy("unit").agg(F.sum("n").alias("cr"))
+    dist = tgt.join(pool, "unit", "full_outer").select(
+        "unit",
+        F.coalesce("ct", F.lit(0)).cast("double").alias("ct"),
+        F.coalesce("cr", F.lit(0)).cast("double").alias("cr"),
+    )
+    if n_buckets:
+        # the feature space is the buckets themselves, present or not
+        v_expr = F.lit(float(n_buckets)).alias("v")
+    else:
+        v_expr = F.count(F.lit(1)).cast("double").alias("v")
+    totals = dist.agg(v_expr, F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    a = F.lit(float(alpha))
+    logr = F.log((F.col("ct") + a) / (F.col("tt") + a * F.col("v"))) - F.log(
+        (F.col("cr") + a) / (F.col("tr") + a * F.col("v"))
+    )
+    lr = dist.crossJoin(F.broadcast(totals)).select(
+        "unit", F.round(logr * F.lit(MICRO)).cast("long").alias("logr_micro")
+    )
+    joined = rgk.join(F.broadcast(lr) if n_buckets else lr, "unit")
+    return joined.groupBy("key").agg(
+        F.sum(F.col("n") * F.col("logr_micro")).alias("lw_micro"),
+        F.sum("n").alias("n_grams"),
+    )
+
+
+def gumbel_micro(doc_id: Column, seed: int) -> Column:
+    """Gumbel(0,1) noise in int64 micro-nats from a PORTABLE integer
+    LCG on the numeric doc id — adding this to lw_micro and taking the
+    top-k samples without replacement with P(doc) proportional to
+    exp(log_weight), i.e. to the importance weight.  The LCG is exact
+    int64 arithmetic (id is reduced mod 2^31 first so the product stays
+    below 2^63), so any engine — Spark, DuckDB, NumPy — derives the
+    identical uniform; the one float op (-ln(-ln(u))) happens on that
+    exact rational and is quantized immediately.
+    """
+    m31 = F.lit(2147483648)
+    v = F.pmod(F.pmod(doc_id, m31) * F.lit(1103515245) + F.lit(int(seed)), m31)
+    u = (v.cast("double") + F.lit(0.5)) / m31.cast("double")
+    return F.round(-F.log(-F.log(u)) * F.lit(MICRO)).cast("long")
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    key_col: str = "key",
+    content_col: str = "content",
+    id_col: str | None = None,
+    seed: int = 7,
+    n_buckets: int | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-k raw documents by Gumbel-perturbed importance weight:
+    (key, lw_micro, score_micro).  ``id_col`` names a NUMERIC column on
+    ``raw`` used to derive the portable Gumbel noise; with
+    ``id_col=None`` selection is deterministic top-k by weight
+    (temperature-zero resampling).  Ordering is by exact int64 score,
+    key ascending on ties — fully deterministic.
+    """
+    w = dsir_weights(raw, target, key_col, content_col, n_buckets, alpha)
+    if id_col is not None:
+        ids = raw.select(F.col(key_col).alias("key"), F.col(id_col).alias("_did"))
+        w = w.join(ids, "key").withColumn(
+            "score_micro", F.col("lw_micro") + gumbel_micro(F.col("_did"), seed)
+        )
+    else:
+        w = w.withColumn("score_micro", F.col("lw_micro"))
+    return (
+        w.orderBy(F.desc("score_micro"), F.asc("key"))
+        .limit(int(k))
+        .select("key", "lw_micro", "score_micro")
+    )

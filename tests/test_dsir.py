@@ -1,0 +1,146 @@
+"""DSIR importance-resampling selection (operators/select.py).
+
+The exact (gram-keyed) mode is oracle-green in the driver contract;
+these tests pin BOTH modes against an independent pure-Python replica
+of the paper's math (distribution fit, Laplace smoothing, micro-nat
+quantization, portable-LCG Gumbel-top-k), and the hashed mode's plan
+shape (broadcast dist join — no gram-keyed shuffle join).
+"""
+import math
+import re
+
+import pyspark.sql.functions as F
+
+from lazo_spark.operators.select import MICRO, dsir_select, dsir_weights
+
+# deterministic toy corpus: target domain is cooking-flavored, the raw
+# pool mixes near-target docs, off-domain docs, and a verbatim-ish copy
+TARGET = [
+    (100, "stir the soup and add salt to the soup"),
+    (110, "bake the bread then add butter to the bread"),
+    (120, "chop the onion and stir the onion into the soup"),
+]
+RAW = [
+    (1, "stir the soup and add salt to the soup"),          # verbatim target text
+    (2, "add butter to the bread and stir the soup"),       # near-domain
+    (3, "tensor gradients propagate through the network"),  # off-domain
+    (4, "the parliament voted on the budget amendment"),    # off-domain
+    (5, "chop the onion then bake the bread"),              # near-domain
+    (6, ""),                                                # empty doc edge
+    (7, "soup"),                                            # single token
+]
+
+
+def _grams(text):
+    # split on \s+ of the trimmed string; empty text yields [''] —
+    # the same token law as Spark's split(trim(text), '\\s+')
+    toks = re.split(r"\s+", text.strip())
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _replica(raw, target, bucket_of=None, n_buckets=None, alpha=1.0, seed=7, k=100):
+    """Pure-Python DSIR: returns {key: (lw_micro, score_micro)} top-k."""
+    unit = (lambda g: bucket_of[g]) if bucket_of else (lambda g: g)
+    rgk, ct, cr = {}, {}, {}
+    for key, text in raw:
+        for g in _grams(text):
+            u = unit(g)
+            rgk.setdefault(key, {})[u] = rgk.get(key, {}).get(u, 0) + 1
+            cr[u] = cr.get(u, 0) + 1
+    for _, text in target:
+        for g in _grams(text):
+            ct[unit(g)] = ct.get(unit(g), 0) + 1
+    vocab = set(ct) | set(cr)
+    v = float(n_buckets) if n_buckets else float(len(vocab))
+    tt, tr = float(sum(ct.values())), float(sum(cr.values()))
+    lm = {
+        u: round(
+            (
+                math.log((ct.get(u, 0) + alpha) / (tt + alpha * v))
+                - math.log((cr.get(u, 0) + alpha) / (tr + alpha * v))
+            )
+            * MICRO
+        )
+        for u in vocab
+    }
+    out = {}
+    for key, counts in rgk.items():
+        lw = sum(n * lm[u] for u, n in counts.items())
+        lcg = ((key % 2147483648) * 1103515245 + seed) % 2147483648
+        u01 = (lcg + 0.5) / 2147483648.0
+        out[key] = (lw, lw + round(-math.log(-math.log(u01)) * MICRO))
+    top = sorted(out.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return dict(top)
+
+
+def _frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    return raw, tgt
+
+
+def test_exact_mode_matches_replica(spark):
+    raw, tgt = _frames(spark)
+    got = {
+        r["key"]: (r["lw_micro"], r["score_micro"])
+        for r in dsir_select(
+            raw, tgt, k=100, key_col="doc_id", content_col="text",
+            id_col="doc_id", seed=7,
+        ).collect()
+    }
+    assert got == _replica(RAW, TARGET)
+
+
+def test_hashed_mode_matches_replica(spark):
+    raw, tgt = _frames(spark)
+    m = 64  # small bucket space so collisions actually occur and are pinned
+    grams = sorted({g for _, t in RAW + TARGET for g in _grams(t)})
+    bucket_of = dict(
+        spark.createDataFrame([(g,) for g in grams], "gram string")
+        .select("gram", F.pmod(F.xxhash64("gram"), F.lit(m)).alias("b"))
+        .collect()
+    )
+    assert len(set(bucket_of.values())) < len(grams)  # collisions present
+    got = {
+        r["key"]: (r["lw_micro"], r["score_micro"])
+        for r in dsir_select(
+            raw, tgt, k=100, key_col="doc_id", content_col="text",
+            id_col="doc_id", seed=7, n_buckets=m,
+        ).collect()
+    }
+    assert got == _replica(RAW, TARGET, bucket_of=bucket_of, n_buckets=m)
+
+
+def test_domain_ranking_property(spark):
+    """Target-verbatim text outranks off-domain text; the full pool is
+    returned when k exceeds it; empty/1-token docs score finitely."""
+    raw, tgt = _frames(spark)
+    sel = dsir_select(
+        raw, tgt, k=100, key_col="doc_id", content_col="text",
+    ).collect()
+    assert len(sel) == len(RAW)
+    lw = {r["key"]: r["lw_micro"] for r in sel}
+    assert lw[1] > lw[3] and lw[1] > lw[4]   # verbatim beats off-domain
+    assert lw[2] > lw[3] and lw[5] > lw[4]   # near-domain beats off-domain
+    assert 6 in lw and 7 in lw
+
+
+def test_hashed_plan_broadcasts_dist(spark):
+    """The hashed-mode scoring join must be a broadcast join (the dist
+    relation is at most n_buckets rows) — a gram-keyed shuffle join
+    here would re-shuffle the whole corpus gram stream at scale."""
+    raw, tgt = _frames(spark)
+    plan = dsir_weights(
+        raw, tgt, key_col="doc_id", content_col="text", n_buckets=4096
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_selection_k_cut(spark):
+    raw, tgt = _frames(spark)
+    sel = dsir_select(
+        raw, tgt, k=3, key_col="doc_id", content_col="text",
+        id_col="doc_id", seed=7,
+    ).collect()
+    rep = _replica(RAW, TARGET, k=3)
+    assert {r["key"] for r in sel} == set(rep)
