@@ -266,6 +266,38 @@ def q_dsir_select_hashed(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Multilingual corpus mixing (Conneau & Lample 2019 temperature
+    sampling): per-language inclusion rates from tokens^(1/T) mass,
+    budget 30k tokens, T=3; selection is an exact-integer Bernoulli
+    draw (portable LCG vs micro-quantized rate), so the selected set is
+    deterministic and the DuckDB twin hash-matches it."""
+    docs = _docs(spark, sf_dir)
+    from lazo_spark.operators.mix import temperature_mix
+
+    return temperature_mix(
+        docs, budget_tokens=30000, key_col="doc_id", group_col="lang",
+        content_col="text", temperature=3.0, seed=11,
+    ).withColumnRenamed("group", "lang")
+
+
+def q_unimax_mix(spark, sf_dir):
+    """UniMax water-filling corpus mixing (Chung et al. 2023): the
+    G-row language totals are water-filled driver-side (G = #languages,
+    the same acceptable-by-design scale as pr_evaluate's one-row
+    collect) and the budgets drive the same broadcast + integer-draw
+    selection.  The iterative allocation is not plain-SQL-expressible,
+    so this entry is rows-only for the driver; tests/test_mix.py pins
+    the allocation and the selection against a pure-Python replica."""
+    docs = _docs(spark, sf_dir)
+    from lazo_spark.operators.mix import unimax_mix
+
+    return unimax_mix(
+        docs, budget_tokens=30000, key_col="doc_id", group_col="lang",
+        content_col="text", epoch_cap=2.0, seed=11,
+    ).withColumnRenamed("group", "lang")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the CCNet/fastText stage of a
     curation pipeline): a Bernoulli Naive-Bayes token classifier is
@@ -1956,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "dsir_select": q_dsir_select,
         "dsir_select_hashed": q_dsir_select_hashed,
+        "temperature_mix": q_temperature_mix,
+        "unimax_mix": q_unimax_mix,
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "dup_span_stats": q_dup_span_stats,
@@ -2510,6 +2544,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM w)
             SELECT doc_id AS key, lw AS lw_micro, sc AS score_micro
             FROM s ORDER BY sc DESC, doc_id ASC LIMIT 100
+        """,
+        "temperature_mix": f"""
+            WITH d AS (SELECT doc_id, lang,
+                              len({_TOKS})::BIGINT AS n_tokens
+                       FROM documents),
+            g AS (SELECT lang, SUM(n_tokens)::DOUBLE AS tokens
+                  FROM d GROUP BY 1),
+            m AS (SELECT lang, pow(tokens, 1.0 / 3.0) AS mass, tokens
+                  FROM g),
+            ms AS (SELECT SUM(mass) AS mass_sum FROM m),
+            r AS (SELECT lang,
+                    CAST(round(least(1.0,
+                        30000.0 * (mass / mass_sum) / tokens) * 1e6)
+                      AS BIGINT) AS rate_micro
+                  FROM m, ms)
+            SELECT d.doc_id AS key, d.lang, d.n_tokens, r.rate_micro,
+                   (((doc_id % 2147483648) * 1103515245 + 11)
+                      % 2147483648) * 1000000
+                     < rate_micro * 2147483648 AS selected
+            FROM d JOIN r USING (lang)
         """,
         "quality_classifier": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS arr FROM documents),

@@ -1,0 +1,206 @@
+"""Corpus mixing: language/source sampling for multilingual training.
+
+Not present in the reference (mitdbg/lazo stops at dedup); these are
+the corpus-MIXING stages that follow dedup in a training pipeline:
+
+* ``temperature_mix`` — classic temperature sampling (Conneau & Lample
+  2019, "Cross-lingual Language Model Pretraining"): group sampling
+  mass p_g proportional to tokens_g^(1/T), per-document inclusion at
+  rate min(1, budget * p_g / tokens_g).  Closed-form, fully
+  declarative: one map-side-combined group aggregate, the G-row rate
+  relation broadcast back onto the corpus, and an EXACT-integer
+  Bernoulli draw (portable LCG vs micro-quantized rate — engine-
+  portable, so the selected set is deterministic and the DuckDB twin
+  hash-matches it).  G is the number of languages/sources — always
+  tiny next to the corpus.
+
+* ``unimax_budgets`` — UniMax water-filling (Chung et al. 2023,
+  "UniMax: Fairer and More Effective Language Sampling"): allocate a
+  global token budget over groups by repeatedly granting every
+  still-open group an equal share of the remaining budget, closing
+  groups whose entire remaining corpus (capped at ``epoch_cap``
+  epochs) fits under the share.  The iteration runs driver-side over
+  the COLLECTED G-row totals relation (G = #languages; same
+  acceptable-by-design class as pr_evaluate's single-row collect) and
+  the resulting per-group budgets feed the same broadcast + integer-
+  draw selection.  Pinned against a pure-Python replica in
+  tests/test_mix.py.
+
+Scale shape (100 TB): the corpus is scanned once for the totals
+aggregate (map-side combined on the group key) and once for the
+selection pass (scan-fused projection + broadcast join); no shuffle of
+content rows, no per-group window sort — selection is rate-based, so
+the realized token count per group is the budget in expectation with
+O(sqrt) concentration, documented rather than hidden.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MICRO = 1_000_000
+M31 = 2147483648
+
+
+def _n_tokens(content: Column) -> Column:
+    return F.size(F.split(F.trim(content), r"\s+"))
+
+
+def _lcg(doc_id: Column, seed: int) -> Column:
+    """Portable uniform draw as an int64 in [0, 2^31) — exact integer
+    arithmetic any engine reproduces (same LCG as operators/select)."""
+    return F.pmod(
+        F.pmod(doc_id, F.lit(M31)) * F.lit(1103515245) + F.lit(int(seed)), F.lit(M31)
+    )
+
+
+def group_token_totals(
+    df: DataFrame, group_col: str, content_col: str
+) -> DataFrame:
+    """(group, n_docs, tokens) — one map-side-combined aggregate."""
+    return (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_n_tokens(F.col(content_col))).alias("tokens"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str = "key",
+    group_col: str = "lang",
+    content_col: str = "content",
+    temperature: float = 3.0,
+    seed: int = 11,
+) -> DataFrame:
+    """(key, group, n_tokens, rate_micro, selected) for every document.
+
+    rate_g = min(1, budget * p_g / tokens_g) with p_g proportional to
+    tokens_g^(1/T), quantized once per GROUP to integer micro-units;
+    selected iff lcg(key) * 1e6 < rate_micro * 2^31 — both sides exact
+    int64, so selection is reproducible bit-for-bit on any engine.
+    """
+    from pyspark.sql.window import Window
+
+    totals = group_token_totals(df, group_col, content_col)
+    inv_t = F.lit(1.0 / float(temperature))
+    mass = F.pow(F.col("tokens").cast("double"), inv_t)
+    # mass_sum via an unpartitioned window over the G-row totals — one
+    # tiny exchange of G rows, and the corpus aggregate runs ONCE (a
+    # crossJoin against totals.agg() would recompute the full scan)
+    rates = (
+        totals.withColumn("mass", mass)
+        .withColumn("mass_sum", F.sum("mass").over(Window.partitionBy()))
+        .select(
+            "group",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget_tokens))
+                    * (F.col("mass") / F.col("mass_sum"))
+                    / F.col("tokens").cast("double"),
+                )
+                * F.lit(MICRO)
+            )
+            .cast("long")
+            .alias("rate_micro"),
+        )
+    )
+    docs = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("group"),
+        _n_tokens(F.col(content_col)).cast("long").alias("n_tokens"),
+    )
+    return docs.join(F.broadcast(rates), "group").select(
+        "key",
+        "group",
+        "n_tokens",
+        "rate_micro",
+        (
+            _lcg(F.col("key"), seed) * F.lit(MICRO)
+            < F.col("rate_micro") * F.lit(M31)
+        ).alias("selected"),
+    )
+
+
+def unimax_budgets(
+    totals: list[tuple[str, int]], budget_tokens: int, epoch_cap: float = 4.0
+) -> dict[str, int]:
+    """UniMax water-filling over (group, tokens) totals: returns the
+    per-group token budget.  Pure driver-side arithmetic over G rows.
+
+    Each round, every still-open group is offered an equal share of the
+    remaining budget; groups whose remaining capacity (tokens *
+    epoch_cap) fits under the offer take their capacity and close.
+    When no group closes, the survivors split the remainder equally.
+    """
+    remaining = float(budget_tokens)
+    open_groups = {g: float(t) * float(epoch_cap) for g, t in totals}
+    out: dict[str, int] = {g: 0 for g, _ in totals}
+    while open_groups and remaining > 0:
+        share = remaining / len(open_groups)
+        closing = {g: cap for g, cap in open_groups.items() if cap <= share}
+        if not closing:
+            for g in open_groups:
+                out[g] += int(share)
+            break
+        for g, cap in sorted(closing.items()):
+            out[g] += int(cap)
+            remaining -= cap
+            del open_groups[g]
+    return out
+
+
+def unimax_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str = "key",
+    group_col: str = "lang",
+    content_col: str = "content",
+    epoch_cap: float = 4.0,
+    seed: int = 11,
+) -> DataFrame:
+    """temperature_mix's selection machinery driven by UniMax budgets:
+    the G-row totals are collected, water-filled driver-side, and the
+    per-group rates broadcast back (rate_g = min(1, budget_g /
+    tokens_g) in micro-units; same exact-integer Bernoulli draw)."""
+    spark = df.sparkSession
+    totals_rows = group_token_totals(df, group_col, content_col).collect()
+    budgets = unimax_budgets(
+        [(r["group"], r["tokens"]) for r in totals_rows], budget_tokens, epoch_cap
+    )
+    rates = spark.createDataFrame(
+        [
+            (
+                r["group"],
+                int(
+                    round(
+                        min(1.0, budgets[r["group"]] / float(r["tokens"]))
+                        * MICRO
+                    )
+                )
+                if r["tokens"]
+                else 0,
+            )
+            for r in totals_rows
+        ],
+        "group string, rate_micro long",
+    )
+    docs = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("group"),
+        _n_tokens(F.col(content_col)).cast("long").alias("n_tokens"),
+    )
+    return docs.join(F.broadcast(rates), "group").select(
+        "key",
+        "group",
+        "n_tokens",
+        "rate_micro",
+        (
+            _lcg(F.col("key"), seed) * F.lit(MICRO)
+            < F.col("rate_micro") * F.lit(M31)
+        ).alias("selected"),
+    )

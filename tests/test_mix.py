@@ -1,0 +1,108 @@
+"""Corpus mixing (operators/mix.py): temperature sampling is
+oracle-green in the driver contract; these tests pin the UniMax
+water-filling allocation and both selection paths against pure-Python
+replicas, including the exact-integer Bernoulli draw.
+"""
+import re
+
+from lazo_spark.operators.mix import (
+    MICRO,
+    M31,
+    temperature_mix,
+    unimax_budgets,
+    unimax_mix,
+)
+
+ROWS = [
+    # (doc_id, lang, text) — en-heavy corpus with small tails
+    *[(i, "en", "the quick brown fox number %d jumps" % i) for i in range(20)],
+    *[(100 + i, "de", "der schnelle braune fuchs nummer %d" % i) for i in range(6)],
+    *[(200 + i, "es", "el zorro marron rapido %d" % i) for i in range(3)],
+    (300, "fi", "yksi"),
+]
+
+
+def _ntok(text):
+    return len(re.split(r"\s+", text.strip()))
+
+
+def _lcg(doc_id, seed=11):
+    return ((doc_id % M31) * 1103515245 + seed) % M31
+
+
+def _selected(doc_id, rate_micro, seed=11):
+    return _lcg(doc_id, seed) * MICRO < rate_micro * M31
+
+
+def test_unimax_budgets_water_filling():
+    totals = [("en", 1000), ("de", 100), ("es", 30)]
+    # cap 1 epoch, budget 600: es (30) and de (100) fit under the
+    # successive equal shares and close; en takes the remainder
+    b = unimax_budgets(totals, 600, epoch_cap=1.0)
+    assert b["es"] == 30 and b["de"] == 100
+    assert b["en"] == 600 - 30 - 100
+    # budget above total capacity: every group gets its full cap
+    b = unimax_budgets(totals, 10**9, epoch_cap=2.0)
+    assert b == {"en": 2000, "de": 200, "es": 60}
+    # no group closes: equal split
+    b = unimax_budgets([("a", 500), ("b", 500)], 100, epoch_cap=1.0)
+    assert b == {"a": 50, "b": 50}
+
+
+def test_temperature_mix_matches_replica(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, lang string, text string")
+    out = {
+        r["key"]: r
+        for r in temperature_mix(
+            df, budget_tokens=60, key_col="doc_id", group_col="lang",
+            content_col="text", temperature=3.0, seed=11,
+        ).collect()
+    }
+    tokens = {}
+    for i, lang, text in ROWS:
+        tokens[lang] = tokens.get(lang, 0) + _ntok(text)
+    mass = {g: t ** (1.0 / 3.0) for g, t in tokens.items()}
+    msum = sum(mass.values())
+    rate = {
+        g: round(min(1.0, 60.0 * (mass[g] / msum) / tokens[g]) * MICRO)
+        for g in tokens
+    }
+    assert len(out) == len(ROWS)
+    for i, lang, text in ROWS:
+        r = out[i]
+        assert r["group"] == lang and r["n_tokens"] == _ntok(text)
+        assert r["rate_micro"] == rate[lang]
+        assert r["selected"] == _selected(i, rate[lang])
+    # the tiny group's rate must exceed the dominant group's (the whole
+    # point of temperature flattening)
+    assert rate["fi"] > rate["en"]
+
+
+def test_unimax_mix_matches_replica(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, lang string, text string")
+    out = {
+        r["key"]: r
+        for r in unimax_mix(
+            df, budget_tokens=60, key_col="doc_id", group_col="lang",
+            content_col="text", epoch_cap=1.0, seed=11,
+        ).collect()
+    }
+    tokens = {}
+    for i, lang, text in ROWS:
+        tokens[lang] = tokens.get(lang, 0) + _ntok(text)
+    budgets = unimax_budgets(sorted(tokens.items()), 60, epoch_cap=1.0)
+    for i, lang, _ in ROWS:
+        rm = round(min(1.0, budgets[lang] / tokens[lang]) * MICRO)
+        assert out[i]["rate_micro"] == rm
+        assert out[i]["selected"] == _selected(i, rm)
+    # small groups are fully kept (rate 1) under water-filling
+    assert out[300]["rate_micro"] == MICRO and out[300]["selected"]
+
+
+def test_budget_above_corpus_keeps_everything(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, lang string, text string")
+    sel = temperature_mix(
+        df, budget_tokens=10**9, key_col="doc_id", group_col="lang",
+        content_col="text",
+    ).collect()
+    assert all(r["rate_micro"] == MICRO and r["selected"] for r in sel)
