@@ -266,6 +266,22 @@ def q_dsir_select_hashed(spark, sf_dir):
     )
 
 
+def q_leakage_safe_splits(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: dedup_clusters_exact's
+    end-to-end clustering (sha collapse -> exact containment pairs ->
+    CC -> member expansion) followed by a CLUSTER-level portable-LCG
+    split, so near-duplicates never straddle a split boundary (Lee et
+    al. 2022's contamination mechanism).  Every stage is
+    oracle-expressible — the DuckDB twin replays the recursive-CTE CC
+    plus the same exact-integer bucket math."""
+    from lazo_spark.operators.cluster import split_by_cluster
+
+    return split_by_cluster(
+        q_dedup_clusters_exact(spark, sf_dir), seed=17,
+        test_permille=100, val_permille=100,
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multilingual corpus mixing (Conneau & Lample 2019 temperature
     sampling): per-language inclusion rates from tokens^(1/T) mass,
@@ -1990,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_hashed": q_dsir_select_hashed,
         "temperature_mix": q_temperature_mix,
         "unimax_mix": q_unimax_mix,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "dup_span_stats": q_dup_span_stats,
@@ -3177,6 +3194,19 @@ def oracle_sql() -> dict[str, str]:
     # pipeline whenever the candidate stage misses nothing (see
     # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
     sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
+    # cluster-level split assignment on top of the same clustering twin
+    sql["leakage_safe_splits"] = f"""
+        WITH base AS ({sql["dedup_clusters_exact"]}),
+        b AS (SELECT key, cluster,
+                ((cluster % 2147483648) * 1103515245 + 17)
+                  % 2147483648 % 1000 AS split_bucket
+              FROM base)
+        SELECT key, cluster, split_bucket,
+               CASE WHEN split_bucket < 100 THEN 'test'
+                    WHEN split_bucket < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM b
+    """
     sql["joinable_columns"] = _discovery_oracle_sql()
     # the incremental variant answers the same brute-force question
     # restricted to pairs touching the delta batch (lineitem's columns)

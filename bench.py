@@ -85,6 +85,8 @@ PIPELINE_OPS = [
     "decontaminate_bloom",
     "decontaminate_fuzzy",
     "quality_classifier",
+    "dsir_select_hashed",
+    "temperature_mix",
     "bm25_search",
     "dup_span_stats",
     "code_clones",

@@ -190,3 +190,38 @@ def cluster_assignments(
             key_col, F.coalesce(F.col("cluster"), F.col(key_col)).alias("cluster")
         )
     )
+
+
+def split_by_cluster(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    seed: int = 17,
+    test_permille: int = 100,
+    val_permille: int = 100,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    near-duplicate CLUSTER, never the document, so no near-dup pair can
+    straddle a split boundary (splitting deduplicated corpora by
+    document leaks eval content into training — the contamination
+    mechanism of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better").
+
+    Adds (split_bucket, split) to the (key, cluster) assignment
+    relation: bucket = portable-LCG(cluster, seed) mod 1000 — exact
+    int64 arithmetic any engine reproduces — test below
+    ``test_permille``, val below test+val, train otherwise.  Pure
+    Catalyst column math on the already-clustered relation: no extra
+    shuffle, no per-row Python.
+    """
+    m31 = F.lit(2147483648)
+    v = F.pmod(
+        F.pmod(F.col(cluster_col), m31) * F.lit(1103515245) + F.lit(int(seed)),
+        m31,
+    )
+    bucket = F.pmod(v, F.lit(1000))
+    return assignments.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < test_permille, F.lit("test"))
+        .when(F.col("split_bucket") < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

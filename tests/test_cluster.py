@@ -54,3 +54,4 @@ def test_string_keys(spark, threshold):
     )
     out = connected_components(edges, small_graph_threshold=threshold).toPandas()
     assert set(out["cluster"]) == {"a"}
+

@@ -1,0 +1,25 @@
+"""Cluster-level leakage-safe split assignment (operators/cluster.split_by_cluster)."""
+
+def test_split_by_cluster_leakage_invariant(spark):
+    """Every member of a cluster lands in the SAME split (the whole
+    point), buckets match the portable-LCG replica, and all three
+    splits appear over many clusters."""
+    from lazo_spark.operators.cluster import split_by_cluster
+
+    rows = [(k, k % 97) for k in range(500)]  # 97 clusters, multi-member
+    out = split_by_cluster(
+        spark.createDataFrame(rows, "key long, cluster long"),
+        seed=17, test_permille=100, val_permille=100,
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+        lcg = ((r["cluster"] % 2147483648) * 1103515245 + 17) % 2147483648
+        assert r["split_bucket"] == lcg % 1000
+        expect = (
+            "test" if r["split_bucket"] < 100
+            else "val" if r["split_bucket"] < 200 else "train"
+        )
+        assert r["split"] == expect
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {s for v in by_cluster.values() for s in v} == {"test", "val", "train"}
