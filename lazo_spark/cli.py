@@ -71,7 +71,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics-out", default=None, help="write run metrics JSON here")
     p.add_argument(
         "--phase",
-        choices=["full", "sketch-lsh", "discover", "curate", "decontaminate"],
+        choices=["full", "sketch-lsh", "discover", "curate", "decontaminate",
+                 "assemble"],
         default="full",
         help="sketch-lsh: stop after candidate generation (the BASELINE "
         "throughput metric is files/sec of the sketch+LSH phase). "
@@ -87,7 +88,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "decontaminate: fuzzy train/eval decontamination — --input is the "
         "training corpus, --eval-input the eval suite; emits near-duplicate "
         "(train, eval) pairs at --jcx-threshold via the bipartite LSH + "
-        "exact-verification path (operators/text.decontaminate_fuzzy)",
+        "exact-verification path (operators/text.decontaminate_fuzzy). "
+        "assemble: end-to-end training-data assembly — near-dup "
+        "clustering, leakage-safe cluster-level train/val/test splits, "
+        "canonical-per-cluster train slice, optional exact "
+        "decontamination vs --eval-input, temperature-based language "
+        "mixing at --budget-tokens, GPT-style sequence packing at "
+        "--context-len; writes splits/, corpus/, packs/",
+    )
+    p.add_argument(
+        "--budget-tokens", type=int, default=1_000_000,
+        help="token budget for --phase assemble's language mixing",
+    )
+    p.add_argument(
+        "--context-len", type=int, default=2048,
+        help="context window for --phase assemble's sequence packing",
     )
     return p
 
@@ -133,6 +148,8 @@ def main(argv: list[str] | None = None) -> dict:
         return _run_curate(spark, args)
     if args.phase == "decontaminate":
         return _run_decontaminate(spark, args, config)
+    if args.phase == "assemble":
+        return _run_assemble(spark, args, config)
 
     source = read_table(spark, args.input)
     n_files = source.count()
@@ -437,3 +454,118 @@ def _run_decontaminate(spark, args, config) -> dict:
 
 if __name__ == "__main__":
     sys.exit(0 if main() else 1)
+
+
+def _run_assemble(spark, args, config) -> dict:
+    """End-to-end training-data assembly (--phase assemble): everything
+    AFTER the raw corpus, in one drivable plan sequence:
+
+      1. near-dup clustering (the full DedupPipeline: sketch -> LSH ->
+         verify at --jcx-threshold -> connected components)
+      2. leakage-safe splits at the CLUSTER level (no near-dup pair
+         straddles train/val/test; operators/cluster.split_by_cluster)
+      3. canonical-per-cluster train slice (dedup applied: only the
+         cluster representative survives into training)
+      4. optional exact decontamination vs --eval-input (8-token-gram
+         Bloom prefilter + exact semi-join re-verify; contaminated
+         train docs are DROPPED, not just flagged)
+      5. temperature-based language mixing at --budget-tokens
+         (operators/mix.temperature_mix, T=3; the Bernoulli draw keys
+         on xxhash64 of the doc key)
+      6. GPT-style sequence packing at --context-len
+         (operators/pack.pack_sequences over xxhash64 doc ids)
+
+    Writes splits/ (key, cluster, split), corpus/ (the assembled
+    training corpus: key, lang, content), packs/ (per-doc window
+    spans).  Content shuffles only where semantics demand it (the
+    pack range-exchange); every other stage moves keys, shas,
+    sketches, or gram hashes.
+    """
+    from pyspark.sql import functions as F
+
+    from lazo_spark.operators.cluster import split_by_cluster
+    from lazo_spark.operators.mix import temperature_mix
+    from lazo_spark.operators.pack import pack_sequences
+    from lazo_spark.operators.sketch import with_key_and_sha
+    from lazo_spark.plans.pipeline import DedupPipeline
+    from lazo_spark.sources.readers import read_table
+
+    t0 = time.time()
+    source = with_key_and_sha(read_table(spark, args.input))
+    n_files = source.count()
+
+    pipe = DedupPipeline(spark, config, checkpoint_dir=args.checkpoint_dir)
+    out = pipe.run(source, verify_threshold=args.jcx_threshold)
+    splits = split_by_cluster(out["clusters"], seed=17)
+    splits.write.mode("overwrite").parquet(f"{args.output}/splits")
+    splits = spark.read.parquet(f"{args.output}/splits")
+
+    # canonical-per-cluster members of the train split only
+    train_keys = splits.where(
+        (F.col("split") == "train") & (F.col("key") == F.col("cluster"))
+    ).select("key")
+    train = source.select("key", "lang", "content").join(
+        train_keys, "key", "left_semi"
+    )
+
+    n_contaminated = 0
+    if args.eval_input:
+        from lazo_spark.operators.text import decontaminate_bloom
+
+        eval_docs = with_key_and_sha(read_table(spark, args.eval_input))
+        hits = decontaminate_bloom(
+            train, eval_docs.select("key", "content"), "key", "content", n=8
+        ).select("key").distinct()
+        from pyspark import StorageLevel
+
+        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        n_contaminated = hits.count()
+        train = train.join(hits, "key", "left_anti")
+
+    mixed = temperature_mix(
+        train.withColumn("_nid", F.xxhash64("key")),
+        budget_tokens=args.budget_tokens,
+        key_col="key", group_col="lang", content_col="content",
+        temperature=3.0, seed=11, id_col="_nid",
+    )
+    corpus = train.join(
+        mixed.where("selected").select("key"), "key", "left_semi"
+    )
+    corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    corpus = spark.read.parquet(f"{args.output}/corpus")
+
+    packs = pack_sequences(
+        corpus.withColumn("_nid", F.xxhash64("key")).select(
+            F.col("_nid").alias("pack_key"), "key", "content"
+        ),
+        "pack_key", "content", context_len=args.context_len,
+    )
+    packs.write.mode("overwrite").parquet(f"{args.output}/packs")
+    elapsed = time.time() - t0
+
+    packs = spark.read.parquet(f"{args.output}/packs")
+    n_selected = corpus.count()
+    row = packs.agg(
+        F.coalesce(F.max("pack_last") + 1, F.lit(0)).alias("n_windows"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+    ).first()
+    metrics = {
+        "phase": "assemble",
+        "files": n_files,
+        "clusters": splits.select("cluster").distinct().count(),
+        "train_canonical": train_keys.count(),
+        "contaminated_removed": n_contaminated,
+        "selected": n_selected,
+        "packed_tokens": int(row["n_tokens"]),
+        "context_windows": int(row["n_windows"]),
+        "seconds": round(elapsed, 3),
+        "files_per_sec": round(n_files / elapsed, 1),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "config_fingerprint": config.fingerprint(),
+    }
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return metrics

@@ -209,15 +209,19 @@ def split_by_cluster(
     Adds (split_bucket, split) to the (key, cluster) assignment
     relation: bucket = portable-LCG(cluster, seed) mod 1000 — exact
     int64 arithmetic any engine reproduces — test below
-    ``test_permille``, val below test+val, train otherwise.  Pure
-    Catalyst column math on the already-clustered relation: no extra
-    shuffle, no per-row Python.
+    ``test_permille``, val below test+val, train otherwise.  String
+    cluster ids (the CLI's repo:path@commit keys) are reduced to int64
+    via xxhash64 first; numeric ids feed the LCG directly so the
+    DuckDB twin can replay the arithmetic.  Pure Catalyst column math
+    on the already-clustered relation: no extra shuffle, no per-row
+    Python.
     """
-    m31 = F.lit(2147483648)
-    v = F.pmod(
-        F.pmod(F.col(cluster_col), m31) * F.lit(1103515245) + F.lit(int(seed)),
-        m31,
+    numeric = dict(assignments.dtypes)[cluster_col] in (
+        "bigint", "int", "smallint", "tinyint",
     )
+    base = F.col(cluster_col) if numeric else F.xxhash64(F.col(cluster_col))
+    m31 = F.lit(2147483648)
+    v = F.pmod(F.pmod(base, m31) * F.lit(1103515245) + F.lit(int(seed)), m31)
     bucket = F.pmod(v, F.lit(1000))
     return assignments.withColumn("split_bucket", bucket).withColumn(
         "split",

@@ -75,13 +75,17 @@ def temperature_mix(
     content_col: str = "content",
     temperature: float = 3.0,
     seed: int = 11,
+    id_col: str | None = None,
 ) -> DataFrame:
     """(key, group, n_tokens, rate_micro, selected) for every document.
 
     rate_g = min(1, budget * p_g / tokens_g) with p_g proportional to
     tokens_g^(1/T), quantized once per GROUP to integer micro-units;
-    selected iff lcg(key) * 1e6 < rate_micro * 2^31 — both sides exact
+    selected iff lcg(id) * 1e6 < rate_micro * 2^31 — both sides exact
     int64, so selection is reproducible bit-for-bit on any engine.
+    ``id_col`` names the NUMERIC column the Bernoulli draw derives from
+    (defaults to ``key_col`` itself — string-keyed corpora pass e.g. an
+    xxhash64 of the key).
     """
     from pyspark.sql.window import Window
 
@@ -111,6 +115,7 @@ def temperature_mix(
     )
     docs = df.select(
         F.col(key_col).alias("key"),
+        F.col(id_col or key_col).alias("_did"),
         F.col(group_col).alias("group"),
         _n_tokens(F.col(content_col)).cast("long").alias("n_tokens"),
     )
@@ -120,7 +125,7 @@ def temperature_mix(
         "n_tokens",
         "rate_micro",
         (
-            _lcg(F.col("key"), seed) * F.lit(MICRO)
+            _lcg(F.col("_did"), seed) * F.lit(MICRO)
             < F.col("rate_micro") * F.lit(M31)
         ).alias("selected"),
     )
