@@ -159,6 +159,21 @@ def q_corpus_filter(spark, sf_dir):
     return T.corpus_filter(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_ccnet_perplexity(spark, sf_dir):
+    """CCNet LM-quality bucketing (Wenzek et al. 2020): unigram
+    add-one-smoothed LM trained on the doc_id%2==0 slice, per-doc
+    count-weighted avg negative log-likelihood, head/middle/tail
+    tertiles (exact NTILE at test scale; thresholds= is the scale
+    path)."""
+    out = T.ccnet_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        "n_tokens",
+        F.col("avg_nll").cast("double").alias("avg_nll"),
+        "bucket",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/test decontamination (GPT-3/PaLM-style): training docs
     (doc_id % 10 != 0) sharing any 8-token gram with the held-out eval
@@ -1946,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "corpus_filter": q_corpus_filter,
+        "ccnet_perplexity": q_ccnet_perplexity,
         "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "canonical_selection": q_canonical_selection,
@@ -2447,6 +2463,33 @@ def oracle_sql() -> dict[str, str]:
               round(len(list_filter({_TOKS}, t -> lower(t) IN ({", ".join("'" + s + "'" for s in T.STOPWORDS)}))) * 1.0
                     / greatest(len({_TOKS}), 1), 4) AS stopword_ratio
             FROM documents
+        """,
+        "ccnet_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents),
+            dtc AS (
+              SELECT doc_id, tok, COUNT(*)::BIGINT AS cnt
+              FROM toks GROUP BY doc_id, tok),
+            lm AS (
+              SELECT tok, SUM(cnt)::BIGINT AS c
+              FROM dtc WHERE doc_id % 2 = 0 GROUP BY tok),
+            tot AS (
+              SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM lm),
+            scored AS (
+              SELECT d.doc_id,
+                     SUM(d.cnt)::BIGINT AS n_tokens,
+                     round(ln(tot.n + tot.v)
+                           - SUM(d.cnt * ln(COALESCE(lm.c, 0) + 1)) / SUM(d.cnt),
+                           6) AS avg_nll
+              FROM dtc d LEFT JOIN lm USING (tok) CROSS JOIN tot
+              GROUP BY d.doc_id, tot.n, tot.v)
+            SELECT doc_id AS key, n_tokens, avg_nll,
+                   CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored
         """,
         "language_id": f"""
             WITH c AS (

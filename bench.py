@@ -85,6 +85,7 @@ PIPELINE_OPS = [
     "decontaminate_bloom",
     "decontaminate_fuzzy",
     "quality_classifier",
+    "ccnet_perplexity",
     "dsir_select_hashed",
     "temperature_mix",
     "bm25_search",

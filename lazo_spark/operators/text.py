@@ -806,3 +806,93 @@ def classifier_score(
         )
         .withColumn("admitted", F.col("score_micro") > 0)
     )
+
+
+def ccnet_perplexity(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    n_buckets: int = 3,
+    ref_modulus: int = 2,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document by language-model cross-entropy and split the
+    corpus into head/middle/tail quality buckets.
+
+    CCNet uses a wiki-trained KenLM; with built-ins only, the LM here is
+    a unigram model with add-one smoothing trained on a deterministic
+    reference slice of the corpus itself (``key % ref_modulus == 0`` —
+    at production scale this would be the trusted/reference corpus).
+    Per-document score is the count-weighted average negative
+    log-likelihood, algebraically arranged so every term is a log of an
+    integer (engine-portable):
+
+        avg_nll = ln(N + V) - sum(cnt_t * ln(c_t + 1)) / sum(cnt_t)
+
+    where c_t is the reference count of token t (0 when OOV), N the
+    total reference token count, V the vocabulary size.
+
+    Returns (key, n_tokens, avg_nll, bucket); documents with zero
+    tokens are dropped (no LM evidence).  Scale shape: one shuffle to
+    (key, tok) counts, one token-keyed join against the LM relation
+    (AQE skew-join handles hot tokens; the LM side is a plain
+    aggregation and broadcasts when small), one per-key aggregation.
+    Bucketing: with ``thresholds`` given (the 100-TB path — compute
+    them once via approxQuantile or a prior run), assignment is a pure
+    Column expression and the plan has NO global ordering; without
+    them, an exact NTILE window over (rounded avg_nll, key) gives the
+    deterministic oracle-matched tertiles used at test scale.
+    """
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(content_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    dtc = toks.groupBy("key", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    lm = (
+        dtc.filter(F.col("key") % ref_modulus == 0)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tot = lm.agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    scored = (
+        dtc.join(lm, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("key", "n", "v")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)).alias(
+                "s_ll"
+            ),
+        )
+        .select(
+            "key",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n") + F.col("v")) - F.col("s_ll") / F.col("n_tokens"), 6
+            ).alias("avg_nll"),
+        )
+    )
+    names = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(1, n_buckets + 1)]
+    )
+    if thresholds is not None:
+        # scale path: precomputed cut points, no global window
+        bucket = F.lit(names[-1])
+        for i in range(len(thresholds) - 1, -1, -1):
+            bucket = F.when(F.col("avg_nll") <= F.lit(thresholds[i]), names[i]).otherwise(
+                bucket
+            )
+        return scored.withColumn("bucket", bucket)
+    from pyspark.sql import Window
+
+    tile = F.ntile(n_buckets).over(Window.orderBy("avg_nll", "key"))
+    mapping = F.array(*[F.lit(x) for x in names])
+    return scored.withColumn("bucket", F.element_at(mapping, tile))

@@ -179,3 +179,62 @@ def test_semdedup_zero_norm_vectors_cannot_capture(spark):
         assert out[2]["cluster"] == 0 and not out[2]["kept"]  # dup of 0
         assert out[1]["cluster"] == 0 and out[1]["cos_centroid"] == -2.0
         assert out[1]["kept"]
+
+
+def test_ccnet_perplexity_replica_and_buckets(spark):
+    """Pin ccnet_perplexity against a NumPy replica of the unigram
+    add-one LM math, and check the thresholds= scale path reproduces
+    the NTILE bucketing on the same cut points."""
+    import math
+    from collections import Counter
+
+    from lazo_spark.operators.text import ccnet_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cat and dog and cat"),
+        (3, "xylophone quartz boogie"),       # mostly OOV vs the LM slice
+        (4, "the the the the"),
+        (5, "???!!!"),                        # zero tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["key"]: r for r in ccnet_perplexity(df, "doc_id", "text").collect()}
+
+    # replica: LM = docs 0,2,4 (key % 2 == 0), add-one smoothing
+    import re
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower())
+    lm = Counter()
+    for k, t in rows:
+        if k % 2 == 0:
+            lm.update(tok(t))
+    n, v = sum(lm.values()), len(lm)
+    for k, t in rows:
+        ts = tok(t)
+        if not ts:
+            assert k not in out
+            continue
+        nll = math.log(n + v) - sum(math.log(lm[w] + 1) for w in ts) / len(ts)
+        assert abs(out[k]["avg_nll"] - round(nll, 6)) < 1e-9, k
+        assert out[k]["n_tokens"] == len(ts)
+
+    # OOV-heavy doc must score worst (tail); heavy-LM doc best (head)
+    assert out[3]["bucket"] == "tail"
+    assert out[4]["bucket"] == "head"
+    by_nll = sorted(out.values(), key=lambda r: (r["avg_nll"], r["key"]))
+    assert [r["bucket"] for r in by_nll] == sorted(
+        [r["bucket"] for r in by_nll],
+        key=["head", "middle", "tail"].index,
+    )
+
+    # thresholds= (the no-global-window scale path) reproduces the same
+    # assignment when given the ntile cut points
+    cuts = [
+        max(r["avg_nll"] for r in out.values() if r["bucket"] == "head"),
+        max(r["avg_nll"] for r in out.values() if r["bucket"] == "middle"),
+    ]
+    out_t = {
+        r["key"]: r["bucket"]
+        for r in ccnet_perplexity(df, "doc_id", "text", thresholds=cuts).collect()
+    }
+    assert out_t == {k: r["bucket"] for k, r in out.items()}
