@@ -166,11 +166,104 @@ def run_leg(cores: int, sf: float, zpath: str) -> dict:
     return leg
 
 
+def run_flagship_leg(cores: int, sf: float, zpath: str) -> dict:
+    """spark-submit the REAL CLI (tools/run_dedup.py --verify) against the
+    standalone cluster — the north rule's run mode, end-to-end (sketch ->
+    LSH -> exact verification -> connected components), not just the
+    sketch+LSH throughput unit the default probe times."""
+    import tempfile
+
+    from lazo_spark.sources.code_files import cached_code_files_path
+
+    work = tempfile.mkdtemp(prefix=f"lazo-clusterflag-{cores}-")
+    metrics = os.path.join(work, "metrics.json")
+    cmd = [
+        "spark-submit",
+        "--master", f"spark://{MASTER_HOST}:{MASTER_PORT}",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "--conf", f"spark.cores.max={cores}",
+        "--conf", f"spark.executor.cores={WORKER_CORES}",
+        "--conf", "spark.executor.memory=6g",
+        "--conf", f"spark.pyspark.python={sys.executable}",
+        "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", "spark.sql.files.maxPartitionBytes=4m",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.executorEnv.MALLOC_MMAP_MAX_=0",
+        "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=-1",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "run_dedup.py"),
+        "--input", os.path.join(cached_code_files_path(sf), "files.parquet"),
+        "--output", os.path.join(work, "out"),
+        "--jcx-threshold", "0.8", "--verify",
+        "--metrics-out", metrics,
+    ]
+    s0, t0j = _cpu_stat()
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    s1, t1j = _cpu_stat()
+    with open(metrics) as f:
+        m = json.load(f)
+    return {
+        "executors": cores // WORKER_CORES,
+        "cpus": cores,
+        "files": m["files"],
+        "pairs": m["pairs"],
+        "clusters": m["clusters"],
+        "seconds": m["seconds"],
+        "files_per_sec": m["files_per_sec"],
+        "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2),
+    }
+
+
+def _cpu_stat() -> tuple[int, int]:
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     # an external timeout/driver SIGTERM must not orphan the daemon JVMs
     # (they are start_new_session'd so a group signal misses them):
     # convert to SystemExit so the finally-block stops the cluster
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+    args = [a for a in sys.argv[1:] if a != "flagship"]
+    flagship = "flagship" in sys.argv[1:]
+    if flagship:
+        # end-to-end CLI legs default to the pinned-oracle corpus scale
+        sf = float(args[0]) if args else 0.01
+        sys.path.insert(0, REPO)
+        from lazo_spark.sources.code_files import cached_code_files_path
+
+        cached_code_files_path(sf)
+        zpath = _build_zip()
+        procs = start_cluster()
+        try:
+            lo = run_flagship_leg(WORKER_CORES, sf, zpath)
+            hi = run_flagship_leg(WORKER_CORES * N_WORKERS, sf, zpath)
+        finally:
+            stop_cluster(procs)
+        out = {
+            "mode": "standalone-cluster-flagship",
+            "sf": sf,
+            "n": lo,
+            "n4": hi,
+            "efficiency": round(
+                hi["files_per_sec"] / (4 * lo["files_per_sec"]), 3
+            ),
+            "output_identical": (lo["pairs"], lo["clusters"])
+            == (hi["pairs"], hi["clusters"]),
+            "note": (
+                "FULL pipeline (sketch->LSH->exact verify->CC) via "
+                "spark-submit --py-files against 1 vs 4 two-core executor "
+                "JVMs; end-to-end wall includes per-stage driver barriers "
+                "(checkpoint/CC convergence), so efficiency here is a "
+                "lower bound vs the throughput-unit probe."
+            ),
+        }
+        print(json.dumps(out))
+        return
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
     sys.path.insert(0, REPO)
     from lazo_spark.sources.code_files import cached_code_files_path
