@@ -845,6 +845,45 @@ def _bigram_pairs(spark, sf_dir, js_t=None, jcx_t=None):
     return exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_t, jcx_t)
 
 
+def q_weighted_jaccard_pairs(spark, sf_dir):
+    """Exact weighted (multiset) Jaccard + weighted containment over
+    whitespace-token counts — the frequency-aware analogue of
+    exact_js_pairs (a 500x-repeated line and a single occurrence stop
+    being 'identical').  Pure Catalyst; Σmax recovered as Wx+Wy-Σmin so
+    only shared tokens join (operators/weighted.py)."""
+    from lazo_spark.operators.weighted import weighted_jaccard_pairs
+
+    docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    p = weighted_jaccard_pairs(docs, "doc_id", "content", jw_threshold=0.5)
+    return p.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.round("jw", 6).alias("jw"),
+        F.round("jcwx", 6).alias("jcwx"),
+        F.round("jcwy", 6).alias("jcwy"),
+    )
+
+
+def q_icws_weighted_pairs(spark, sf_dir):
+    """ICWS weighted-MinHash (Ioffe 2010) + banded LSH candidates with
+    the slot-agreement JW estimate — the production-scale path for
+    weighted near-dup detection (bounded bands/doc through the shuffle
+    vs the exact path's token join).  Rows-only by design (the sampled
+    candidate set is not SQL-expressible); pinned by the statistical
+    collision-rate test and the recall>=0.95 gate vs the exact pairs
+    (tests/test_weighted.py)."""
+    from lazo_spark.operators.weighted import icws_lsh_pairs, icws_signatures
+
+    docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    sigs = icws_signatures(docs, "doc_id", "content", k=64)
+    out = icws_lsh_pairs(sigs, threshold=0.5, k=64, fp_rate=0.1, fn_rate=0.9)
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.round("jw_est", 6).alias("jw_est"),
+    )
+
+
 def q_exact_js_pairs(spark, sf_dir):
     p = _bigram_pairs(spark, sf_dir, js_t=0.5)
     return p.select(
@@ -1981,6 +2020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_pipeline": q_stack_pipeline,
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
+        "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "icws_weighted_pairs": q_icws_weighted_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
         "pair_canonicalize": q_pair_canonicalize,
         "cluster_sizes": q_cluster_sizes,
@@ -2953,6 +2994,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js
             FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "weighted_jaccard_pairs": """
+            WITH tw AS (
+              SELECT doc_id AS key, tok, count(*) AS w
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2
+            ), tot AS (SELECT key, sum(w) AS wt FROM tw GROUP BY 1),
+            mins AS (
+              SELECT a.key AS x, b.key AS y, sum(least(a.w, b.w)) AS m
+              FROM tw a JOIN tw b ON a.tok = b.tok AND a.key < b.key
+              GROUP BY 1, 2
+            )
+            SELECT x AS key_x, y AS key_y,
+                   round(m / (tx.wt + ty.wt - m), 6) AS jw,
+                   round(m / tx.wt, 6) AS jcwx,
+                   round(m / ty.wt, 6) AS jcwy
+            FROM mins JOIN tot tx ON tx.key = x JOIN tot ty ON ty.key = y
+            WHERE m / (tx.wt + ty.wt - m) >= 0.5
         """,
         "exact_containment_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js,

@@ -535,6 +535,34 @@ def shingle_hashes(
             return h1, offsets, murmur64a_str(flat)
         return h1, offsets
 
+    h1, gram_doc, n_docs, h64 = raw_gram_hashes(contents, n, seed, with_h64)
+    if len(h1) == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        return (empty, offsets, empty.copy()) if with_h64 else (empty, offsets)
+
+    # per-doc distinct by 64-bit hash, rows in input order
+    hh, offsets, hh64 = _dedup_per_doc(h1, gram_doc, n_docs, h64)
+    if with_h64:
+        return hh, offsets, hh64
+    return hh, offsets
+
+
+def raw_gram_hashes(
+    contents, n: int, seed: int = 666, with_h64: bool = False
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray | None]:
+    """Pre-dedup n-token-gram hashes: (h1[G], gram_doc[G], n_docs, h64).
+
+    The gram-enumeration + chunked-pack-and-hash stage of
+    ``shingle_hashes`` (token_ngram/word modes), WITHOUT the per-doc
+    distinct — one row per gram OCCURRENCE, so callers that need
+    multiplicities (the weighted-Jaccard path, operators/weighted.py)
+    can count them.  ``shingle_hashes`` itself calls this then dedups;
+    extraction is behavior-preserving (golden-pinned vs the compiled
+    reference in tests/test_shingles_vec.py)."""
+    from .hll import murmur64a
+    from .javacompat import murmur3_x64_128_h1
+
     n_docs = len(contents)
     data, doc_off = _utf8_arrow_buffer(contents)
     if len(data) >= 2**31 - 64:
@@ -545,10 +573,9 @@ def shingle_hashes(
     tok_start, tok_end, tok_doc = _token_spans(data, doc_off)
     gram_tok0, gram_ntok = _gram_table(tok_doc, n_docs, n)
     g = len(gram_tok0)
+    empty = np.zeros(0, dtype=np.int64)
     if g == 0:
-        empty = np.zeros(0, dtype=np.int64)
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        return (empty, offsets, empty.copy()) if with_h64 else (empty, offsets)
+        return empty, empty.copy(), n_docs, (empty.copy() if with_h64 else None)
     tok_len = tok_end - tok_start
     data_ext = np.concatenate((data, np.frombuffer(b" ", dtype=np.uint8)))
     space_pos = len(data)
@@ -581,12 +608,7 @@ def shingle_hashes(
         if with_h64:
             h64[sel] = murmur64a(mat, lens)
         lo = hi
-
-    # per-doc distinct by 64-bit hash, rows in input order
-    hh, offsets, hh64 = _dedup_per_doc(h1, gram_doc, n_docs, h64)
-    if with_h64:
-        return hh, offsets, hh64
-    return hh, offsets
+    return h1, gram_doc, n_docs, h64
 
 
 def _doc_texts(contents, idx) -> list:

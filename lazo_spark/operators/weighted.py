@@ -1,0 +1,251 @@
+"""Weighted (multiset) Jaccard dedup: exact pairs + ICWS sketches.
+
+Unweighted Jaccard (the reference's MinHash family, MinHash.java:75-99)
+treats a document as a shingle SET — a file that repeats one line 500
+times and a file containing it once are identical.  Source code repeats
+tokens heavily (imports, brackets, boilerplate), so a frequency-aware
+measure separates "same vocabulary" from "same document".  This module
+adds the weighted analogue of the exact/sketch pair the repo already
+has for sets (operators/verify.exact_pairs / operators/lsh):
+
+- ``weighted_jaccard_pairs``: exact JW(x,y) = Σ_t min(w_x(t), w_y(t)) /
+  Σ_t max(w_x(t), w_y(t)) over whitespace-token multisets, pure
+  Catalyst (no UDF).  Uses the identity Σ max = W_x + W_y - Σ min
+  (W = total token count) so only the shared-token Σ min needs the
+  pair join — the same one-shuffle shape as exact_pairs.  Weighted
+  containment JCW_x = Σ min / W_x generalizes Lazo's JCX the same way.
+- ``icws_signatures``: Ioffe's Improved Consistent Weighted Sampling
+  (ICWS; S. Ioffe, "Improved Consistent Sampling, Weighted Minhash and
+  L1 Sketching", ICDM 2010) — k independent samples (t*, y) per doc
+  with Pr[sample_i(x) = sample_i(y)] = JW(x, y) exactly.  Vectorized
+  end-to-end: the tokenizer reuses the Arrow-buffer gram kernel
+  (functions/shingles.raw_gram_hashes, n=1) and the per-(hash-index,
+  token) Gamma(2,1)/Uniform draws come from a counter-based splitmix64
+  generator, so the whole batch is NumPy array math — no per-row (or
+  per-doc) Python dispatch.
+- ``icws_lsh_pairs``: band the ICWS slot values with the existing LSH
+  banding (operators/lsh.band_segments + the reference's banding
+  optimizer — the S-curve math only assumes Pr[collision] = similarity,
+  which ICWS provides for JW) and emit candidate pairs with the
+  signature-agreement JW estimate.
+
+Scale shape: the exact path shuffles one row per distinct (doc, token)
+and is the capped ground-truth baseline (common tokens make the token
+join key skewed, like exact_pairs' shingle join — production uses the
+sketch path, whose shuffle is bounded at `bands` rows per doc with
+xxhash64-style int64 keys).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.shingles import _mix64, raw_gram_hashes
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_weights(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """(key, t, w): one row per distinct whitespace token per doc with
+    its multiplicity.  Token identity travels as xxhash64 of the token
+    string (int64 join keys, like operators/verify.explode_shingles;
+    a same-doc 64-bit collision would merge two counts — negligible at
+    any real vocabulary size and documented like the shingle path)."""
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    return (
+        df.select(F.col(key_col).alias("key"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("key", F.xxhash64("tok").alias("t"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    jw_threshold: float | None = None,
+    jcw_threshold: float | None = None,
+) -> DataFrame:
+    """Exact all-pairs weighted Jaccard / weighted containment over
+    whitespace-token multisets: (key_x, key_y, jw, jcwx, jcwy), pairs
+    sharing no token never materialized.  Σ min over shared tokens via
+    the token equi-join; Σ max recovered as W_x + W_y - Σ min."""
+    tw = token_weights(df, key_col, content_col)
+    totals = tw.groupBy("key").agg(F.sum("w").alias("W"))
+    a = tw.select(F.col("key").alias("key_x"), "t", F.col("w").alias("wx"))
+    b = tw.select(F.col("key").alias("key_y"), "t", F.col("w").alias("wy"))
+    mins = (
+        # hash-build, not sort-merge: see operators/lazo.candidate_pairs
+        a.join(b.hint("SHUFFLE_HASH"), "t")
+        .filter(F.col("key_x") < F.col("key_y"))
+        .groupBy("key_x", "key_y")
+        .agg(F.sum(F.least("wx", "wy")).alias("m"))
+    )
+    out = (
+        mins.join(totals.withColumnRenamed("key", "key_x").withColumnRenamed("W", "wtx"), "key_x")
+        .join(totals.withColumnRenamed("key", "key_y").withColumnRenamed("W", "wty"), "key_y")
+        .select(
+            "key_x",
+            "key_y",
+            (F.col("m") / (F.col("wtx") + F.col("wty") - F.col("m"))).alias("jw"),
+            (F.col("m") / F.col("wtx")).alias("jcwx"),
+            (F.col("m") / F.col("wty")).alias("jcwy"),
+        )
+    )
+    if jw_threshold is not None:
+        out = out.filter(F.col("jw") >= jw_threshold)
+    if jcw_threshold is not None:
+        out = out.filter(
+            (F.col("jcwx") >= jcw_threshold) | (F.col("jcwy") >= jcw_threshold)
+        )
+    return out
+
+
+def token_weight_arrays(
+    contents, seed: int = 666
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenizer for the ICWS kernel: contents -> (uh[E], w[E],
+    uptr[D+1]) — per-doc distinct token hashes with multiplicities, in
+    ragged layout.  Reuses the vectorized Arrow-buffer gram kernel at
+    n=1 (one hash per token OCCURRENCE), then counts occurrences per
+    (doc, hash) with one lexsort — no per-doc Python."""
+    h1, gram_doc, n_docs, _ = raw_gram_hashes(contents, 1, seed)
+    if len(h1) == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(n_docs + 1, dtype=np.int64),
+        )
+    order = np.lexsort((h1, gram_doc))
+    d, h = gram_doc[order], h1[order]
+    new = np.empty(len(h), dtype=bool)
+    new[0] = True
+    np.not_equal(d[1:], d[:-1], out=new[1:])
+    new[1:] |= h[1:] != h[:-1]
+    starts = np.flatnonzero(new)
+    bounds = np.concatenate((starts, [len(h)]))
+    uh = h[starts]
+    ud = d[starts]
+    w = np.diff(bounds)
+    uptr = np.zeros(n_docs + 1, dtype=np.int64)
+    np.add.at(uptr, ud + 1, 1)
+    np.cumsum(uptr, out=uptr)
+    return uh, w.astype(np.int64), uptr
+
+
+def icws_signatures_batch(
+    uh: np.ndarray, w: np.ndarray, uptr: np.ndarray, k: int, seed: int = 666
+) -> np.ndarray:
+    """[D, k] int64 ICWS slot values for ragged (token hash, weight)
+    docs.  Slot i is a splitmix64 hash of (i, argmin token, t*); two
+    docs agree at slot i iff ICWS sampled the same (token, t*) —
+    Pr = JW exactly (Ioffe 2010, Thm 1).  Empty docs are the caller's
+    responsibility (asserted)."""
+    counts = np.diff(uptr)
+    if (counts == 0).any():
+        raise ValueError("icws_signatures_batch: empty document segment")
+    d = len(counts)
+    e = len(uh)
+    doc_of = np.repeat(np.arange(d, dtype=np.int64), counts)
+    starts = uptr[:-1]
+    lnw = np.log(w.astype(np.float64))
+    out = np.empty((d, k), dtype=np.int64)
+    inv53 = np.float64(2.0**-53)
+    tiny = np.float64(2.0**-53)
+    uh64 = uh.view(np.uint64) if uh.dtype == np.int64 else uh.astype(np.uint64)
+    for i in range(k):
+        ki = _mix64(np.full(1, np.int64(i + 1) * np.int64(seed * 2 + 1)))[0]
+        base = _mix64((uh64 ^ ki).view(np.int64))
+        draw = base.copy()
+        u = np.empty((5, e), dtype=np.float64)
+        for j in range(5):
+            with np.errstate(over="ignore"):
+                draw = draw + _GOLD
+            draw = _mix64(draw.view(np.int64))
+            u[j] = np.maximum((draw >> np.uint64(11)).astype(np.float64) * inv53, tiny)
+        r = -np.log(u[0]) - np.log(u[1])  # Gamma(2, 1)
+        c = -np.log(u[2]) - np.log(u[3])  # Gamma(2, 1)
+        beta = u[4]
+        t_star = np.floor(lnw / r + beta)
+        ln_a = np.log(c) - r * (t_star + 1.0 - beta)
+        minv = np.minimum.reduceat(ln_a, starts)
+        pos = np.flatnonzero(ln_a == minv[doc_of])
+        # first minimal element per doc (float ties across distinct
+        # tokens are measure-zero; this makes them deterministic)
+        first = pos[np.unique(doc_of[pos], return_index=True)[1]]
+        slot = base[first] ^ (t_star[first].astype(np.int64).view(np.uint64) * _GOLD)
+        out[:, i] = _mix64(slot.view(np.int64)).view(np.int64)
+    return out
+
+
+def icws_signatures(
+    df: DataFrame, key_col: str, content_col: str, k: int = 64, seed: int = 666
+) -> DataFrame:
+    """(key, signature array<long>, total_w): ICWS weighted-MinHash
+    sketches, one Arrow batch at a time.  Docs with no tokens are
+    dropped (JW against an empty multiset is 0/undefined, mirroring the
+    sketch paths' empty-set handling)."""
+    cols = [key_col, content_col]
+    schema = "key string, signature array<long>, total_w long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uh, w, uptr = token_weight_arrays(pdf[content_col].astype(str).to_numpy())
+            counts = np.diff(uptr)
+            keep = np.flatnonzero(counts > 0)
+            if len(keep) == 0:
+                continue
+            if len(keep) < len(counts):
+                sel = np.concatenate(
+                    [np.arange(uptr[i], uptr[i + 1]) for i in keep]
+                )
+                uh, w = uh[sel], w[sel]
+                uptr = np.concatenate(([0], np.cumsum(counts[keep])))
+            totals = np.add.reduceat(w, uptr[:-1])
+            sig = icws_signatures_batch(uh, w, uptr, k, seed)
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col].astype(str).to_numpy()[keep],
+                    "signature": list(sig),
+                    "total_w": totals,
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema)
+
+
+def icws_lsh_pairs(
+    sketches: DataFrame,
+    threshold: float,
+    k: int = 64,
+    fp_rate: float = 0.5,
+    fn_rate: float = 0.5,
+) -> DataFrame:
+    """ICWS sketches -> banded LSH candidates with the slot-agreement
+    JW estimate: (key_x, key_y, jw_est).  Banding parameters come from
+    the reference's optimizer (functions/banding.optimal_parameters) —
+    its S-curve derivation assumes only Pr[slot collision] = similarity,
+    which holds for ICWS under JW as it does for MinHash under JS.
+    fp_rate/fn_rate are the optimizer's ERROR-PENALTY WEIGHTS
+    (MinHashLSH.java:127): raising fn_rate buys recall with more
+    bands, e.g. (0.1, 0.9) -> 21 bands x 3 rows at k=64."""
+    from .lsh import minhash_lsh_pairs
+
+    cands = minhash_lsh_pairs(sketches, threshold, k, fp_rate=fp_rate, fn_rate=fn_rate)
+    sx = sketches.select(F.col("key").alias("key_x"), F.col("signature").alias("sig_x"))
+    sy = sketches.select(F.col("key").alias("key_y"), F.col("signature").alias("sig_y"))
+    agree = F.aggregate(
+        F.zip_with("sig_x", "sig_y", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sx.hint("SHUFFLE_HASH"), "key_x")
+        .join(sy.hint("SHUFFLE_HASH"), "key_y")
+        .select("key_x", "key_y", (agree / F.lit(k)).alias("jw_est"))
+    )

@@ -1,0 +1,154 @@
+"""Weighted-Jaccard dedup: exact Catalyst pairs + ICWS sketches.
+
+Pins (a) the vectorized tokenizer's multiplicities against
+collections.Counter, (b) ICWS's defining property — slot-collision
+probability equals the exact weighted Jaccard (Ioffe 2010, Thm 1) —
+statistically at k=2048, (c) the Spark exact operator against a Python
+replica, and (d) the production sketch path's recall against the exact
+pairs on the synthetic documents corpus.
+"""
+import collections
+import os
+
+import numpy as np
+import pytest
+
+from lazo_spark.operators.weighted import (
+    icws_lsh_pairs,
+    icws_signatures,
+    icws_signatures_batch,
+    token_weight_arrays,
+    weighted_jaccard_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _py_weights(doc: str) -> collections.Counter:
+    return collections.Counter(doc.split())
+
+
+def _py_jw(a: str, b: str) -> float:
+    wa, wb = _py_weights(a), _py_weights(b)
+    toks = set(wa) | set(wb)
+    mn = sum(min(wa[t], wb[t]) for t in toks)
+    mx = sum(max(wa[t], wb[t]) for t in toks)
+    return mn / mx if mx else 0.0
+
+
+DOCS = [
+    "a a a b c",
+    "a b c",
+    "a a b b c c d",
+    "",
+    "   ",
+    "x " * 500 + "y",
+    "x y",
+]
+
+
+def test_token_weight_arrays_multiplicities():
+    uh, w, uptr = token_weight_arrays(DOCS)
+    for i, doc in enumerate(DOCS):
+        seg = dict(zip(uh[uptr[i] : uptr[i + 1]], w[uptr[i] : uptr[i + 1]]))
+        expect = _py_weights(doc)
+        assert len(seg) == len(expect)
+        assert sorted(seg.values()) == sorted(expect.values())
+
+
+def test_icws_collision_rate_is_weighted_jaccard():
+    k = 2048
+    uh, w, uptr = token_weight_arrays(DOCS[:3])
+    sig = icws_signatures_batch(uh, w, uptr, k)
+    sig2 = icws_signatures_batch(uh, w, uptr, k)
+    assert (sig == sig2).all()  # counter-based draws: fully deterministic
+    for i in range(3):
+        for j in range(i + 1, 3):
+            est = float((sig[i] == sig[j]).mean())
+            exact = _py_jw(DOCS[i], DOCS[j])
+            # se = sqrt(p(1-p)/k) <= 0.011 at k=2048; 3.5 sigma margin
+            assert abs(est - exact) < 0.04, (i, j, est, exact)
+
+
+def test_icws_weight_sensitivity():
+    # same SUPPORT, different multiplicities: unweighted Jaccard is 1.0,
+    # weighted must separate them (jw = 3/503 for "x"*500+"y" vs "x y")
+    k = 1024
+    uh, w, uptr = token_weight_arrays([DOCS[5], DOCS[6]])
+    sig = icws_signatures_batch(uh, w, uptr, k)
+    est = float((sig[0] == sig[1]).mean())
+    exact = _py_jw(DOCS[5], DOCS[6])
+    assert exact < 0.01
+    assert est < 0.05
+
+
+def test_icws_batch_rejects_empty_segment():
+    with pytest.raises(ValueError):
+        icws_signatures_batch(
+            np.zeros(0, np.int64), np.zeros(0, np.int64), np.array([0, 0]), 4
+        )
+
+
+def test_weighted_jaccard_pairs_spark(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS) if d.strip()], ["doc_id", "text"]
+    )
+    rows = weighted_jaccard_pairs(df, "doc_id", "text").collect()
+    got = {(r.key_x, r.key_y): r.jw for r in rows}
+    docs = {i: d for i, d in enumerate(DOCS) if d.strip()}
+    for i in docs:
+        for j in docs:
+            if i < j:
+                exact = _py_jw(docs[i], docs[j])
+                if exact > 0:
+                    assert got[(i, j)] == pytest.approx(exact, abs=1e-12)
+                else:
+                    assert (i, j) not in got
+    # containment: "a b c" (W=3) fully inside "a a a b c" -> jcw of the
+    # smaller side is 1.0
+    r = {(x.key_x, x.key_y): x for x in rows}[(0, 1)]
+    assert r.jcwy == pytest.approx(1.0)
+
+
+def test_icws_spark_signatures_drop_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS)], ["doc_id", "text"]
+    )
+    out = icws_signatures(df, "doc_id", "text", k=16).collect()
+    keys = {r.key for r in out}
+    assert keys == {"0", "1", "2", "5", "6"}
+    tot = {r.key: r.total_w for r in out}
+    assert tot["5"] == 501
+    assert all(len(r.signature) == 16 for r in out)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_icws_lsh_recall_vs_exact(spark):
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .selectExpr("doc_id", "text")
+    )
+    exact = {
+        (r.key_x, r.key_y)
+        for r in weighted_jaccard_pairs(docs, "doc_id", "text", jw_threshold=0.6)
+        .select("key_x", "key_y")
+        .collect()
+    }
+    assert exact, "corpus must contain weighted near-dups for the gate"
+    sigs = icws_signatures(docs, "doc_id", "text", k=64).cache()
+    # LSH banded AT 0.5, recall gated on pairs >= 0.6: pairs sitting ON
+    # the banding threshold are 50%-detectable by the S-curve definition
+    # (same convention as the ANN gates); fn_rate is the false-negative
+    # PENALTY WEIGHT in the reference optimizer (MinHashLSH.java:127),
+    # so 0.9 biases it toward recall (21 bands x 3 rows at k=64)
+    cand = {
+        (int(r.key_x), int(r.key_y))
+        for r in icws_lsh_pairs(
+            sigs, threshold=0.5, k=64, fp_rate=0.1, fn_rate=0.9
+        ).collect()
+    }
+    cand |= {(y, x) for x, y in cand}
+    hit = sum(1 for p in exact if p in cand)
+    recall = hit / len(exact)
+    assert recall >= 0.95, (recall, len(exact), len(cand) // 2)
+    sigs.unpersist()
