@@ -88,6 +88,7 @@ PIPELINE_OPS = [
     "ccnet_perplexity",
     "dsir_select_hashed",
     "temperature_mix",
+    "icws_weighted_pairs",
     "bm25_search",
     "dup_span_stats",
     "code_clones",
