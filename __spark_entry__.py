@@ -884,6 +884,25 @@ def q_icws_weighted_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_ensemble_pairs(spark, sf_dir):
+    """LSH Ensemble containment candidates (Zhu et al., VLDB 2016 — the
+    Lazo paper's comparison baseline): equi-depth cardinality slices,
+    per-slice-pair worst-case Jaccard bound, ONE unioned banded join.
+    Rows-only by design (sampled candidate set); pinned by the recall
+    gate vs exact containment truth and the cross-slice containment
+    test (tests/test_lsh_ensemble.py); compared against the Lazo index
+    in bench index_bench."""
+    from lazo_spark.operators.lsh import lsh_ensemble_pairs
+
+    cfg = LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2")
+    sketches = sketch_stage(_docs_keyed(spark, sf_dir), cfg)
+    out = lsh_ensemble_pairs(sketches, 0.5, k=cfg.k)
+    return out.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+    )
+
+
 def q_exact_js_pairs(spark, sf_dir):
     p = _bigram_pairs(spark, sf_dir, js_t=0.5)
     return p.select(
@@ -2020,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_pipeline": q_stack_pipeline,
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
+        "lsh_ensemble_pairs": q_lsh_ensemble_pairs,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "icws_weighted_pairs": q_icws_weighted_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,

@@ -394,7 +394,10 @@ def index_bench(cpus: int, sf: float) -> dict:
     queries)."""
     from lazo_spark.config import LazoConfig
     from lazo_spark.operators.lazo import lazo_pairs
-    from lazo_spark.operators.lsh import multi_threshold_base_pairs
+    from lazo_spark.operators.lsh import (
+        lsh_ensemble_pairs,
+        multi_threshold_base_pairs,
+    )
     from lazo_spark.operators.sketch import sketch_stage, with_key_and_sha
     from lazo_spark.session import get_spark
     from lazo_spark.sources.code_files import cached_code_files_path
@@ -436,8 +439,8 @@ def index_bench(cpus: int, sf: float) -> dict:
         # whole session's first-use janino/codegen cost (~10-20 s) and
         # the comparison measures warm-up order, not banding layout.
         # Neither leg persists intermediates, so a repeat re-executes.
-        lazo_s = base_s = float("inf")
-        lazo_n = base_n = None
+        lazo_s = base_s = ens_s = float("inf")
+        lazo_n = base_n = ens_n = None
         for _ in range(2):
             t1 = time.time()
             lazo_n = lazo_pairs(sample, cfg).count()
@@ -445,6 +448,13 @@ def index_bench(cpus: int, sf: float) -> dict:
             t2 = time.time()
             base_n = multi_threshold_base_pairs(sample, cfg).count()
             base_s = min(base_s, time.time() - t2)
+            # third baseline: LSH Ensemble (VLDB'16, the Lazo paper's
+            # comparison target) — RAW candidates, no estimation stage
+            # (the ensemble has no cardinality sketches), so its axes
+            # are candidate volume + wall, not filtered-pair parity
+            t3 = time.time()
+            ens_n = lsh_ensemble_pairs(sample, cfg.jcx_threshold, k=cfg.k).count()
+            ens_s = min(ens_s, time.time() - t3)
             if _left() < 60:
                 break
         sample.unpersist()
@@ -457,6 +467,8 @@ def index_bench(cpus: int, sf: float) -> dict:
             "base_pairs": base_n,
             "base_seconds": round(base_s, 3),
             "speedup": round(base_s / lazo_s, 2) if lazo_s else None,
+            "ensemble_candidates": ens_n,
+            "ensemble_seconds": round(ens_s, 3),
         }
     finally:
         spark.stop()

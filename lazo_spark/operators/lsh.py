@@ -206,3 +206,110 @@ def minhash_lsh_pairs(
         .select("key_x", "key_y")
         .distinct()
     )
+
+def lsh_ensemble_pairs(
+    sketches: DataFrame,
+    jcx_threshold: float,
+    k: int = 64,
+    n_slices: int = 4,
+    fp_rate: float = 0.5,
+    fn_rate: float = 0.5,
+) -> DataFrame:
+    """LSH Ensemble baseline (Zhu, Nargesian, Pu, Miller: "LSH Ensemble:
+    Internet-Scale Domain Search", VLDB 2016) — the containment-search
+    index the Lazo paper positions itself against.  Batch all-pairs
+    adaptation for the comparison benchmark:
+
+    - Partition keys into ``n_slices`` equi-depth CARDINALITY slices
+      (the paper's dynamic partitioning; boundaries from one exact
+      quantile job — a bounded driver-side step like IVF training).
+    - For either-direction containment >= t it suffices to detect the
+      SMALLER set inside the larger (i/nx >= i/ny when nx <= ny), so
+      only ordered slice pairs (query slice jq <= index slice ji) need
+      configs.  Each gets the worst-case Jaccard bound
+      s = t*l[jq] / (l[jq] + u[ji] - t*l[jq]) and its own optimal
+      (bands, rows) from the reference optimizer — the paper's ensemble
+      of per-partition indexes.
+    - ONE UDF pass emits every (config, role, band, seg_hash) row; one
+      SHUFFLE_HASH join pairs query-role rows with index-role rows.
+
+    Emits distinct unordered candidate (key_x, key_y) — NO cardinality
+    estimation (the ensemble has no Lazo sketch augmentation; that gap
+    is the comparison's point: low-cardinality query slices against
+    high-cardinality index slices force s -> 0, whose optimal banding
+    degenerates toward rows=1 hot buckets, while Lazo's GCD-shared
+    index covers every threshold with 64 band rows per key and
+    estimates JS/JCX from the same sketch).  Candidate volume and
+    recall vs the exact containment truth are the benchmark's axes.
+    """
+    probs = [i / n_slices for i in range(n_slices + 1)]
+    qs = sketches.approxQuantile("cardinality", probs, 0.0)
+    lo = [int(qs[i]) for i in range(n_slices)]
+    hi = [int(qs[i + 1]) for i in range(n_slices)]
+    slice_expr = F.lit(n_slices - 1)
+    for j in range(n_slices - 2, -1, -1):
+        slice_expr = F.when(
+            F.col("cardinality") <= F.lit(hi[j]), F.lit(j)
+        ).otherwise(slice_expr)
+
+    configs = []  # (cfg_id, jq, ji, bands, rows)
+    for jq in range(n_slices):
+        for ji in range(jq, n_slices):
+            t, l, u = jcx_threshold, max(lo[jq], 1), max(hi[ji], 1)
+            s = min(max(t * l / (l + u - t * l), 1e-4), 1.0)
+            bands, rows = optimal_parameters(s, k, fp_rate, fn_rate)
+            configs.append((len(configs), jq, ji, bands, rows))
+
+    schema = "key string, cfg int, role byte, band int, seg_hash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = np.stack(pdf["signature"].to_numpy())
+            keys = pdf["key"].to_numpy()
+            sl = pdf["slice"].to_numpy()
+            frames = []
+            for cfg, jq, ji, bands, rows in configs:
+                seg = None  # reuse only within this config (the jq == ji case)
+                for role, js in ((0, jq), (1, ji)):
+                    m = np.flatnonzero(sl == js)
+                    if len(m) == 0:
+                        continue
+                    if seg is None or js != seg_slice:
+                        seg = segment_hashes(sigs[m], bands, rows)
+                        seg_slice = js
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "key": np.repeat(keys[m], bands),
+                                "cfg": np.int32(cfg),
+                                "role": np.int8(role),
+                                "band": np.tile(
+                                    np.arange(bands, dtype=np.int32), len(m)
+                                ),
+                                "seg_hash": seg.reshape(-1),
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    segs = (
+        sketches.withColumn("slice", slice_expr)
+        .select("key", "slice", "signature")
+        .mapInPandas(run, schema)
+    )
+    q = segs.filter(F.col("role") == 0).select(
+        "cfg", "band", "seg_hash", F.col("key").alias("key_x")
+    )
+    i_side = segs.filter(F.col("role") == 1).select(
+        "cfg", "band", "seg_hash", F.col("key").alias("key_y")
+    )
+    return (
+        q.join(i_side.hint("SHUFFLE_HASH"), ["cfg", "band", "seg_hash"])
+        .filter(F.col("key_x") != F.col("key_y"))
+        .select(
+            F.least("key_x", "key_y").alias("key_x"),
+            F.greatest("key_x", "key_y").alias("key_y"),
+        )
+        .distinct()
+    )
