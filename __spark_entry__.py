@@ -912,6 +912,25 @@ def q_exact_js_pairs(spark, sf_dir):
     )
 
 
+def q_prefix_js_pairs(spark, sf_dir):
+    """Prefix-filtered (AllPairs/PPJoin, WWW 2007) exact Jaccard join —
+    LOSSLESS candidate pruning, so it shares exact_js_pairs' oracle and
+    must hash-match it: same output, but the quadratic join touches
+    only each doc's rarest (1-t) shingle prefix, and the hottest
+    shingles are by construction last-eligible for any prefix (the
+    skew defense the plain explode join lacks).  Pinned byte-identical
+    to exact_pairs in tests/test_prefix_join.py."""
+    docs = _docs_capped(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    from lazo_spark.operators.verify import prefix_filtered_pairs
+
+    p = prefix_filtered_pairs(docs, "doc_id", "content", "token_ngram:2", 0.5)
+    return p.select(
+        F.col("key_x").cast("long").alias("key_x"),
+        F.col("key_y").cast("long").alias("key_y"),
+        F.round("js", 6).alias("js"),
+    )
+
+
 def q_exact_containment_pairs(spark, sf_dir):
     p = _bigram_pairs(spark, sf_dir, jcx_t=0.8)
     return p.select(
@@ -2040,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "exact_js_pairs": q_exact_js_pairs,
         "lsh_ensemble_pairs": q_lsh_ensemble_pairs,
+        "prefix_js_pairs": q_prefix_js_pairs,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "icws_weighted_pairs": q_icws_weighted_pairs,
         "exact_containment_pairs": q_exact_containment_pairs,
@@ -3012,6 +3032,10 @@ def oracle_sql() -> dict[str, str]:
             FROM asg a LEFT JOIN dom d ON d.key = a.key
         """,
         "exact_js_pairs": f"""
+            SELECT x AS key_x, y AS key_y, round(js, 6) AS js
+            FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
+        """,
+        "prefix_js_pairs": f"""
             SELECT x AS key_x, y AS key_y, round(js, 6) AS js
             FROM ({_BIGRAM_PAIR_SCORES}) WHERE js >= 0.5
         """,

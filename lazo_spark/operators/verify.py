@@ -415,3 +415,90 @@ def pr_evaluate(results: DataFrame, truth: DataFrame) -> DataFrame:
         ],
         "n_results long, n_truth long, hits long, precision double, recall double",
     )
+
+def prefix_filtered_pairs(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    mode: str = "token_ngram:3",
+    js_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= t via PREFIX FILTERING (Bayardo,
+    Ma, Srikant "Scaling Up All Pairs Similarity Search", WWW 2007;
+    positional/prefix framing of Xiao et al.'s PPJoin) — the LOSSLESS
+    scale path for the exact join: byte-identical output to
+    ``exact_pairs(js_threshold=t)`` with a candidate join that touches
+    only each set's rarest prefix instead of every shingle.
+
+    Why it is lossless: order the universe by ascending document
+    frequency (ties by shingle value).  If js(x, y) >= t then
+    |x ∩ y| >= ceil(t/(1+t) * (nx+ny)) >= nx - px + 1 with prefix
+    length px = nx - ceil(t*nx) + 1, so x and y MUST share at least one
+    shingle inside both prefixes — any pair missed by the prefix join
+    provably fails the threshold.  The length filter nx >= t*ny (for
+    nx <= ny) is the same classic bound.
+
+    Plan shape (all built-in ops):
+      1. distinct (key, shingle) explode — shared with exact_pairs;
+      2. document-frequency agg (map-side combined, 8B shingle keys);
+      3. rank join + per-doc row_number window (ONE shuffle on the 8B
+         doc key) -> keep rn <= px;
+      4. prefix self-join (SHUFFLE_HASH) + length filter -> DISTINCT
+         candidate pairs — the quadratic stage, now on ~(1-t)*n rows
+         per doc instead of n;
+      5. exact intersection counts for candidates only (two 8B-key
+         joins against the full explode relation) -> inclusion-
+         exclusion -> final js >= t filter.
+
+    At 100 TB the frequency ordering is also the skew defense: the
+    hottest shingles (license headers, import blocks) are by
+    construction the LAST eligible for any prefix, so the candidate
+    join's bucket sizes shrink exactly where exact_pairs' explode join
+    explodes.  Verified equal to exact_pairs on the documents corpus
+    (tests/test_prefix_join.py) and oracle-green via the same DuckDB
+    twin as exact_js_pairs.
+    """
+    from pyspark.sql import Window
+
+    t = float(js_threshold)
+    sh = explode_shingles(df, key_col, content_col, mode).persist()
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    rn = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.asc("dfc"), F.asc("shingle"))
+    )
+    prefix = (
+        sh.join(freq.hint("SHUFFLE_HASH"), "shingle")
+        .select("key", "shingle", "dfc")
+        .withColumn("rn", rn)
+        .join(sizes, "key")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("key", "shingle", "n")
+    )
+    a = prefix.select(F.col("key").alias("key_x"), "shingle", F.col("n").alias("nx"))
+    b = prefix.select(F.col("key").alias("key_y"), "shingle", F.col("n").alias("ny"))
+    cand = (
+        a.join(b.hint("SHUFFLE_HASH"), "shingle")
+        .filter(
+            (F.col("key_x") < F.col("key_y"))
+            & (F.least("nx", "ny") >= t * F.greatest("nx", "ny"))
+        )
+        .select("key_x", "key_y", "nx", "ny")
+        .distinct()
+    )
+    x_side = sh.select(F.col("key").alias("key_x"), "shingle")
+    y_side = sh.select(F.col("key").alias("key_y"), "shingle")
+    ix = (
+        cand.join(x_side.hint("SHUFFLE_HASH"), "key_x")
+        .join(
+            y_side.hint("SHUFFLE_HASH"),
+            ["key_y", "shingle"],
+        )
+        .groupBy("key_x", "key_y")
+        .agg(F.count(F.lit(1)).alias("ix"), F.first("nx").alias("nx"), F.first("ny").alias("ny"))
+    )
+    return ix.select(
+        "key_x",
+        "key_y",
+        (F.col("ix") / (F.col("nx") + F.col("ny") - F.col("ix"))).alias("js"),
+    ).filter(F.col("js") >= t)

@@ -1,0 +1,75 @@
+"""Prefix-filtered exact similarity join (AllPairs/PPJoin): must be
+byte-identical to the brute-force exact_pairs at the same threshold —
+the filter is lossless by theorem, and this test enforces it on the
+corpus — while joining far fewer rows (the structural win is asserted
+on the candidate-stage input volume)."""
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazo_spark.operators.verify import exact_pairs, prefix_filtered_pairs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _pairs_set(df):
+    return {
+        (r.key_x, r.key_y, round(r.js, 9))
+        for r in df.select("key_x", "key_y", "js").collect()
+    }
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_prefix_join_equals_exact(spark, t):
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    exact = _pairs_set(
+        exact_pairs(docs, "doc_id", "content", "token_ngram:2", js_threshold=t)
+    )
+    fast = _pairs_set(
+        prefix_filtered_pairs(docs, "doc_id", "content", "token_ngram:2", t)
+    )
+    assert fast == exact
+    assert exact  # non-vacuous
+
+
+def test_prefix_join_tiny(spark):
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),   # js 3/5 = 0.6 with doc 1
+        (3, "x y z"),
+        (4, "x y z"),     # js 1.0 with doc 3
+        (5, "q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    got = _pairs_set(prefix_filtered_pairs(df, "doc_id", "content", "word", 0.6))
+    assert got == {(1, 2, 0.6), (3, 4, 1.0)}
+
+
+def test_prefix_volume_reduction(spark):
+    # the candidate join consumes ~(1-t) of each doc's shingles: check
+    # the prefix relation is much smaller than the full explode
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    from lazo_spark.operators.verify import explode_shingles
+
+    full = explode_shingles(docs, "doc_id", "content", "token_ngram:2").count()
+    # rebuild just the prefix stage by reusing the operator up to the
+    # candidate join via its internals: cheapest faithful check is the
+    # px bound itself — sum over docs of (n - ceil(0.8 n) + 1)
+    sizes = (
+        explode_shingles(docs, "doc_id", "content", "token_ngram:2")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(F.col("n") - F.ceil(0.8 * F.col("n")) + 1).alias("p"))
+        .first()
+    )
+    assert sizes.p < 0.3 * full
