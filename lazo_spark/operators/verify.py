@@ -474,6 +474,10 @@ def prefix_filtered_pairs(
         .join(sizes, "key")
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         .select("key", "shingle", "n")
+        # both sides of the self-join read this fan-out relation; persist
+        # or the freq join + window run twice (repo pattern: see
+        # verify_set_candidates, fuzzy_candidates)
+        .persist()
     )
     a = prefix.select(F.col("key").alias("key_x"), "shingle", F.col("n").alias("nx"))
     b = prefix.select(F.col("key").alias("key_y"), "shingle", F.col("n").alias("ny"))

@@ -201,10 +201,8 @@ def icws_signatures(
             if len(keep) == 0:
                 continue
             if len(keep) < len(counts):
-                sel = np.concatenate(
-                    [np.arange(uptr[i], uptr[i + 1]) for i in keep]
-                )
-                uh, w = uh[sel], w[sel]
+                mask = np.repeat(counts > 0, counts)
+                uh, w = uh[mask], w[mask]
                 uptr = np.concatenate(([0], np.cumsum(counts[keep])))
             totals = np.add.reduceat(w, uptr[:-1])
             sig = icws_signatures_batch(uh, w, uptr, k, seed)
