@@ -1228,6 +1228,38 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup-style duplicate REWEIGHTING (reweight, don't drop):
+    every document gets sampling weight 1/|near-dup cluster| so each
+    distinct content cluster contributes unit total weight to the
+    training mix, plus a `canonical` flag marking the representative
+    (min doc_id = the CC label itself).  Reweighting preserves the
+    corpus' topical distribution where hard dropping biases it (the
+    "to drop or to reweight" question studied for LLM pretraining
+    data).  Cluster labels come from the oracle-green
+    `dedup_clusters_exact` plan (sha collapse -> exact containment
+    pairs -> CC -> member expansion); the size join-back is a hash
+    aggregation plus a shuffled-hash join on the 8-byte cluster label
+    — content never rides this stage, and a giant cluster costs one
+    hot aggregation key, not a window sort.  Reference consumer shape:
+    LazoBenchmark.java:186-204 (cluster sizes over query results)."""
+    labels = q_dedup_clusters_exact(spark, sf_dir)
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.hint("shuffle_hash")
+        .join(sizes, "cluster")
+        .select(
+            "key",
+            "cluster",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+            (F.col("key") == F.col("cluster")).alias("canonical"),
+        )
+    )
+
+
 def q_corpus_pipeline_lsh(spark, sf_dir):
     """`corpus_pipeline` with the PRODUCTION candidate stage kept
     in-plan: Gopher gate -> sha256 keep-first -> Lazo sketch + banded
@@ -2082,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "media_exact_dups": q_media_exact_dups,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
@@ -3342,6 +3375,17 @@ def oracle_sql() -> dict[str, str]:
     # pipeline whenever the candidate stage misses nothing (see
     # q_dedup_clusters_lsh): the oracle IS dedup_clusters_exact's.
     sql["dedup_clusters_lsh"] = sql["dedup_clusters_exact"]
+    # SoftDeDup reweighting on top of the same clustering twin: weight
+    # 1/cluster_size per member, canonical = the CC min-label itself
+    sql["soft_dedup_weights"] = f"""
+        WITH base AS ({sql["dedup_clusters_exact"]}),
+        sizes AS (SELECT cluster, COUNT(*) AS cluster_size
+                  FROM base GROUP BY cluster)
+        SELECT b.key, b.cluster, s.cluster_size,
+               round(1.0 / s.cluster_size, 6) AS weight,
+               (b.key = b.cluster) AS canonical
+        FROM base b JOIN sizes s ON b.cluster = s.cluster
+    """
     # cluster-level split assignment on top of the same clustering twin
     sql["leakage_safe_splits"] = f"""
         WITH base AS ({sql["dedup_clusters_exact"]}),

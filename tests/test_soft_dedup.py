@@ -1,0 +1,32 @@
+"""SoftDeDup reweighting invariants: per-cluster unit mass, exactly one
+canonical per cluster, weight == round(1/cluster_size, 6) per member.
+
+The DuckDB hash-match (contract query `soft_dedup_weights`) pins the
+values against the recursive-CTE clustering oracle; this test pins the
+*semantics* a training-mix consumer relies on."""
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_soft_dedup_weight_invariants(spark):
+    import __spark_entry__ as entry
+
+    pdf = entry.q_soft_dedup_weights(spark, SF_DIR).toPandas()
+
+    # every document keeps exactly one row — reweight, don't drop
+    assert pdf["key"].is_unique and len(pdf) > 0
+
+    # weight is exactly the rounded reciprocal of the cluster size
+    assert np.allclose(pdf["weight"], (1.0 / pdf["cluster_size"]).round(6))
+
+    g = pdf.groupby("cluster")
+    # the broadcast size column agrees with the actual member count
+    assert (g.size() == g["cluster_size"].first()).all()
+    # each cluster contributes unit total mass to the mix (up to rounding)
+    assert np.allclose(g["weight"].sum(), 1.0, atol=1e-4)
+    # exactly one canonical per cluster, and it is the CC min-label
+    assert (g["canonical"].sum() == 1).all()
+    assert (g["key"].min() == g["key"].min().index).all()
+    # the corpus actually exercises the multi-member path
+    assert (pdf["cluster_size"] > 1).any()
