@@ -51,7 +51,18 @@ class DedupPipeline:
         if not path:
             from pyspark import StorageLevel
 
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            # EAGER: materialize the cache before any downstream plan is
+            # built.  Lazy persist left the first downstream action to
+            # compute the stage inside ITS OWN (much larger) plan — at
+            # 300k files that recomputed the band join + estimation trees
+            # under the verify/CC plans instead of reading the cache
+            # (sf0.3 flagship: 707 s lazy vs 234 s materialized; sf0.1
+            # showed no gap, which is why this hid until the 3x-scale
+            # probe).  One count() per stage = the same driver barrier the
+            # parquet-checkpoint path already pays.
+            df.count()
+            return df
         marker = os.path.join(path, "_MANIFEST.json")
         if not os.path.exists(marker):
             t0 = time.time()
