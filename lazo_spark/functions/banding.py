@@ -108,6 +108,57 @@ def gcd_slice_size(table: dict[int, tuple[int, int]]) -> int:
     return int(g)
 
 
+@lru_cache(maxsize=8)
+def match_count_ucb(
+    k_eff: int, slice_size: int = 1, alpha: float = 1e-4
+) -> tuple[float, ...]:
+    """Upper confidence bound on the TRUE Jaccard similarity given the
+    number of matching band slices, for each observed count 1..k_eff.
+
+    A pair's matching-slice count over k_eff independent minhash slices
+    is Binomial(k_eff, js**slice_size) exactly (slice_size=1 for the
+    flagship GCD index: one permutation per slice).  ucb[n-1] is the
+    largest js whose probability of producing <= n matches is still
+    >= alpha — any pair pruned because even this UCB cannot reach the
+    query threshold has true-similarity posterior mass above the
+    threshold < alpha.  The count is the sufficient statistic here
+    (given n, WHICH positions matched is uniform and carries no further
+    information about js), so this strictly dominates any min-pos-based
+    second filter.
+
+    Returned as a tuple indexed by n-1 (element_at is 1-based in SQL).
+    Exact binomial tail in log space; k_eff <= 64 so cost is nil."""
+    lg = [0.0] * (k_eff + 1)
+    for i in range(2, k_eff + 1):
+        lg[i] = lg[i - 1] + np.log(i)
+
+    def tail_le(n: int, q: float) -> float:
+        # P(Bin(k_eff, q) <= n)
+        if q <= 0.0:
+            return 1.0
+        if q >= 1.0:
+            return 1.0 if n >= k_eff else 0.0
+        s = 0.0
+        for j in range(0, n + 1):
+            s += np.exp(
+                lg[k_eff] - lg[j] - lg[k_eff - j]
+                + j * np.log(q) + (k_eff - j) * np.log1p(-q)
+            )
+        return min(1.0, s)
+
+    out = []
+    for n in range(1, k_eff + 1):
+        lo, hi = 0.0, 1.0
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if tail_le(n, mid) >= alpha:
+                lo = mid
+            else:
+                hi = mid
+        out.append(float(lo ** (1.0 / slice_size)))
+    return tuple(out)
+
+
 def index_size_table(
     ks: tuple[int, ...] = (64, 128, 256, 512), ds: tuple[float, ...] = (0.05, 0.1)
 ) -> list[dict]:

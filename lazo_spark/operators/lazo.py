@@ -139,6 +139,11 @@ def salt_hot_buckets(
     ).drop("nsplits")
 
 
+# UCB-prune slack on the needed-js: absorbs HLL cardinality error (~1-2%)
+# and keeps the per-pair false-prune probability comfortably under the
+# nominal alpha even for pairs sitting exactly on a threshold boundary.
+_UCB_SAFETY = 0.9
+
 # packed band-row layout (see candidate_pairs): low bits cardinality,
 # high bits band position.  57 cardinality bits: a shingle set's size is
 # bounded by the document's byte length, so 2^57 is unreachable.  pos
@@ -157,6 +162,7 @@ def candidate_pairs(
     row_filter=None,
     hashed_keys: bool = False,
     extra_cols: tuple[str, ...] = (),
+    match_count: bool = False,
 ) -> DataFrame:
     """Self-join on (pos, band_hash) -> unordered candidate pairs with
     min matching position and both cardinalities.
@@ -258,9 +264,18 @@ def candidate_pairs(
         joined = row_filter(unpacked).select(
             *extra_cols, "kh_x", "kh_y", "pc_x", "pc_y"
         )
+    # match_count: one extra long through the (map-side-combinable) pair
+    # exchange — the number of matching slices, i.e. the Binomial(K, js)
+    # sufficient statistic the UCB prune in lazo_pairs feeds on.  Only
+    # supported on the hashed-keys plan (its one consumer).
+    if match_count and not hashed_keys:
+        raise ValueError("match_count requires hashed_keys=True")
+    aggs = [F.min("pc_x").alias("pc_x"), F.min("pc_y").alias("pc_y")]
+    if match_count:
+        aggs.append(F.count(F.lit(1)).cast("int").alias("n_match"))
     pairs = (
         joined.groupBy(*extra_cols, "kh_x", "kh_y")
-        .agg(F.min("pc_x").alias("pc_x"), F.min("pc_y").alias("pc_y"))
+        .agg(*aggs)
         .select(
             *extra_cols,
             "kh_x",
@@ -268,6 +283,7 @@ def candidate_pairs(
             F.shiftright(F.col("pc_x"), _CARD_BITS).cast("int").alias("min_pos"),
             F.col("pc_x").bitwiseAND(F.lit(_CARD_MASK)).alias("card_x"),
             F.col("pc_y").bitwiseAND(F.lit(_CARD_MASK)).alias("card_y"),
+            *(("n_match",) if match_count else ()),
         )
     )
     if hashed_keys:
@@ -446,6 +462,7 @@ def lazo_pairs(
     engine: str = "sql",
     direction: str = "either",
     metrics_acc: dict | None = None,
+    ucb_alpha: float | None = None,
 ) -> DataFrame:
     """Full candidate pipeline: bands join -> min_pos -> estimate -> filter.
 
@@ -455,6 +472,23 @@ def lazo_pairs(
     a join row failing at its own position's threshold can never be part
     of a passing pair — rows are dropped before the pair shuffle without
     changing the result set or any reported estimate.
+
+    ucb_alpha: when set (sql engine, direction='either'), apply the
+    match-count UCB prune — drop pairs whose Binomial(max_pos, js)
+    matching-slice count rules out (at confidence 1-alpha) the true js
+    every enabled threshold leg needs.  This targets the corpus-physics
+    n^2 candidate tail (pairs sharing one ubiquitous shingle that get a
+    lucky low min_pos): the min-pos estimator reads ONE order statistic,
+    while the count is the sufficient statistic for js at GCD slice size
+    1, so a single-match pair prunes unless its cardinality asymmetry
+    genuinely allows a passing containment.  STATISTICALLY lossy (per-
+    pair false-prune probability < alpha, plus a 0.9 safety factor on
+    the needed-js, covering HLL cardinality error) — callers must run
+    exact post-verification downstream; the parity paths (reference
+    recall gate, lineage diagnostics) leave it off.  The keep-bound row
+    prefilter is disabled on this path: it truncates counting at a per-
+    cardinality position cutoff, which both biases the statistic and
+    guts its power (a symmetric pair's effective K drops to ~10 of 32).
     """
     js_t = config.js_threshold if js_threshold is None else js_threshold
     jcx_t = config.jcx_threshold if jcx_threshold is None else jcx_threshold
@@ -465,7 +499,10 @@ def lazo_pairs(
         # prefilter must stay OFF so the counters see every candidate
         # evaluation the reference sweep would have run
         engine = "pandas"
-    if engine == "sql" and corrections_acc is None:
+    use_ucb = (
+        ucb_alpha is not None and engine == "sql" and direction == "either"
+    )
+    if engine == "sql" and corrections_acc is None and not use_ucb:
         # the CHEAP sound relaxation of the keep predicate, not the exact
         # staged trees: pushed into the band join the exact predicate is
         # inlined into the join's non-equi condition (one giant
@@ -496,8 +533,37 @@ def lazo_pairs(
         # (jcx(a,b) == jcy(b,a); js/th/corrected symmetric — tested).
         hp = candidate_pairs(
             sketches, config, salt=salt, max_pos=max_pos,
-            row_filter=prefilter, hashed_keys=True,
+            row_filter=prefilter, hashed_keys=True, match_count=use_ucb,
         )
+        if use_ucb:
+            from ..functions.banding import (
+                banding_table,
+                gcd_slice_size,
+                match_count_ucb,
+            )
+
+            s = gcd_slice_size(
+                banding_table(config.k, config.d, config.fp_rate, config.fn_rate)
+            )
+            ucb = match_count_ucb(max_pos, s, ucb_alpha)
+            ucb_arr = F.array(*[F.lit(float(v)) for v in ucb])
+            mc = F.least("card_x", "card_y").cast("double")
+            xc = F.greatest("card_x", "card_y").cast("double")
+            # smallest true js each enabled leg needs: jcx >= t in the
+            # best (min-card) direction <=> js >= t*mc/(mc+xc-t*mc)
+            legs = []
+            if jcx_t and jcx_t > 0.0:
+                t = F.lit(float(jcx_t))
+                legs.append(t * mc / (mc + xc - t * mc))
+            if js_t and js_t > 0.0:
+                legs.append(F.lit(float(js_t)))
+            if legs:
+                needed = legs[0] if len(legs) == 1 else F.least(*legs)
+                ucb_js = F.element_at(
+                    ucb_arr, F.least(F.col("n_match"), F.lit(max_pos))
+                )
+                hp = hp.filter(ucb_js >= needed * F.lit(_UCB_SAFETY))
+            hp = hp.drop("n_match")
         est = estimate_candidates(
             hp, config, js_threshold, jcx_threshold, direction="either",
             engine="sql", key_cols=("kh_x", "kh_y"),

@@ -86,6 +86,7 @@ class DedupPipeline:
         source: DataFrame,
         verify_threshold: float | None = None,
         collect_lineage: bool = False,
+        ucb_prune: bool = True,
     ) -> dict[str, DataFrame]:
         """source: (repo, path, commit, lang, content).  Returns dict of
         stage DataFrames: membership, sketches, pairs, clusters (plus
@@ -115,7 +116,17 @@ class DedupPipeline:
                 "jcx_impactful": sc.accumulator(0),
                 "magnitude": sc.accumulator(0.0),
             }
-        pairs = lazo_pairs(sketches, self.config, salt=True, metrics_acc=ech_acc)
+        # match-count UCB prune ONLY when exact verification follows: it
+        # is statistically lossy (per-pair < alpha) on the CANDIDATE set,
+        # but every surviving pair is exact-verified, so the verified
+        # output is unchanged w.h.p. — and the n^2 junk tail (pairs
+        # sharing one ubiquitous shingle) stops flooding the verify join.
+        # Unverified runs keep strict reference-estimate parity.
+        alpha = 1e-4 if (ucb_prune and verify_threshold is not None) else None
+        pairs = lazo_pairs(
+            sketches, self.config, salt=True, metrics_acc=ech_acc,
+            ucb_alpha=alpha,
+        )
         pairs = self._checkpoint(pairs, "pairs")
         self.metrics["pairs_seconds"] = time.time() - t1
 
@@ -196,9 +207,10 @@ def run_dedup(
     checkpoint_dir: str | None = None,
     verify_threshold: float | None = None,
     collect_lineage: bool = False,
+    ucb_prune: bool = True,
 ) -> dict[str, DataFrame]:
     return DedupPipeline(spark, config, checkpoint_dir).run(
-        source, verify_threshold, collect_lineage
+        source, verify_threshold, collect_lineage, ucb_prune
     )
 
 

@@ -1,0 +1,64 @@
+"""Match-count UCB prune: statistical correctness of the bound and
+end-to-end losslessness of the VERIFIED output.
+
+The prune drops candidate pairs whose matching-slice count (Binomial
+(K, js) at slice size 1) rules out, at confidence 1-alpha, the true js
+any threshold leg needs.  It runs only when exact verification follows
+(plans/pipeline.py), so the verified pair set must be unchanged."""
+import numpy as np
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.banding import match_count_ucb
+from lazo_spark.plans.pipeline import run_dedup
+from lazo_spark.sources.code_files import generate_code_files
+
+
+def _binom_tail_le(k, n, p):
+    from math import comb
+
+    return sum(
+        comb(k, j) * p**j * (1 - p) ** (k - j) for j in range(n + 1)
+    )
+
+
+def test_ucb_table_is_a_valid_upper_bound():
+    K, alpha = 32, 1e-4
+    ucb = match_count_ucb(K, 1, alpha)
+    assert len(ucb) == K
+    # monotone in the match count, and saturates at 1 for n = K
+    assert all(b >= a for a, b in zip(ucb, ucb[1:]))
+    assert ucb[-1] > 0.999
+    for n in (1, 2, 5, 10):
+        p = ucb[n - 1]
+        # at the bound the <=n tail is still >= alpha (bisection keeps
+        # the feasible side) and collapses below alpha just above it
+        assert _binom_tail_le(K, n, p) >= alpha * 0.999
+        assert _binom_tail_le(K, n, min(1.0, p + 1e-3)) < alpha * 1.5
+
+
+def test_ucb_slice_size_root():
+    # at slice size s the observed count is Binomial(K, js**s), so the
+    # js bound is the s-th root of the slice-probability bound
+    u1 = match_count_ucb(16, 1, 1e-4)
+    u2 = match_count_ucb(16, 2, 1e-4)
+    assert np.allclose(u2, np.sqrt(u1), atol=1e-9)
+
+
+def test_verified_output_identical_with_and_without_prune(spark):
+    files, _ = generate_code_files(sf=0.001)
+    src = spark.createDataFrame(files)
+    cfg = LazoConfig(jcx_threshold=0.8)
+
+    def pairset(result):
+        return {
+            tuple(sorted([r.key_x, r.key_y]))
+            for r in result["verified_pairs"].select("key_x", "key_y").collect()
+        }
+
+    pruned = run_dedup(spark, src, cfg, verify_threshold=0.8, ucb_prune=True)
+    full = run_dedup(spark, src, cfg, verify_threshold=0.8, ucb_prune=False)
+    n_pruned = pruned["pairs"].count()
+    n_full = full["pairs"].count()
+    assert pairset(pruned) == pairset(full)
+    # the prune actually removes candidate junk (never adds)
+    assert n_pruned <= n_full
