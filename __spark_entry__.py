@@ -1011,6 +1011,20 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_heavy_hitter_grams(spark, sf_dir):
+    """Exact token-bigram heavy hitters (occurrence count >= phi * total
+    stream) via mergeable Misra-Gries candidates + exact broadcast-semi
+    recount — the scale path for the df-cap knobs, where top_ngrams'
+    group-every-gram shuffle is the naive plan.  phi is dyadic (2^-10) so
+    the ceil threshold is boundary-safe across engines; output is the
+    exact set, so the plain GROUP BY/HAVING oracle hash-matches and
+    thereby pins the MG superset guarantee end-to-end."""
+    from lazo_spark.operators.heavy import heavy_hitters
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text"))
+    return heavy_hitters(docs, "text", phi=1.0 / 1024, n=2)
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionization over the events stream table: new session when the
     gap to the previous event of the same user exceeds 30 minutes
@@ -2101,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cardinality": q_minhash_cardinality,
         "embedding_topk": q_embedding_topk,
         "top_ngrams": q_top_ngrams,
+        "heavy_hitter_grams": q_heavy_hitter_grams,
         "event_sessions": q_event_sessions,
         "doc_length_histogram": q_doc_length_histogram,
         "lazo_pairs": q_lazo_pairs,
@@ -2546,6 +2561,8 @@ def _stack_pipeline_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lazo_spark.operators.heavy import heavy_hitters_sql
+
     sql = {
         "exact_dedup": """
             SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
@@ -3250,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS gram, COUNT(*) AS n_docs FROM bg
             GROUP BY g ORDER BY n_docs DESC, gram ASC LIMIT 20
         """,
+        "heavy_hitter_grams": heavy_hitters_sql("documents", 1.0 / 1024, 2),
         "event_sessions": """
             WITH e AS (
               SELECT event_id, user_id, ts,

@@ -1,0 +1,234 @@
+"""Exact corpus heavy hitters via mergeable Misra-Gries summaries.
+
+The 100-TB problem this solves: "which grams occur in more than a phi
+fraction of the corpus token stream" is the input to every df-cap knob
+in this engine (BM25 ``max_df_frac``, the df-capped-shingling
+mitigation recorded in SURVEY §9, stopword discovery for the quality
+ops) — but the naive plan is a groupBy over EVERY gram occurrence,
+i.e. the single widest shuffle a text corpus can generate (the
+`top_ngrams` query runs exactly that plan, acceptably at oracle
+scale).  The classic two-pass summary shape removes it:
+
+  pass A (narrow, zero shuffle): one batched Misra-Gries summary per
+    partition over the gram-occurrence hash stream (the Arrow-buffer
+    gram kernel, `functions/shingles.raw_gram_hashes` — no per-row
+    Python).  MG is a MERGEABLE summary (Agarwal et al., "Mergeable
+    Summaries", PODS'12): the union of per-partition summaries built
+    with k counters contains every item whose GLOBAL count exceeds
+    phi*S as long as k >= 1/phi, because sum_r d_r <= S_i/k within
+    each partition (each decrement round subtracts d_r from >= k
+    surviving counters, and counters only ever hold true stream
+    mass).  We use k = ceil(2/phi) for headroom, so the summary union
+    is a GUARANTEED SUPERSET of the heavy-hitter set.  Each partition
+    ships <= k short strings — the whole "shuffle" is a broadcast.
+
+  pass B (exact recount): explode gram strings in pure Catalyst,
+    broadcast-SEMI-join against the candidate set (the stream NEVER
+    shuffles: the semi-join is a broadcast filter fused into the
+    scan), then ONE map-side-combined count keyed on the few
+    candidate grams, thresholded against the exact stream total.
+
+Because pass B recounts exactly and pass A is a proven superset, the
+output is the EXACT heavy-hitter set with EXACT counts — hash-equal
+to the plain SQL `GROUP BY gram HAVING count >= ceil(phi * total)`
+the DuckDB oracle runs.  A pass-A miss (impossible under the bound,
+but the bound is the thing under test) would surface as a driver
+hash mismatch, so the oracle row genuinely pins the MG theory.
+
+Gram semantics match the engine's token_ngram family
+(`operators/text.token_ngram_strings`, `functions/shingles._gram_table`):
+whitespace tokens (empty tokens filtered — trim() strips only 0x20
+while \\s+ splits all ASCII whitespace, so boundary empties are
+dropped identically on every engine), a document with 0 < tokens < n
+contributes its whole token sequence as ONE gram, and an empty
+document contributes nothing.
+
+Reference tie-in: the reference library has no heavy-hitter stage
+(its benchmark reads pre-built column files); this operator exists
+for the corpus-curation surface, feeding the df-cap knobs above.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ngram_occurrence_col(content: Column, n: int) -> Column:
+    """NON-distinct whitespace-token n-grams of one document (array of
+    space-joined strings), empty tokens filtered; short-doc whole-text
+    rule as in token_ngram_strings; empty docs yield an empty array."""
+    toks = F.filter(
+        F.split(F.trim(content), r"\s+"), lambda t: t != F.lit("")
+    )
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def ngram_occurrences_sql(src: str, n: int) -> str:
+    """DuckDB twin of ngram_occurrence_col exploded: one row per gram
+    OCCURRENCE over any (doc_id, text) relation."""
+    return f"""
+      SELECT CASE WHEN len(arr) < {n} THEN array_to_string(arr, ' ')
+                  ELSE array_to_string(arr[i:i+{n - 1}], ' ') END AS gram
+      FROM (SELECT list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS arr
+            FROM {src}),
+           UNNEST(range(1, greatest(len(arr) - {n} + 2, 2))) AS u(i)
+      WHERE len(arr) > 0
+        AND ((len(arr) >= {n} AND i <= len(arr) - {n} + 1)
+             OR (len(arr) < {n} AND i = 1))
+    """
+
+
+def _mg_merge(
+    carry_h: np.ndarray,
+    carry_c: np.ndarray,
+    batch_h: np.ndarray,
+    batch_c: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One batched Misra-Gries round, all NumPy: merge per-gram batch
+    counts into the carried counters, and if more than k survive,
+    subtract the (len-k)-th smallest total from everyone (each unit of
+    that decrement is charged to >= k surviving counters, which is the
+    whole error bound).  Returns (hashes, counters, entered_mask) where
+    entered_mask flags carried entries present in THIS batch (the ones
+    whose representative string the caller may need to record)."""
+    all_h = np.concatenate((carry_h, batch_h))
+    all_c = np.concatenate((carry_c, batch_c))
+    uu, inv = np.unique(all_h, return_inverse=True)
+    summed = np.zeros(len(uu), dtype=np.int64)
+    np.add.at(summed, inv, all_c)
+    if len(uu) > k:
+        d = np.partition(summed, len(uu) - k - 1)[len(uu) - k - 1]
+        keep = summed > d
+        uu, summed = uu[keep], summed[keep] - d
+    entered = np.isin(uu, batch_h, assume_unique=False)
+    return uu, summed, entered
+
+
+def _partition_candidates(
+    batches: Iterator[pd.DataFrame], n: int, k: int, seed: int
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: fold every Arrow batch of this partition into
+    one MG summary over gram-occurrence murmur3 hashes, tracking one
+    representative STRING per surviving hash (recovered from the token
+    byte spans of the batch where the entry (re-)entered — an O(k)
+    loop per batch, bounded by the summary size, never by the corpus).
+    Yields <= k candidate gram strings at partition end."""
+    from ..functions.shingles import (
+        _gram_table,
+        _token_spans,
+        _utf8_arrow_buffer,
+        raw_gram_hashes,
+    )
+
+    carry_h = np.zeros(0, dtype=np.int64)
+    carry_c = np.zeros(0, dtype=np.int64)
+    strmap: dict[int, str] = {}
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        texts = pdf["content"].astype(str).tolist()
+        h1, _gram_doc, n_docs, _ = raw_gram_hashes(texts, n, seed)
+        if len(h1) == 0:
+            continue
+        u, first_idx, cnt = np.unique(
+            h1, return_index=True, return_counts=True
+        )
+        carry_h, carry_c, entered = _mg_merge(
+            carry_h, carry_c, u, cnt.astype(np.int64), k
+        )
+        need = [
+            int(h)
+            for h, e in zip(carry_h, entered)
+            if e and int(h) not in strmap
+        ]
+        if need:
+            # same deterministic helpers raw_gram_hashes used, so gram
+            # index i aligns with h1[i]
+            data, doc_off = _utf8_arrow_buffer(texts)
+            tok_start, tok_end, tok_doc = _token_spans(data, doc_off)
+            gram_tok0, gram_ntok = _gram_table(tok_doc, n_docs, n)
+            pos = {int(h): int(i) for h, i in zip(u, first_idx)}
+            buf = data.tobytes()
+            for h in need:
+                g = pos[h]
+                t0, nt = int(gram_tok0[g]), int(gram_ntok[g])
+                strmap[h] = b" ".join(
+                    buf[tok_start[t]:tok_end[t]] for t in range(t0, t0 + nt)
+                ).decode("utf-8")
+        live = set(int(h) for h in carry_h)
+        strmap = {h: s for h, s in strmap.items() if h in live}
+    if len(carry_h):
+        yield pd.DataFrame({"gram": [strmap[int(h)] for h in carry_h]})
+
+
+def heavy_hitters(
+    df: DataFrame,
+    content_col: str = "text",
+    phi: float = 1.0 / 512,
+    n: int = 2,
+    k: int | None = None,
+    seed: int = 666,
+) -> DataFrame:
+    """Exact (gram, n_occ) for every token n-gram whose occurrence
+    count is >= ceil(phi * total occurrences), via the two-pass
+    MG-candidates + exact-recount plan described in the module
+    docstring.  k defaults to ceil(2/phi) (2x the proof's 1/phi)."""
+    if k is None:
+        k = max(8, int(math.ceil(2.0 / phi)))
+
+    cand = (
+        df.select(F.col(content_col).cast("string").alias("content"))
+        .mapInPandas(
+            lambda it: _partition_candidates(it, n, k, seed),
+            "gram string",
+        )
+        .distinct()
+    )
+
+    grams = df.select(
+        F.explode(
+            ngram_occurrence_col(F.col(content_col).cast("string"), n)
+        ).alias("gram")
+    )
+    total = grams.agg(F.count(F.lit(1)).alias("total"))
+    # repr(phi) round-trips the exact double; both engines parse the
+    # same literal, multiply the same doubles, ceil the same value —
+    # use a dyadic phi (2^-m) if the threshold may land on a boundary.
+    thresh = F.expr(f"CAST(ceiling({phi!r} * total) AS BIGINT)")
+    return (
+        grams.join(F.broadcast(cand), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occ") >= thresh)
+        .select("gram", "n_occ")
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+    )
+
+
+def heavy_hitters_sql(src: str, phi: float, n: int) -> str:
+    """DuckDB oracle: the plain exact GROUP BY / HAVING plan."""
+    return f"""
+      WITH g AS ({ngram_occurrences_sql(src, n)}),
+      tot AS (SELECT COUNT(*) AS total FROM g)
+      SELECT gram, COUNT(*) AS n_occ FROM g
+      GROUP BY gram
+      HAVING COUNT(*) >= (SELECT CAST(ceiling({phi!r} * total) AS BIGINT)
+                          FROM tot)
+    """

@@ -1,0 +1,148 @@
+"""Heavy hitters: batched Misra-Gries bound + exact end-to-end output.
+
+The operator's exactness rests on two things this file pins:
+(1) the batched-MG error bound (every item with global count > S/k
+    survives the per-partition summary union — the superset guarantee),
+(2) pass B's Catalyst gram enumeration equals the kernel's and the
+    oracle's (token filter, short-doc whole-text rule, empty docs).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lazo_spark.operators.heavy import (
+    _mg_merge,
+    heavy_hitters,
+    heavy_hitters_sql,
+    ngram_occurrence_col,
+)
+
+
+def _exact_grams(texts: list[str], n: int) -> list[str]:
+    out = []
+    for t in texts:
+        toks = [x for x in t.strip().split() if x]
+        if not toks:
+            continue
+        if len(toks) < n:
+            out.append(" ".join(toks))
+        else:
+            out.extend(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+    return out
+
+
+def test_mg_merge_superset_bound():
+    """Adversarial stream: Zipf-ish skew, tiny k, many batches — every
+    item with count > S/k must survive, with counter error <= S/k."""
+    rng = np.random.RandomState(7)
+    stream = rng.zipf(1.3, size=200_000) % 997  # heavy skew, 997 ids
+    stream = stream.astype(np.int64)
+    true = pd.Series(stream).value_counts()
+    S, k = len(stream), 48
+    carry_h = np.zeros(0, dtype=np.int64)
+    carry_c = np.zeros(0, dtype=np.int64)
+    for lo in range(0, S, 1000):
+        b = stream[lo : lo + 1000]
+        u, c = np.unique(b, return_counts=True)
+        carry_h, carry_c, _ = _mg_merge(
+            carry_h, carry_c, u, c.astype(np.int64), k
+        )
+    surv = dict(zip(carry_h.tolist(), carry_c.tolist()))
+    assert len(surv) <= k
+    for item, cnt in true.items():
+        if cnt > S / k:
+            assert item in surv, (item, cnt, S / k)
+        if item in surv:  # counters are lower bounds within S/k
+            assert surv[item] <= cnt
+            assert cnt - surv[item] <= S / k
+
+
+def test_ngram_occurrence_col_matches_replica(spark):
+    texts = [
+        "a b c a b",          # bigrams with repeats
+        "  lone  ",           # short doc -> whole-text gram
+        "",                   # empty -> nothing
+        " \n\t ",             # whitespace-only -> nothing
+        "x",                  # single token
+        "a b c a b",          # duplicate doc (occurrences, not distinct)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (1, 2, 3):
+        got = sorted(
+            r["g"]
+            for r in df.select(
+                F.explode(ngram_occurrence_col(F.col("text"), n)).alias("g")
+            ).collect()
+        )
+        assert got == sorted(_exact_grams(texts, n)), n
+
+
+def test_heavy_hitters_exact_vs_pandas(spark):
+    """Multi-partition, forced-small-k end-to-end run equals the exact
+    pandas computation — candidates cannot lose a heavy gram."""
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    # skewed docs: token j sampled with weight ~ 1/(j+1)
+    w = 1.0 / (np.arange(60) + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30), p=w))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(7)
+    phi = 1.0 / 64
+    for n in (1, 2):
+        out = {
+            (r["gram"], r["n_occ"])
+            for r in heavy_hitters(df, "text", phi=phi, n=n, k=16).collect()
+        }
+        grams = pd.Series(_exact_grams(texts, n))
+        counts = grams.value_counts()
+        thr = int(np.ceil(phi * len(grams)))
+        want = {(g, int(c)) for g, c in counts.items() if c >= thr}
+        assert out == want, (n, len(out), len(want))
+
+
+def test_heavy_hitters_matches_duckdb_oracle(spark, tmp_path):
+    import duckdb
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    w = 1.0 / (np.arange(40) + 1)
+    w /= w.sum()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.randint(0, 25), p=w))
+                for _ in range(200)
+            ],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    phi = 1.0 / 128
+    got = {
+        (r["gram"], r["n_occ"])
+        for r in heavy_hitters(df, "text", phi=phi, n=2, k=32).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    want = {
+        (g, int(c))
+        for g, c in con.execute(heavy_hitters_sql("documents", phi, 2)).fetchall()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_plan_is_broadcast_semi(spark):
+    df = spark.createDataFrame([("a b a",), ("a c a",)], "text string")
+    plan = heavy_hitters(df, "text", phi=0.25, n=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
