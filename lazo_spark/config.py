@@ -37,6 +37,16 @@ class LazoConfig:
     # scale knobs (no effect on results)
     bucket_cap: int = 2000  # salt band buckets larger than this
     shuffle_partitions: int | None = None
+    # df-capped shingling (SURVEY §9 mitigation for the irreducible
+    # high-card-ratio candidate tail on Zipfian corpora): murmur3 h1
+    # hashes of ubiquitous grams to DROP from every shingle set before
+    # sketching AND before exact verification, so estimates and exact
+    # scores measure the same capped-universe Jaccard.  Build the set
+    # with operators/heavy.frequent_gram_drop_set (Misra-Gries heavy
+    # hitters over the corpus).  Empty = off (the default, and the
+    # reference-parity configuration).  Affects fingerprint() -> capped
+    # runs checkpoint separately.
+    drop_shingle_hashes: tuple = ()
 
     def fingerprint(self) -> str:
         """Stable config hash for checkpoint paths / lineage."""

@@ -548,6 +548,27 @@ def shingle_hashes(
     return hh, offsets
 
 
+def filter_ragged_hashes(
+    h: np.ndarray, offsets: np.ndarray, drop: np.ndarray, *extra: np.ndarray
+):
+    """Remove flat entries whose hash is in ``drop`` from the ragged
+    (h, offsets) layout, rebuilding offsets; any ``extra`` arrays
+    aligned with h are filtered identically.  The df-capped-shingling
+    primitive: one vectorized np.isin over the batch, no per-doc work.
+    Documents may become empty (offsets span of zero) — callers keep
+    their existing empty-set handling."""
+    if len(drop) == 0 or len(h) == 0:
+        return (h, offsets, *extra)
+    keep = ~np.isin(h, drop)
+    n_docs = len(offsets) - 1
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    kept_counts = np.bincount(doc[keep], minlength=n_docs)
+    new_off = np.concatenate(
+        (np.zeros(1, dtype=np.int64), np.cumsum(kept_counts, dtype=np.int64))
+    )
+    return (h[keep], new_off, *(x[keep] for x in extra))
+
+
 def raw_gram_hashes(
     contents, n: int, seed: int = 666, with_h64: bool = False
 ) -> tuple[np.ndarray, np.ndarray, int, np.ndarray | None]:

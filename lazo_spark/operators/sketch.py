@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..config import LazoConfig
-from ..functions.shingles import shingle_hashes
+from ..functions.shingles import filter_ragged_hashes, shingle_hashes
 from ..functions.sketch_kernels import (
     minhash_sigs,
     oph_densify,
@@ -49,12 +49,15 @@ def compute_sketches(
     Shingling + hashing is the fully vectorized byte-level path
     (functions/shingles.py shingle_hashes — no per-row Python)."""
     use_hll = config.cardinality == "hll"
+    drop = np.sort(np.asarray(config.drop_shingle_hashes, dtype=np.int64))
     if use_hll:
         h, offsets, h64 = shingle_hashes(
             contents, config.shingle_mode, config.seed, with_h64=True
         )
+        h, offsets, h64 = filter_ragged_hashes(h, offsets, drop, h64)
     else:
         h, offsets = shingle_hashes(contents, config.shingle_mode, config.seed)
+        h, offsets = filter_ragged_hashes(h, offsets, drop)
     if config.sketch_type == "minhash":
         sigs = minhash_sigs(h, offsets, config.k, config.seed)
     elif config.sketch_type == "oph":
@@ -105,13 +108,14 @@ def sketch_stage(
     import pyarrow as pa
 
     from ..functions.hll import hll_cardinalities_ragged
-    from ..functions.shingles import shingle_hashes
+    from ..functions.shingles import filter_ragged_hashes, shingle_hashes
     from ..functions.sketch_kernels import (
         minhash_sigs as _mh, oph_densify as _od, oph_raw_sigs as _or,
         simhash64 as _sh,
     )
 
     use_hll = config.cardinality == "hll"
+    drop = np.sort(np.asarray(config.drop_shingle_hashes, dtype=np.int64))
     # process bounded slices: keeps every arena buffer (functions/
     # shingles._buf) at a fixed, warmup-reachable size regardless of the
     # incoming Arrow batch size — a fresh worker's FIRST full-size batch
@@ -129,11 +133,15 @@ def sketch_stage(
                     h, offsets, h64 = shingle_hashes(
                         contents, config.shingle_mode, config.seed, with_h64=True
                     )
+                    h, offsets, h64 = filter_ragged_hashes(
+                        h, offsets, drop, h64
+                    )
                     cards = hll_cardinalities_ragged(h64, offsets)
                 else:
                     h, offsets = shingle_hashes(
                         contents, config.shingle_mode, config.seed
                     )
+                    h, offsets = filter_ragged_hashes(h, offsets, drop)
                     cards = np.diff(offsets)
                 if config.sketch_type == "minhash":
                     sigs = _mh(h, offsets, config.k, config.seed)

@@ -20,6 +20,7 @@ The pure-Column form (shingles_col) and the scalar string UDF
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -67,18 +68,26 @@ def shingles_udf(content: Column, mode: str = "token_ngram:3") -> Column:
 
 
 def shingle_hashes_udf(
-    content: Column, mode: str = "token_ngram:3", seed: int = 666
+    content: Column, mode: str = "token_ngram:3", seed: int = 666,
+    drop: tuple = (),
 ) -> Column:
     """Distinct 64-bit shingle hashes as an array<long> column via the
     fully-vectorized byte-level kernel (functions/shingles.shingle_hashes
     — one NumPy pass per Arrow batch, no per-row Python).  Intersection /
     set-size math on hashes equals the string math up to 64-bit collisions
     (~s^2/2^64 per document pair — the same accepted bound argued at
-    functions/shingles.py for the sketch stage)."""
+    functions/shingles.py for the sketch stage).  ``drop`` (df-capped
+    shingling, config.drop_shingle_hashes) removes the given hashes from
+    every set, so exact verification measures the same capped-universe
+    Jaccard the capped sketches estimate."""
+    drop_arr = np.sort(np.asarray(drop, dtype=np.int64))
 
     @F.pandas_udf("array<long>")
     def _sh(c: pd.Series) -> pd.Series:
+        from ..functions.shingles import filter_ragged_hashes
+
         h1, off = shingle_hashes(c, mode, seed)
+        h1, off = filter_ragged_hashes(h1, off, drop_arr)
         return pd.Series(
             [h1[off[i] : off[i + 1]] for i in range(len(c))], index=c.index
         )
@@ -87,13 +96,16 @@ def shingle_hashes_udf(
 
 
 def explode_shingles(
-    df: DataFrame, key_col: str, content_col: str, mode: str = "token_ngram:3"
+    df: DataFrame, key_col: str, content_col: str,
+    mode: str = "token_ngram:3", drop: tuple = (),
 ) -> DataFrame:
     """(key, shingle) — one row per distinct shingle HASH per document
     (int64 join keys: cheaper to shuffle and compare than strings)."""
     return df.select(
         F.col(key_col).alias("key"),
-        F.explode(shingle_hashes_udf(F.col(content_col), mode)).alias("shingle"),
+        F.explode(
+            shingle_hashes_udf(F.col(content_col), mode, drop=drop)
+        ).alias("shingle"),
     )
 
 
@@ -104,6 +116,7 @@ def exact_pairs(
     mode: str = "token_ngram:3",
     js_threshold: float | None = None,
     jcx_threshold: float | None = None,
+    drop: tuple = (),
 ) -> DataFrame:
     """Brute-force exact JS/JCX/JCY for all pairs sharing >= 1 shingle.
 
@@ -113,7 +126,7 @@ def exact_pairs(
     (AllPairsSimilarity.java:100-140) but distributed; pairs sharing no
     shingle (JS=0) are — correctly — never materialized.
     """
-    sh = explode_shingles(df, key_col, content_col, mode)
+    sh = explode_shingles(df, key_col, content_col, mode, drop=drop)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("key").alias("key_x"), "shingle")
     b = sh.select(F.col("key").alias("key_y"), "shingle")
@@ -182,6 +195,7 @@ def verify_candidates(
     mode: str = "token_ngram:3",
     js_threshold: float | None = None,
     jcx_threshold: float | None = None,
+    drop: tuple = (),
 ) -> DataFrame:
     """LSH post-verification (LazoBenchmark.java:167-185 semantics),
     candidate-restricted: exact scores are computed ONLY for candidate
@@ -213,7 +227,7 @@ def verify_candidates(
         .repartition(width)
         .select(
             F.col(key_col).alias("key"),
-            shingle_hashes_udf(F.col(content_col), mode).alias("sh"),
+            shingle_hashes_udf(F.col(content_col), mode, drop=drop).alias("sh"),
         )
     )
     # Two SHUFFLE_HASH joins with the intersect computed INLINE in the

@@ -141,6 +141,7 @@ class DedupPipeline:
             verified = verify_candidates(
                 pairs, keyed, "key", "content", self.config.shingle_mode,
                 jcx_threshold=verify_threshold,
+                drop=self.config.drop_shingle_hashes,
             )
             verified = self._checkpoint(verified, "verified_pairs")
             out["verified_pairs"] = verified

@@ -1,0 +1,140 @@
+"""df-capped shingling: the SURVEY §9 mitigation, now a real knob.
+
+A Zipfian corpus feature (license header, common import block) puts
+one gram in every document; every document pair then shares >= 1
+shingle and the LSH candidate tail grows O(n^2) — irreducible by any
+k=64 sketch statistic (round-4 scale probe).  config.drop_shingle_hashes
+removes those grams from BOTH the sketch stage and exact verification,
+so estimates and verified scores measure the same capped-universe
+Jaccard.  This file pins: hash agreement between the drop-set builder
+and the gram kernel, capped cardinalities/sets against a scalar
+replica, and the candidate-tail collapse itself.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lazo_spark.config import LazoConfig
+from lazo_spark.functions.javacompat import murmur3_str
+from lazo_spark.functions.shingles import filter_ragged_hashes, shingle
+from lazo_spark.operators.heavy import frequent_gram_drop_set
+from lazo_spark.operators.sketch import compute_sketches
+from lazo_spark.operators.verify import exact_pairs, shingle_hashes_udf
+
+BOILER = "import os sys json license apache version two point zero"
+
+
+def _corpus(n_docs: int = 40) -> list[tuple[str, str]]:
+    """Every doc: shared boilerplate + mostly-unique body; docs 2i and
+    2i+1 share their body (the true duplicates)."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(n_docs):
+        body = " ".join(
+            f"tok{(i // 2) * 97 + j}" for j in range(20)
+        )  # pair-shared body
+        noise = " ".join(f"n{i}x{j}" for j in range(rng.randint(1, 4)))
+        rows.append((f"d{i:03d}", f"{BOILER} {body} {noise}"))
+    return rows
+
+
+def test_drop_set_hashes_match_kernel(spark):
+    df = spark.createDataFrame(_corpus(), "key string, content string")
+    cfg = LazoConfig(shingle_mode="token_ngram:3")
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 32)
+    assert len(drop) > 0
+    # a known ubiquitous gram must be in the drop set, hashed exactly as
+    # the sketch kernel hashes it
+    gram = "import os sys"
+    h = int(murmur3_str([gram], cfg.seed)[0])
+    assert h in drop
+    # and the builder's hash equals the kernel's hash of that gram
+    # inside a real document's shingle stream
+    from lazo_spark.functions.shingles import shingle_hashes
+
+    h1, off = shingle_hashes([f"{BOILER} unique tail"], "token_ngram:3")
+    assert h in set(h1.tolist())
+
+
+def test_capped_sketch_matches_scalar_replica(spark):
+    rows = _corpus(12)
+    cfg = LazoConfig(shingle_mode="token_ngram:3")
+    df = spark.createDataFrame(rows, "key string, content string")
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 32)
+    capped = LazoConfig(
+        shingle_mode="token_ngram:3", drop_shingle_hashes=drop
+    )
+    pdf = compute_sketches(
+        [k for k, _ in rows], ["" for _ in rows], [c for _, c in rows], capped
+    )
+    drop_set = set(drop)
+    for (k, c), card in zip(rows, pdf["cardinality"]):
+        grams = set(shingle(c, "token_ngram:3"))
+        kept = [
+            g for g in grams
+            if int(murmur3_str([g], capped.seed)[0]) not in drop_set
+        ]
+        assert int(card) == len(kept), k
+    # fingerprint changes: capped runs checkpoint separately
+    assert capped.fingerprint() != cfg.fingerprint()
+
+
+def test_capped_verify_udf_and_candidate_collapse(spark):
+    rows = _corpus(40)
+    df = spark.createDataFrame(rows, "key string, content string")
+    cfg = LazoConfig(shingle_mode="token_ngram:3")
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 32)
+
+    # the UDF removes exactly the dropped hashes
+    full = df.select(
+        shingle_hashes_udf(F.col("content"), "token_ngram:3").alias("sh")
+    ).collect()
+    capped = df.select(
+        shingle_hashes_udf(
+            F.col("content"), "token_ngram:3", drop=drop
+        ).alias("sh")
+    ).collect()
+    drop_set = set(drop)
+    for f, c in zip(full, capped):
+        assert set(c["sh"]) == set(f["sh"]) - drop_set
+        assert len(set(f["sh"]) & drop_set) > 0  # boilerplate present
+
+    # candidate tail: uncapped, EVERY pair shares boilerplate grams ->
+    # O(n^2) pairs share >=1 shingle; capped, only the true body-dup
+    # pairs (plus sparse noise collisions) remain
+    uncapped_pairs = exact_pairs(df, "key", "content").count()
+    capped_pairs = exact_pairs(df, "key", "content", drop=drop).count()
+    n = len(rows)
+    assert uncapped_pairs == n * (n - 1) // 2  # all-pairs: the n^2 tail
+    assert capped_pairs < uncapped_pairs / 10
+    # true duplicates survive the cap with high capped-jcx
+    surviving = {
+        (r["key_x"], r["key_y"])
+        for r in exact_pairs(
+            df, "key", "content", jcx_threshold=0.5, drop=drop
+        ).collect()
+    }
+    for i in range(0, n, 2):
+        assert (f"d{i:03d}", f"d{i+1:03d}") in surviving
+
+
+def test_filter_ragged_empty_docs_and_noop():
+    h = np.array([5, 6, 7, 5, 9], dtype=np.int64)
+    off = np.array([0, 2, 2, 5], dtype=np.int64)
+    # no-op when drop is empty
+    h2, off2 = filter_ragged_hashes(h, off, np.zeros(0, dtype=np.int64))
+    assert h2 is h and off2 is off
+    # doc 0 loses everything, doc 2 keeps {6...}? drop 5 and 9
+    h3, off3 = filter_ragged_hashes(
+        h, off, np.array([5, 9], dtype=np.int64)
+    )
+    assert h3.tolist() == [6, 7]
+    assert off3.tolist() == [0, 1, 1, 2]
+    # aligned extra array filtered identically
+    extra = np.array([50, 60, 70, 51, 90], dtype=np.int64)
+    h4, off4, e4 = filter_ragged_hashes(
+        h, off, np.array([5, 9], dtype=np.int64), extra
+    )
+    assert e4.tolist() == [60, 70]
