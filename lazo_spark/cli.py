@@ -54,6 +54,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
     p.add_argument(
+        "--max-df-frac", type=float, default=None,
+        help="df-capped shingling: drop grams whose occurrence support "
+        "exceeds this fraction of the corpus gram stream (Misra-Gries "
+        "heavy hitters -> config.drop_shingle_hashes; applies to sketch "
+        "AND exact verify, i.e. capped-universe Jaccard). Off by default "
+        "(reference parity).",
+    )
+    p.add_argument(
         "--max-partition-bytes", default="1m",
         help="scan split size (spark.sql.files.maxPartitionBytes).  The "
         "sketch stage is CPU-bound relative to the scan, so splits must "
@@ -153,6 +161,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     source = read_table(spark, args.input)
     n_files = source.count()
+
+    if args.max_df_frac is not None:
+        from lazo_spark.operators.heavy import frequent_gram_drop_set
+        from dataclasses import replace
+
+        drop = frequent_gram_drop_set(
+            source, "content", config, phi=args.max_df_frac
+        )
+        config = replace(config, drop_shingle_hashes=drop)
 
     t0 = time.time()
     if args.phase == "sketch-lsh":

@@ -222,6 +222,47 @@ def heavy_hitters(
     )
 
 
+def frequent_gram_drop_set(
+    df: DataFrame,
+    content_col: str,
+    config,
+    phi: float = 1.0 / 256,
+) -> tuple:
+    """Build `LazoConfig.drop_shingle_hashes` from the corpus: the
+    murmur3 h1 hashes (the sketch stage's shingle hash) of every gram
+    whose occurrence support exceeds phi — the df-capped-shingling knob
+    recorded in SURVEY §9 for Zipfian corpora, where one ubiquitous
+    gram (a common import line, a license header) mints O(n^2)
+    one-shared-shingle LSH candidates that no k=64 statistic can kill.
+
+    The heavy-hitter relation is tiny (<= 1/phi grams by definition),
+    so the collect here is bounded by construction, like the fuzzy
+    theta factors.  Gram semantics follow config.shingle_mode
+    (token_ngram:N / word); hashes come from the same murmur3_str the
+    string-gram kernel uses, so dropping them from the ragged hash
+    stream is exactly dropping the grams."""
+    from ..functions.javacompat import murmur3_str
+
+    mode = config.shingle_mode
+    if mode == "word":
+        n = 1
+    elif mode.startswith("token_ngram"):
+        n = int(mode.split(":")[1]) if ":" in mode else 3
+    else:
+        raise ValueError(
+            f"df-capped shingling supports token modes only, got {mode!r}"
+        )
+    grams = [
+        r["gram"]
+        for r in heavy_hitters(
+            df, content_col, phi=phi, n=n, seed=config.seed
+        ).collect()
+    ]
+    if not grams:
+        return ()
+    return tuple(int(h) for h in np.sort(murmur3_str(grams, config.seed)))
+
+
 def heavy_hitters_sql(src: str, phi: float, n: int) -> str:
     """DuckDB oracle: the plain exact GROUP BY / HAVING plan."""
     return f"""
