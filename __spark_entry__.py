@@ -1025,6 +1025,18 @@ def q_heavy_hitter_grams(spark, sf_dir):
     return heavy_hitters(docs, "text", phi=1.0 / 1024, n=2)
 
 
+def q_heavy_hitter_doc_grams(spark, sf_dir):
+    """Document-frequency heavy hitters (BM25's df measure): bigrams
+    contained in >= phi of all documents, via BUDGET-CAPPED Misra-Gries
+    (spend < phi*docs_seen/2 makes the superset unconditional in k) +
+    exact recount where per-doc distinctness happens INSIDE the scan
+    (array_distinct before the explode — no doc-keyed shuffle)."""
+    from lazo_spark.operators.heavy import heavy_hitters
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text"))
+    return heavy_hitters(docs, "text", phi=1.0 / 128, n=2, support="doc")
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionization over the events stream table: new session when the
     gap to the previous event of the same user exceeds 30 minutes
@@ -2116,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "top_ngrams": q_top_ngrams,
         "heavy_hitter_grams": q_heavy_hitter_grams,
+        "heavy_hitter_doc_grams": q_heavy_hitter_doc_grams,
         "event_sessions": q_event_sessions,
         "doc_length_histogram": q_doc_length_histogram,
         "lazo_pairs": q_lazo_pairs,
@@ -2561,7 +2574,10 @@ def _stack_pipeline_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lazo_spark.operators.heavy import heavy_hitters_sql
+    from lazo_spark.operators.heavy import (
+        heavy_hitters_doc_sql,
+        heavy_hitters_sql,
+    )
 
     sql = {
         "exact_dedup": """
@@ -3268,6 +3284,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g ORDER BY n_docs DESC, gram ASC LIMIT 20
         """,
         "heavy_hitter_grams": heavy_hitters_sql("documents", 1.0 / 1024, 2),
+        "heavy_hitter_doc_grams": heavy_hitters_doc_sql(
+            "documents", 1.0 / 128, 2
+        ),
         "event_sessions": """
             WITH e AS (
               SELECT event_id, user_id, ts,

@@ -107,28 +107,69 @@ def _mg_merge(
     whole error bound).  Returns (hashes, counters, entered_mask) where
     entered_mask flags carried entries present in THIS batch (the ones
     whose representative string the caller may need to record)."""
+    uu, summed, entered, _ = _mg_merge_budget(
+        carry_h, carry_c, batch_h, batch_c, k, None, 0
+    )
+    return uu, summed, entered
+
+
+def _mg_merge_budget(
+    carry_h: np.ndarray,
+    carry_c: np.ndarray,
+    batch_h: np.ndarray,
+    batch_c: np.ndarray,
+    k: int,
+    max_spend: int | None,
+    spent: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """The budget-capped variant: the cumulative decrement applied to
+    any single counter over the partition's lifetime is ``spent`` and
+    may never exceed ``max_spend`` (pass None for the plain prune-to-k
+    behavior).  Capping the spend makes the superset guarantee
+    UNCONDITIONAL in max_spend — an item with partition count
+    > max_spend cannot be evicted no matter how k was chosen — at the
+    price of letting the summary grow past k when the budget is
+    exhausted (doc-frequency mode, where the right k depends on the
+    data's grams-per-doc ratio, uses this with
+    max_spend < phi * docs_seen)."""
     all_h = np.concatenate((carry_h, batch_h))
     all_c = np.concatenate((carry_c, batch_c))
     uu, inv = np.unique(all_h, return_inverse=True)
     summed = np.zeros(len(uu), dtype=np.int64)
     np.add.at(summed, inv, all_c)
     if len(uu) > k:
-        d = np.partition(summed, len(uu) - k - 1)[len(uu) - k - 1]
-        keep = summed > d
-        uu, summed = uu[keep], summed[keep] - d
+        d = int(np.partition(summed, len(uu) - k - 1)[len(uu) - k - 1])
+        if max_spend is not None:
+            d = min(d, int(max_spend) - spent)
+        if d > 0:
+            keep = summed > d
+            uu, summed = uu[keep], summed[keep] - d
+            spent += d
     entered = np.isin(uu, batch_h, assume_unique=False)
-    return uu, summed, entered
+    return uu, summed, entered, spent
 
 
 def _partition_candidates(
-    batches: Iterator[pd.DataFrame], n: int, k: int, seed: int
+    batches: Iterator[pd.DataFrame],
+    n: int,
+    k: int,
+    seed: int,
+    support: str = "occurrence",
+    phi: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: fold every Arrow batch of this partition into
-    one MG summary over gram-occurrence murmur3 hashes, tracking one
+    one MG summary over gram murmur3 hashes, tracking one
     representative STRING per surviving hash (recovered from the token
-    byte spans of the batch where the entry (re-)entered — an O(k)
+    byte spans of the batch where the entry (re-)entered — an O(summary)
     loop per batch, bounded by the summary size, never by the corpus).
-    Yields <= k candidate gram strings at partition end."""
+    Yields the candidate gram strings at partition end.
+
+    support='occurrence': the stream is gram OCCURRENCES and prune-to-k
+    with k >= 2/phi gives the S/k superset bound.  support='doc': the
+    stream is DISTINCT (gram, doc) pairs and the prune spend is capped
+    at phi*docs_seen/2, making the superset unconditional (an item in
+    >= phi*D_i of this partition's docs can never be evicted) at the
+    price of a summary that grows past k on high grams-per-doc data."""
     from ..functions.shingles import (
         _gram_table,
         _token_spans,
@@ -139,19 +180,38 @@ def _partition_candidates(
     carry_h = np.zeros(0, dtype=np.int64)
     carry_c = np.zeros(0, dtype=np.int64)
     strmap: dict[int, str] = {}
+    spent, docs_seen = 0, 0
     for pdf in batches:
         if len(pdf) == 0:
             continue
         texts = pdf["content"].astype(str).tolist()
-        h1, _gram_doc, n_docs, _ = raw_gram_hashes(texts, n, seed)
+        docs_seen += len(texts)
+        h1, gram_doc, n_docs, _ = raw_gram_hashes(texts, n, seed)
         if len(h1) == 0:
             continue
-        u, first_idx, cnt = np.unique(
-            h1, return_index=True, return_counts=True
-        )
-        carry_h, carry_c, entered = _mg_merge(
-            carry_h, carry_c, u, cnt.astype(np.int64), k
-        )
+        if support == "doc":
+            # distinct (hash, doc) pairs -> per-hash doc counts
+            order = np.lexsort((gram_doc, h1))
+            hs, ds = h1[order], gram_doc[order]
+            firsts = np.concatenate(
+                ([True], (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1]))
+            )
+            sel = order[firsts]
+            u, fi, cnt = np.unique(
+                hs[firsts], return_index=True, return_counts=True
+            )
+            first_idx = sel[fi]
+            budget = int(phi * docs_seen / 2)
+            carry_h, carry_c, entered, spent = _mg_merge_budget(
+                carry_h, carry_c, u, cnt.astype(np.int64), k, budget, spent
+            )
+        else:
+            u, first_idx, cnt = np.unique(
+                h1, return_index=True, return_counts=True
+            )
+            carry_h, carry_c, entered = _mg_merge(
+                carry_h, carry_c, u, cnt.astype(np.int64), k
+            )
         need = [
             int(h)
             for h, e in zip(carry_h, entered)
@@ -184,22 +244,63 @@ def heavy_hitters(
     n: int = 2,
     k: int | None = None,
     seed: int = 666,
+    support: str = "occurrence",
 ) -> DataFrame:
-    """Exact (gram, n_occ) for every token n-gram whose occurrence
-    count is >= ceil(phi * total occurrences), via the two-pass
-    MG-candidates + exact-recount plan described in the module
-    docstring.  k defaults to ceil(2/phi) (2x the proof's 1/phi)."""
+    """Exact heavy hitters via the two-pass MG-candidates +
+    exact-recount plan described in the module docstring.
+
+    support='occurrence' (default): (gram, n_occ) for every gram with
+    occurrence count >= ceil(phi * total occurrences); k defaults to
+    ceil(2/phi) (2x the proof's 1/phi).
+
+    support='doc': (gram, n_docs) for every gram contained in
+    >= ceil(phi * total documents) — BM25's df semantics (the
+    max_df_frac knob's true measure).  The MG stream is distinct
+    (gram, doc) pairs, whose error bound depends on the grams-per-doc
+    ratio rather than 1/phi alone, so the partition summaries run
+    BUDGET-CAPPED (spend < phi*docs_seen/2): the superset holds
+    unconditionally and k is only the capacity the summary prunes
+    toward when the budget allows.  The recount dedups per document
+    INSIDE the scan (array_distinct before the explode — one doc's
+    grams live in one row), so no doc-keyed shuffle exists."""
+    if support not in ("occurrence", "doc"):
+        raise ValueError(f"unknown support {support!r}")
     if k is None:
         k = max(8, int(math.ceil(2.0 / phi)))
 
     cand = (
         df.select(F.col(content_col).cast("string").alias("content"))
         .mapInPandas(
-            lambda it: _partition_candidates(it, n, k, seed),
+            lambda it: _partition_candidates(it, n, k, seed, support, phi),
             "gram string",
         )
         .distinct()
     )
+
+    # repr(phi) round-trips the exact double; both engines parse the
+    # same literal, multiply the same doubles, ceil the same value —
+    # use a dyadic phi (2^-m) if the threshold may land on a boundary.
+    thresh = F.expr(f"CAST(ceiling({phi!r} * total) AS BIGINT)")
+    if support == "doc":
+        g = df.select(
+            F.explode(
+                F.array_distinct(
+                    ngram_occurrence_col(
+                        F.col(content_col).cast("string"), n
+                    )
+                )
+            ).alias("gram"),
+        )
+        total = df.agg(F.count(F.lit(1)).alias("total"))
+        return (
+            g.join(F.broadcast(cand), "gram", "left_semi")
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("n_docs") >= thresh)
+            .select("gram", "n_docs")
+            .orderBy(F.desc("n_docs"), F.asc("gram"))
+        )
 
     grams = df.select(
         F.explode(
@@ -207,10 +308,6 @@ def heavy_hitters(
         ).alias("gram")
     )
     total = grams.agg(F.count(F.lit(1)).alias("total"))
-    # repr(phi) round-trips the exact double; both engines parse the
-    # same literal, multiply the same doubles, ceil the same value —
-    # use a dyadic phi (2^-m) if the threshold may land on a boundary.
-    thresh = F.expr(f"CAST(ceiling({phi!r} * total) AS BIGINT)")
     return (
         grams.join(F.broadcast(cand), "gram", "left_semi")
         .groupBy("gram")
@@ -269,6 +366,38 @@ def heavy_hitters_sql(src: str, phi: float, n: int) -> str:
       WITH g AS ({ngram_occurrences_sql(src, n)}),
       tot AS (SELECT COUNT(*) AS total FROM g)
       SELECT gram, COUNT(*) AS n_occ FROM g
+      GROUP BY gram
+      HAVING COUNT(*) >= (SELECT CAST(ceiling({phi!r} * total) AS BIGINT)
+                          FROM tot)
+    """
+
+
+def ngram_doc_occurrences_sql(src: str, n: int) -> str:
+    """Like ngram_occurrences_sql but keyed: (doc_id, gram) per
+    occurrence, for document-frequency twins."""
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len(arr) < {n} THEN array_to_string(arr, ' ')
+                  ELSE array_to_string(arr[i:i+{n - 1}], ' ') END AS gram
+      FROM (SELECT doc_id, list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS arr
+            FROM {src}),
+           UNNEST(range(1, greatest(len(arr) - {n} + 2, 2))) AS u(i)
+      WHERE len(arr) > 0
+        AND ((len(arr) >= {n} AND i <= len(arr) - {n} + 1)
+             OR (len(arr) < {n} AND i = 1))
+    """
+
+
+def heavy_hitters_doc_sql(src: str, phi: float, n: int) -> str:
+    """DuckDB oracle for support='doc': distinct per doc, threshold on
+    the total document count of the source relation."""
+    return f"""
+      WITH g AS (SELECT DISTINCT doc_id, gram
+                 FROM ({ngram_doc_occurrences_sql(src, n)})),
+      tot AS (SELECT COUNT(*) AS total FROM {src})
+      SELECT gram, COUNT(*) AS n_docs FROM g
       GROUP BY gram
       HAVING COUNT(*) >= (SELECT CAST(ceiling({phi!r} * total) AS BIGINT)
                           FROM tot)

@@ -141,6 +141,106 @@ def test_heavy_hitters_matches_duckdb_oracle(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_mg_budget_cap_unconditional_superset():
+    """doc-mode guarantee: with an adversarially TINY k (the bound the
+    plain prune would need is violated on purpose), the budget cap must
+    still keep every item whose count exceeds the final budget."""
+    from lazo_spark.operators.heavy import _mg_merge_budget
+
+    rng = np.random.RandomState(13)
+    # 30 heavy ids (count ~120 each) buried in 20k distinct singletons
+    heavy = np.repeat(np.arange(30, dtype=np.int64), 120)
+    noise = np.arange(1000, 21000, dtype=np.int64)
+    stream = np.concatenate([heavy, noise])
+    rng.shuffle(stream)
+    D, phi = 4000, 0.02  # budget_final = phi*D/2 = 40 < 120
+    carry_h = np.zeros(0, dtype=np.int64)
+    carry_c = np.zeros(0, dtype=np.int64)
+    spent, seen = 0, 0
+    step = len(stream) // 20
+    for lo in range(0, len(stream), step):
+        b = stream[lo : lo + step]
+        seen += int(round(D * len(b) / len(stream)))
+        u, c = np.unique(b, return_counts=True)
+        carry_h, carry_c, _, spent = _mg_merge_budget(
+            carry_h, carry_c, u, c.astype(np.int64), 8, int(phi * seen / 2), spent
+        )
+    surv = set(carry_h.tolist())
+    assert spent <= phi * D / 2
+    for i in range(30):
+        assert i in surv, i  # k=8 << 30 heavies: only the budget saves them
+
+
+def test_heavy_hitters_doc_mode_exact(spark):
+    """Doc-frequency mode equals the exact pandas computation on a
+    multi-partition corpus with within-doc repeats (occurrence vs doc
+    counts genuinely differ) and duplicate docs."""
+    rng = np.random.RandomState(23)
+    vocab = [f"t{i}" for i in range(50)]
+    w = 1.0 / (np.arange(50) + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 20), p=w))
+        for _ in range(300)
+    ]
+    texts += texts[:50]  # duplicate docs: df counts them separately
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(5)
+    phi = 1.0 / 16
+    for n in (1, 2):
+        out = {
+            (r["gram"], r["n_docs"])
+            for r in heavy_hitters(
+                df, "text", phi=phi, n=n, k=8, support="doc"
+            ).collect()
+        }
+        per_doc = [set(_exact_grams([t], n)) for t in texts]
+        from collections import Counter
+
+        dfreq = Counter(g for s in per_doc for g in s)
+        thr = int(np.ceil(phi * len(texts)))
+        want = {(g, c) for g, c in dfreq.items() if c >= thr}
+        assert out == want, (n, len(out), len(want))
+
+
+def test_heavy_hitters_doc_mode_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from lazo_spark.operators.heavy import heavy_hitters_doc_sql
+
+    rng = np.random.RandomState(29)
+    vocab = [f"w{i}" for i in range(30)]
+    w = 1.0 / (np.arange(30) + 1)
+    w /= w.sum()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(150),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.randint(0, 15), p=w))
+                for _ in range(150)
+            ],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    phi = 1.0 / 8
+    got = {
+        (r["gram"], r["n_docs"])
+        for r in heavy_hitters(
+            df, "text", phi=phi, n=1, k=16, support="doc"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    want = {
+        (g, int(c))
+        for g, c in con.execute(
+            heavy_hitters_doc_sql("documents", phi, 1)
+        ).fetchall()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_heavy_hitters_plan_is_broadcast_semi(spark):
     df = spark.createDataFrame([("a b a",), ("a c a",)], "text string")
     plan = heavy_hitters(df, "text", phi=0.25, n=1)._jdf.queryExecution().executedPlan().toString()
