@@ -243,6 +243,14 @@ def test_heavy_hitters_doc_mode_matches_duckdb(spark, tmp_path):
 
 def test_heavy_hitters_plan_is_broadcast_semi(spark):
     df = spark.createDataFrame([("a b a",), ("a c a",)], "text string")
-    plan = heavy_hitters(df, "text", phi=0.25, n=1)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan
+    for support in ("occurrence", "doc"):
+        plan = (
+            heavy_hitters(df, "text", phi=0.25, n=1, support=support)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, support
+        assert "SortMergeJoin" not in plan, support
+        # doc mode's per-doc dedup lives inside the scan projection
+        # (array_distinct), never as an exchange keyed on the doc
+        if support == "doc":
+            assert "array_distinct" in plan
