@@ -91,6 +91,7 @@ PIPELINE_OPS = [
     "icws_weighted_pairs",
     "bm25_search",
     "dup_span_stats",
+    "heavy_hitter_grams",
     "code_clones",
     "repo_near_forks",
     "joinable_columns",
