@@ -141,6 +141,39 @@ def test_heavy_hitters_matches_duckdb_oracle(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_heavy_hitters_non_ascii_content(spark):
+    """UTF-8 content: the byte-level kernel, its survivor-string
+    recovery (utf-8 slice decode), and Catalyst's \\s+ split must agree
+    on non-ASCII tokens (whitespace stays ASCII in Java regex and RE2
+    alike, so boundaries match; token BYTES flow through murmur3 and
+    back out as the same strings)."""
+    texts = [
+        "café näive 日本語 café",
+        "café über schön",
+        "café ώρα καλή",
+        "",
+    ] * 6
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(3)
+    for support, col in (("occurrence", "n_occ"), ("doc", "n_docs")):
+        out = {
+            (r["gram"], r[col])
+            for r in heavy_hitters(
+                df, "text", phi=0.25, n=1, k=4, support=support
+            ).collect()
+        }
+        grams = _exact_grams(texts, 1)
+        if support == "doc":
+            per_doc = [set(_exact_grams([t], 1)) for t in texts]
+            counts = pd.Series([g for s in per_doc for g in s]).value_counts()
+            thr = int(np.ceil(0.25 * len(texts)))
+        else:
+            counts = pd.Series(grams).value_counts()
+            thr = int(np.ceil(0.25 * len(grams)))
+        want = {(g, int(c)) for g, c in counts.items() if c >= thr}
+        assert out == want, support
+        assert any("café" in g for g, _ in out)
+
+
 def test_mg_budget_cap_unconditional_superset():
     """doc-mode guarantee: with an adversarially TINY k (the bound the
     plain prune would need is violated on purpose), the budget cap must
