@@ -1025,6 +1025,40 @@ def q_heavy_hitter_grams(spark, sf_dir):
     return heavy_hitters(docs, "text", phi=1.0 / 1024, n=2)
 
 
+def q_corpus_quantiles(spark, sf_dir):
+    """corpus_report's quantile block on the SCALE plan: exact
+    per-(lang, source) length quantiles from the integer-value
+    HISTOGRAM (groupBy(group, value) map-side combined -> window cumsum
+    -> two order-statistic lookups per quantile) instead of
+    F.percentile's per-group value buffer, which is O(rows) state at
+    100 TB.  Interpolation replicates Spark Percentile.getPercentile
+    term-for-term (bit-parity pinned in tests/test_profile.py); dyadic
+    quantiles over integers make the DuckDB quantile_cont twin exact
+    here just as in corpus_report."""
+    from lazo_spark.operators.profile import histogram_quantiles
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "lang", "source", F.col("n_chars").cast("long").alias("nc")
+    )
+    out = histogram_quantiles(
+        base,
+        ["lang", "source"],
+        "nc",
+        {"p25_chars": 0.25, "p50_chars": 0.5, "p75_chars": 0.75},
+        extra_aggs={
+            "n_docs": F.max("_n"),
+            "avg_chars": F.round(
+                F.sum(F.col("_v") * F.col("_c")) / F.max("_n"), 6
+            ),
+        },
+    )
+    return out.select(
+        "lang", "source", "n_docs", "avg_chars",
+        "p25_chars", "p50_chars", "p75_chars",
+    )
+
+
 def q_heavy_hitter_doc_grams(spark, sf_dir):
     """Document-frequency heavy hitters (BM25's df measure): bigrams
     contained in >= phi of all documents, via BUDGET-CAPPED Misra-Gries
@@ -2129,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "heavy_hitter_grams": q_heavy_hitter_grams,
         "heavy_hitter_doc_grams": q_heavy_hitter_doc_grams,
+        "corpus_quantiles": q_corpus_quantiles,
         "event_sessions": q_event_sessions,
         "doc_length_histogram": q_doc_length_histogram,
         "lazo_pairs": q_lazo_pairs,
@@ -3287,6 +3322,16 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_doc_grams": heavy_hitters_doc_sql(
             "documents", 1.0 / 128, 2
         ),
+        "corpus_quantiles": """
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   round(sum(CAST(n_chars AS BIGINT)) * 1.0 / count(*), 6)
+                       AS avg_chars,
+                   quantile_cont(CAST(n_chars AS BIGINT), 0.25) AS p25_chars,
+                   quantile_cont(CAST(n_chars AS BIGINT), 0.5) AS p50_chars,
+                   quantile_cont(CAST(n_chars AS BIGINT), 0.75) AS p75_chars
+            FROM documents GROUP BY lang, source
+        """,
         "event_sessions": """
             WITH e AS (
               SELECT event_id, user_id, ts,

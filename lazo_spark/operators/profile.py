@@ -1,0 +1,77 @@
+"""Exact group quantiles over integer domains via histograms.
+
+The scale problem: Spark's exact `percentile` aggregate buffers every
+value of a group in the aggregation state (an OpenHashMap per group) —
+at 100 TB a per-(lang, source) group holds billions of document
+lengths and the buffer IS the dataset.  `percentile_approx` trades
+that for error.  But profiling quantities (doc lengths, token counts,
+line counts) live on BOUNDED INTEGER domains, where exact quantiles
+need only the value HISTOGRAM:
+
+  1. hist  = groupBy(group, value).count()  — map-side combined; rows
+     per group = distinct values (~max_doc_len), independent of corpus
+     size.  This is the only content-volume shuffle, and it ships
+     (group, int, partial-count) triples.
+  2. cumulative counts per group (a window over the tiny hist
+     relation), group totals, then each requested quantile is TWO
+     order-statistic lookups (element at index floor(p) / ceil(p),
+     p = q*(n-1)) expressed as conditional MIN aggregations over the
+     hist — the same linear interpolation Spark's `percentile` and
+     DuckDB's `quantile_cont` define, computed on the same doubles.
+
+Output is bit-identical to `F.percentile` (pinned in
+tests/test_profile.py on random multisets, and by the driver oracle's
+hash match against DuckDB quantile_cont), with per-group state
+O(distinct values) instead of O(rows).
+
+Element-at-index over the histogram: the 0-based sorted-multiset
+element j is the first value whose cumulative count exceeds j, so
+min(value WHERE cum > j) — cum is strictly increasing (counts >= 1).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    extra_aggs: dict | None = None,
+) -> DataFrame:
+    """One row per group: {name: exact q-quantile of value_col} for
+    each (name, q) in qs, plus optional extra aggregate Columns over
+    the histogram (e.g. n_docs=sum(_c)).  value_col must be integral
+    (the histogram is exact over any hashable domain, but quantile
+    interpolation assumes numeric)."""
+    hist = (
+        df.groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = cum.groupBy(*group_cols).agg(F.max("_cum").alias("_n"))
+    j = cum.join(tot.hint("SHUFFLE_HASH"), group_cols)
+
+    aggs = []
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("_n") - F.lit(1)).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        v_lo = F.min(F.when(F.col("_cum") > lo, F.col("_v"))).cast("double")
+        v_hi = F.min(F.when(F.col("_cum") > hi, F.col("_v"))).cast("double")
+        # Spark Percentile.getPercentile's exact arithmetic:
+        # (higher - pos) * lowerKey + (pos - lower) * higherKey, with
+        # the integral-position branch returning lowerKey — replicated
+        # term for term so results are bit-identical doubles
+        w_lo = F.min((hi.cast("double") - pos))
+        w_hi = F.min((pos - lo.cast("double")))
+        exact = F.min(F.when(hi == lo, F.lit(1)).otherwise(F.lit(0)))
+        aggs.append(
+            F.when(exact == 1, v_lo)
+            .otherwise(w_lo * v_lo + w_hi * v_hi)
+            .alias(name)
+        )
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
+    return j.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,63 @@
+"""histogram_quantiles == Spark's exact percentile, bit for bit.
+
+The histogram plan is only worth shipping if it is a drop-in for
+F.percentile — same linear interpolation on the same doubles — with
+per-group state O(distinct values) instead of O(rows).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lazo_spark.operators.profile import histogram_quantiles
+
+QS = {"p10": 0.1, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+
+
+def test_histogram_quantiles_match_percentile(spark):
+    rng = np.random.RandomState(17)
+    rows = []
+    for g in range(5):
+        # heavy ties + singleton groups + a two-element group
+        n = [1, 2, 7, 400, 1000][g]
+        vals = rng.randint(0, 50 if g % 2 else 100000, size=n)
+        rows.extend((f"g{g}", int(v)) for v in vals)
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(7)
+
+    got = {
+        r["grp"]: {k: r[k] for k in QS}
+        for r in histogram_quantiles(df, ["grp"], "v", QS).collect()
+    }
+    want = {
+        r["grp"]: {k: r[k] for k in QS}
+        for r in df.groupBy("grp")
+        .agg(*[F.percentile("v", F.lit(q)).alias(k) for k, q in QS.items()])
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        for k in QS:
+            # bit-identical doubles, not approx
+            assert got[g][k] == want[g][k], (g, k, got[g][k], want[g][k])
+
+
+def test_histogram_quantiles_extra_aggs_and_plan(spark):
+    df = spark.createDataFrame(
+        [("a", i % 13) for i in range(100)] + [("b", 7)],
+        "grp string, v long",
+    )
+    out = histogram_quantiles(
+        df, ["grp"], "v", {"p50": 0.5},
+        extra_aggs={
+            "n_docs": F.max("_n"),
+            "avg_v": F.round(F.sum(F.col("_v") * F.col("_c")) / F.max("_n"), 6),
+        },
+    )
+    rows = {r["grp"]: r for r in out.collect()}
+    assert rows["a"]["n_docs"] == 100 and rows["b"]["n_docs"] == 1
+    assert rows["b"]["p50"] == 7.0 and rows["b"]["avg_v"] == 7.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only sort is the per-group window over the tiny histogram;
+    # no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
