@@ -511,6 +511,18 @@ def _run_assemble(spark, args, config) -> dict:
     source = with_key_and_sha(read_table(spark, args.input))
     n_files = source.count()
 
+    if args.max_df_frac is not None:
+        from dataclasses import replace
+
+        from lazo_spark.operators.heavy import frequent_gram_drop_set
+
+        config = replace(
+            config,
+            drop_shingle_hashes=frequent_gram_drop_set(
+                source, "content", config, phi=args.max_df_frac
+            ),
+        )
+
     pipe = DedupPipeline(spark, config, checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(source, verify_threshold=args.jcx_threshold)
     splits = split_by_cluster(out["clusters"], seed=17)
