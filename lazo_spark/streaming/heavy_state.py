@@ -1,0 +1,136 @@
+"""Streaming heavy hitters: bucketed Misra-Gries state over a gram
+stream (the continuous version of operators/heavy.py).
+
+Batch heavy hitters needs the whole corpus; on an unbounded ingest
+stream the same question ("which grams exceed phi of everything seen
+SO FAR") becomes stateful.  The state layout that keeps it both exact
+in guarantee and bounded in size:
+
+- grams hash-partition into B buckets (pmod(xxhash64(gram), B)), so
+  EVERY occurrence of one gram lands in one bucket's state — a
+  bucket's counts are complete for its grams, not samples.
+- per bucket, ``applyInPandasWithState`` maintains one Misra-Gries
+  summary (<= k gram strings + counts + the bucket's running total).
+  The MG bound applies per bucket: a gram undercounts by at most
+  S_bucket/k, and since S_bucket ~ S/B the effective error on the
+  global threshold phi*S is B*k times smaller than a single summary
+  with the same memory — any gram with global count >= phi*S survives
+  whenever k >= 1/phi, with enormous slack.
+- each micro-batch emits the bucket's updated summary
+  (bucket, gram, w, bucket_total); the CONSUMER thresholds the latest
+  snapshot per bucket against phi * sum(bucket_total) — w is a lower
+  bound within S_bucket/k, so emit-side filtering would be premature.
+
+State per bucket is <= k short strings + k+1 longs, i.e. total state
+~ B*k entries regardless of stream length — the same boundedness
+contract as stateful_sketch_stream's register handoff.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+HH_OUT_SCHEMA = "bucket long, gram string, w long, bucket_total long"
+HH_STATE_SCHEMA = "grams array<string>, counts array<long>, total long"
+
+
+def merge_string_counts(
+    prev: pd.Series, batch: pd.Series, k: int
+) -> pd.Series:
+    """MG merge of two gram->count series (index = gram strings),
+    pruning to <= k entries by subtracting the (len-k)-th smallest
+    total — the same charging argument as operators/heavy._mg_merge,
+    over strings (bucket summaries are small, so object-index pandas
+    ops are fine here; the batch-side counting is one value_counts)."""
+    cnt = prev.add(batch, fill_value=0) if len(prev) else batch
+    cnt = cnt.astype("int64")
+    if len(cnt) > k:
+        vals = cnt.to_numpy()
+        d = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+        cnt = cnt[vals > d] - d
+    return cnt
+
+
+def streaming_heavy_hitters(
+    stream_df,
+    content_col: str = "content",
+    n: int = 2,
+    k: int = 256,
+    buckets: int = 64,
+):
+    """stream_df(..., content_col) -> streaming DataFrame of per-bucket
+    MG summaries (bucket, gram, w, bucket_total), output mode update.
+
+    Consumer-side extraction from a sink snapshot: take each bucket's
+    LATEST emission, N = sum of bucket_total over buckets, candidates =
+    grams with w + S_bucket/k >= phi*N (or simply w >= phi*N - slack);
+    exact counts, if needed, come from one batch recount of the
+    candidate set — the same two-pass contract as the batch operator."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.heavy import ngram_occurrence_col
+
+    grams = stream_df.select(
+        F.explode(
+            ngram_occurrence_col(F.col(content_col).cast("string"), n)
+        ).alias("gram")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("long")
+    )
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state):
+        batch = pd.Series(dtype="int64")
+        new_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            c = pdf["gram"].value_counts()
+            batch = batch.add(c, fill_value=0) if len(batch) else c
+            new_rows += len(pdf)
+        if state.exists:
+            g0, c0, t0 = state.get
+            prev = pd.Series(
+                np.asarray(c0, dtype=np.int64), index=list(g0)
+            )
+        else:
+            prev, t0 = pd.Series(dtype="int64"), 0
+        if new_rows == 0:
+            return iter(())
+        cnt = merge_string_counts(prev, batch.astype("int64"), k)
+        total = int(t0) + new_rows
+        state.update(
+            (list(cnt.index), [int(x) for x in cnt.to_numpy()], total)
+        )
+        if len(cnt) == 0:
+            # a prune can empty the summary (all counts tied at d —
+            # nothing locally frequent yet); still emit ONE null-gram
+            # row so the bucket's running total stays visible to the
+            # consumer's N = sum(bucket_total) snapshot
+            yield pd.DataFrame(
+                {
+                    "bucket": [int(key[0])],
+                    "gram": [None],
+                    "w": [0],
+                    "bucket_total": [total],
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "bucket": np.full(len(cnt), int(key[0]), dtype=np.int64),
+                "gram": cnt.index,
+                "w": cnt.to_numpy(),
+                "bucket_total": np.full(len(cnt), total, dtype=np.int64),
+            }
+        )
+
+    return grams.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

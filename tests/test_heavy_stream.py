@@ -1,0 +1,106 @@
+"""Streaming heavy hitters: bucketed MG state over micro-batches.
+
+Pins (1) the pure merge kernel's bound, (2) an end-to-end
+availableNow run: the heavy gram planted ACROSS batches (no single
+batch makes it heavy) must be recoverable from the final per-bucket
+summaries with the per-bucket error bound, and bucket totals must sum
+to the exact stream length.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lazo_spark.streaming.heavy_state import (
+    merge_string_counts,
+    streaming_heavy_hitters,
+)
+
+
+def test_merge_string_counts_bound():
+    rng = np.random.RandomState(3)
+    toks = [f"t{i}" for i in range(500)]
+    stream = list(rng.choice(toks, size=6000, p=None)) + ["HH"] * 400
+    rng.shuffle(stream)
+    prev = pd.Series(dtype="int64")
+    for lo in range(0, len(stream), 250):
+        b = pd.Series(stream[lo : lo + 250]).value_counts()
+        prev = merge_string_counts(prev, b, k=64)
+    assert len(prev) <= 64
+    S = len(stream)
+    assert "HH" in prev.index  # 400 > S/64 = 100
+    true = pd.Series(stream).value_counts()
+    for g, w in prev.items():
+        assert w <= true[g]
+        assert true[g] - w <= S / 64
+
+
+def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+
+    all_texts = []
+
+    def feed(batch_idx):
+        texts = [
+            " ".join(rng.choice(vocab, size=10))
+            + " heavy gram heavy gram"  # the planted cross-batch heavy
+            for _ in range(40)
+        ]
+        all_texts.extend(texts)
+        spark.createDataFrame(
+            [(t,) for t in texts], "content string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    for i in range(3):
+        feed(i)
+
+    stream = spark.readStream.schema("content string").parquet(src)
+    q = (
+        streaming_heavy_hitters(stream, "content", n=2, k=32, buckets=8)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn(
+                "batch", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(bid)
+            ).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sink = spark.read.parquet(out).toPandas()
+    # latest snapshot per bucket (null-gram sentinel rows keep a
+    # bucket's total visible even when its summary pruned to empty)
+    latest = (
+        sink.loc[sink.groupby("bucket")["batch"].transform("max") == sink["batch"]]
+    )
+    # exact stream truth
+    from tests.test_heavy import _exact_grams
+
+    grams = _exact_grams(all_texts, 2)
+    true = pd.Series(grams).value_counts()
+    N = len(grams)
+    assert int(latest.groupby("bucket")["bucket_total"].first().sum()) == N
+    latest = latest.loc[latest["gram"].notna()]
+
+    # the planted bigrams are heavy: "heavy gram" and "gram heavy"
+    got = dict(zip(latest["gram"], latest["w"]))
+    for g in ("heavy gram", "gram heavy"):
+        assert true[g] >= N / 32
+        assert g in got, g
+        # per-bucket error bound: undercount <= bucket_total/k
+        btot = int(
+            latest.loc[latest["gram"] == g, "bucket_total"].iloc[0]
+        )
+        assert true[g] - got[g] <= btot / 32
+        assert got[g] <= true[g]
