@@ -234,7 +234,12 @@ def _partition_candidates(
         live = set(int(h) for h in carry_h)
         strmap = {h: s for h, s in strmap.items() if h in live}
     if len(carry_h):
-        yield pd.DataFrame({"gram": [strmap[int(h)] for h in carry_h]})
+        yield pd.DataFrame(
+            {
+                "gram": [strmap[int(h)] for h in carry_h],
+                "w": carry_c.astype(np.int64),
+            }
+        )
 
 
 def heavy_hitters(
@@ -245,6 +250,7 @@ def heavy_hitters(
     k: int | None = None,
     seed: int = 666,
     support: str = "occurrence",
+    merge_candidates: bool = False,
 ) -> DataFrame:
     """Exact heavy hitters via the two-pass MG-candidates +
     exact-recount plan described in the module docstring.
@@ -262,27 +268,34 @@ def heavy_hitters(
     unconditionally and k is only the capacity the summary prunes
     toward when the budget allows.  The recount dedups per document
     INSIDE the scan (array_distinct before the explode — one doc's
-    grams live in one row), so no doc-keyed shuffle exists."""
+    grams live in one row), so no doc-keyed shuffle exists.
+
+    merge_candidates=True: the plain candidate union is <= k summary
+    entries PER PARTITION — at tens of thousands of partitions that's
+    too large to broadcast.  Mergeable-summaries (Agarwal et al.,
+    PODS'12) collapses it: sum the per-partition MG weights per gram
+    (one tiny shuffle over <= k*P rows) and subtract the (k+1)-th
+    largest total, CAPPED below ceil(phi*T/2): the pre-merge
+    undercount of any gram is <= phi*T/2 (both supports enforce it —
+    occurrence by k >= 2/phi, doc by the spend budget), so with the
+    merge's extra subtract also < phi*T/2 a phi-heavy gram keeps a
+    positive merged weight.  Candidate count drops from k*P to <= k+1;
+    the exact recount is unchanged, so the OUTPUT is identical either
+    way (test-pinned)."""
     if support not in ("occurrence", "doc"):
         raise ValueError(f"unknown support {support!r}")
     if k is None:
         k = max(8, int(math.ceil(2.0 / phi)))
 
-    cand = (
-        df.select(F.col(content_col).cast("string").alias("content"))
-        .mapInPandas(
-            lambda it: _partition_candidates(it, n, k, seed, support, phi),
-            "gram string",
-        )
-        .distinct()
+    summaries = df.select(
+        F.col(content_col).cast("string").alias("content")
+    ).mapInPandas(
+        lambda it: _partition_candidates(it, n, k, seed, support, phi),
+        "gram string, w long",
     )
 
-    # repr(phi) round-trips the exact double; both engines parse the
-    # same literal, multiply the same doubles, ceil the same value —
-    # use a dyadic phi (2^-m) if the threshold may land on a boundary.
-    thresh = F.expr(f"CAST(ceiling({phi!r} * total) AS BIGINT)")
     if support == "doc":
-        g = df.select(
+        grams = df.select(
             F.explode(
                 F.array_distinct(
                     ngram_occurrence_col(
@@ -292,30 +305,60 @@ def heavy_hitters(
             ).alias("gram"),
         )
         total = df.agg(F.count(F.lit(1)).alias("total"))
-        return (
-            g.join(F.broadcast(cand), "gram", "left_semi")
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .crossJoin(F.broadcast(total))
-            .where(F.col("n_docs") >= thresh)
-            .select("gram", "n_docs")
-            .orderBy(F.desc("n_docs"), F.asc("gram"))
+        out_count = "n_docs"
+    else:
+        grams = df.select(
+            F.explode(
+                ngram_occurrence_col(F.col(content_col).cast("string"), n)
+            ).alias("gram")
         )
+        total = grams.agg(F.count(F.lit(1)).alias("total"))
+        out_count = "n_occ"
 
-    grams = df.select(
-        F.explode(
-            ngram_occurrence_col(F.col(content_col).cast("string"), n)
-        ).alias("gram")
-    )
-    total = grams.agg(F.count(F.lit(1)).alias("total"))
+    if merge_candidates:
+        # mergeable-summaries collapse (module docstring): sum partial
+        # MG weights, subtract the (k+1)-th largest total capped below
+        # ceil(phi*T/2) so the end-to-end undercount of a heavy gram
+        # stays < phi*T.  All in-plan: the top-(k+1) is a TakeOrdered
+        # over the tiny summed relation, no driver round-trip.
+        summed = summaries.groupBy("gram").agg(F.sum("w").alias("ws"))
+        topk1 = summed.orderBy(F.desc("ws"), F.asc("gram")).limit(k + 1)
+        stats = topk1.agg(
+            F.count(F.lit(1)).alias("ct"), F.min("ws").alias("mn")
+        )
+        d_rel = stats.crossJoin(F.broadcast(total)).select(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.when(F.col("ct") == k + 1, F.col("mn")).otherwise(
+                        F.lit(0)
+                    ),
+                    F.expr(
+                        f"CAST(ceiling({phi!r} * total / 2) AS BIGINT) - 1"
+                    ),
+                ),
+            ).alias("d")
+        )
+        cand = (
+            summed.crossJoin(F.broadcast(d_rel))
+            .where(F.col("ws") > F.col("d"))
+            .select("gram")
+        )
+    else:
+        cand = summaries.select("gram").distinct()
+
+    # repr(phi) round-trips the exact double; both engines parse the
+    # same literal, multiply the same doubles, ceil the same value —
+    # use a dyadic phi (2^-m) if the threshold may land on a boundary.
+    thresh = F.expr(f"CAST(ceiling({phi!r} * total) AS BIGINT)")
     return (
         grams.join(F.broadcast(cand), "gram", "left_semi")
         .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .agg(F.count(F.lit(1)).alias(out_count))
         .crossJoin(F.broadcast(total))
-        .where(F.col("n_occ") >= thresh)
-        .select("gram", "n_occ")
-        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .where(F.col(out_count) >= thresh)
+        .select("gram", out_count)
+        .orderBy(F.desc(out_count), F.asc("gram"))
     )
 
 

@@ -274,6 +274,36 @@ def test_heavy_hitters_doc_mode_matches_duckdb(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_heavy_hitters_merged_candidates_identical_output(spark):
+    """merge_candidates collapses k*P partition summaries to <= k+1
+    candidates (the PODS'12 mergeable-MG bound with the capped
+    subtract); output must be IDENTICAL to the plain union path in both
+    supports, including under an adversarially small k."""
+    rng = np.random.RandomState(31)
+    vocab = [f"tok{i}" for i in range(80)]
+    w = 1.0 / (np.arange(80) + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 25), p=w))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(9)
+    for support in ("occurrence", "doc"):
+        phi = 1.0 / 32
+        plain = set(
+            map(tuple, heavy_hitters(
+                df, "text", phi=phi, n=1, k=16, support=support
+            ).collect())
+        )
+        merged = set(
+            map(tuple, heavy_hitters(
+                df, "text", phi=phi, n=1, k=16, support=support,
+                merge_candidates=True,
+            ).collect())
+        )
+        assert merged == plain and len(plain) > 0, support
+
+
 def test_heavy_hitters_plan_is_broadcast_semi(spark):
     df = spark.createDataFrame([("a b a",), ("a c a",)], "text string")
     for support in ("occurrence", "doc"):
