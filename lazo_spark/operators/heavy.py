@@ -395,7 +395,8 @@ def frequent_gram_drop_set(
     grams = [
         r["gram"]
         for r in heavy_hitters(
-            df, content_col, phi=phi, n=n, seed=config.seed
+            df, content_col, phi=phi, n=n, seed=config.seed,
+            merge_candidates=True,  # k*P -> <=k+1 (output identical)
         ).collect()
     ]
     if not grams:
