@@ -106,6 +106,109 @@ def weighted_jaccard_pairs(
     return out
 
 
+def weighted_prefix_pairs(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    jw_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs WEIGHTED Jaccard >= t via prefix filtering — the
+    weighted generalization of operators/verify.prefix_filtered_pairs
+    (Bayardo et al., WWW 2007 / PPJoin), making the exact weighted join
+    lossless-at-scale instead of the capped token-equi-join baseline.
+
+    Why it is lossless: order the token universe by ascending document
+    frequency (ties by token hash).  JW(x,y) >= t implies
+    Sum_min >= t * Sum_max >= t * max(Wx, Wy).  Let prefix(x) be the
+    shortest df-ordered prefix of x's distinct tokens whose REMAINING
+    suffix weight is < t*Wx (i.e. keep a token iff its tail-inclusive
+    weight >= t*Wx; the running total is aliased `wt` — Spark resolves
+    column names case-insensitively, so `W` would collide with `w`).  Consider the FIRST shared token u in the global
+    order: if u were outside prefix(x), every shared token would lie in
+    x's suffix, so Sum_min <= suffix_weight(x) < t*Wx <= Sum_min — a
+    contradiction; symmetrically for y.  So u lies in BOTH prefixes and
+    the prefix self-join cannot miss a qualifying pair.  The classic
+    weight filter min(Wx,Wy) >= t*max(Wx,Wy) is the same Sum_min <= W_min,
+    Sum_max >= W_max bound.
+
+    Plan shape (all built-in ops, same skeleton as the set version):
+      1. (key, t, w) distinct-token weights — shared with the exact join;
+      2. document-frequency agg on the int64 token hash (map-side
+         combined);
+      3. df join + per-doc DESCENDING-order running sum (ONE shuffle on
+         the doc key): tail-inclusive weight >= t*W keeps the prefix;
+      4. prefix self-join (SHUFFLE_HASH) + weight filter -> DISTINCT
+         candidates — quadratic only over each doc's rare-token prefix;
+      5. Sum_min for candidates only (two int64-key joins against the
+         full token relation) -> JW/JCW via Sum_max = Wx+Wy-Sum_min.
+
+    At 100 TB the ascending-df order is the skew defense: the hottest
+    tokens (imports, brackets) are last-eligible for any prefix, so the
+    candidate join avoids exactly the buckets that skew the plain token
+    join.  Pinned byte-identical to weighted_jaccard_pairs in
+    tests/test_weighted.py and oracle-green via the same DuckDB twin.
+    """
+    from pyspark.sql import Window
+
+    t = float(jw_threshold)
+    tw = token_weights(df, key_col, content_col).persist()
+    totals = tw.groupBy("key").agg(F.sum("w").alias("wt"))
+    freq = tw.groupBy("t").agg(F.count(F.lit(1)).alias("dfc"))
+    # rarest-first prefix == descending-order running sum: tokens sorted
+    # by (desc dfc, desc t) accumulate the tail of the ascending order,
+    # so tail_incl at a row is the total weight from that token to the
+    # hot end — keep the row iff tail_incl >= t*W.
+    tail_incl = F.sum("w").over(
+        Window.partitionBy("key")
+        .orderBy(F.desc("dfc"), F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        tw.join(freq.hint("SHUFFLE_HASH"), "t")
+        .select("key", "t", "w", "dfc")
+        .withColumn("tail", tail_incl)
+        .join(totals, "key")
+        .filter(F.col("tail") >= t * F.col("wt"))
+        .select("key", "t", "wt")
+        # both sides of the self-join read this relation; persist or the
+        # df join + window run twice (repo pattern: prefix_filtered_pairs)
+        .persist()
+    )
+    a = prefix.select(F.col("key").alias("key_x"), "t", F.col("wt").alias("wtx"))
+    b = prefix.select(F.col("key").alias("key_y"), "t", F.col("wt").alias("wty"))
+    cand = (
+        a.join(b.hint("SHUFFLE_HASH"), "t")
+        .filter(
+            (F.col("key_x") < F.col("key_y"))
+            & (F.least("wtx", "wty") >= t * F.greatest("wtx", "wty"))
+        )
+        .select("key_x", "key_y", "wtx", "wty")
+        .distinct()
+    )
+    x_side = tw.select(F.col("key").alias("key_x"), "t", F.col("w").alias("wx"))
+    y_side = tw.select(F.col("key").alias("key_y"), "t", F.col("w").alias("wy"))
+    mins = (
+        cand.join(x_side.hint("SHUFFLE_HASH"), "key_x")
+        .join(y_side.hint("SHUFFLE_HASH"), ["key_y", "t"])
+        .groupBy("key_x", "key_y")
+        .agg(
+            F.sum(F.least("wx", "wy")).alias("m"),
+            F.first("wtx").alias("wtx"),
+            F.first("wty").alias("wty"),
+        )
+    )
+    return (
+        mins.select(
+            "key_x",
+            "key_y",
+            (F.col("m") / (F.col("wtx") + F.col("wty") - F.col("m"))).alias("jw"),
+            (F.col("m") / F.col("wtx")).alias("jcwx"),
+            (F.col("m") / F.col("wty")).alias("jcwy"),
+        )
+        .filter(F.col("jw") >= t)
+    )
+
+
 def token_weight_arrays(
     contents, seed: int = 666
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -152,3 +152,84 @@ def test_icws_lsh_recall_vs_exact(spark):
     recall = hit / len(exact)
     assert recall >= 0.95, (recall, len(exact), len(cand) // 2)
     sigs.unpersist()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_weighted_prefix_equals_exact(spark, t):
+    """The weighted prefix filter is lossless by theorem (docstring
+    proof); enforce byte-identical output to the brute-force weighted
+    join on the corpus, at two thresholds."""
+    from lazo_spark.operators.weighted import weighted_prefix_pairs
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .selectExpr("doc_id", "text")
+    )
+    def pset(df):
+        return {
+            (r.key_x, r.key_y, round(r.jw, 9), round(r.jcwx, 9), round(r.jcwy, 9))
+            for r in df.select("key_x", "key_y", "jw", "jcwx", "jcwy").collect()
+        }
+    exact = pset(weighted_jaccard_pairs(docs, "doc_id", "text", jw_threshold=t))
+    fast = pset(weighted_prefix_pairs(docs, "doc_id", "text", jw_threshold=t))
+    assert fast == exact
+    assert exact  # non-vacuous
+
+
+def test_weighted_prefix_tiny_multiset(spark):
+    """Multiplicity-sensitive case the set filter can't express: doc 1
+    repeats `a` heavily, so its weighted overlap with doc 2 is small
+    even though the token SETS are identical."""
+    import pyspark.sql.functions as F
+    from lazo_spark.operators.weighted import weighted_prefix_pairs
+
+    rows = [
+        (1, "a a a a a a a a b"),
+        (2, "a b"),            # jw = 2/9 < 0.5: must NOT appear
+        (3, "p p q q r"),
+        (4, "p p q q r"),      # jw = 1.0
+        (5, "p p q r r"),      # vs 3: min 4 / max 6 = 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.key_x, r.key_y, round(r.jw, 6))
+        for r in weighted_prefix_pairs(df, "doc_id", "text", 0.5)
+        .select("key_x", "key_y", "jw")
+        .collect()
+    }
+    assert got == {(3, 4, 1.0), (3, 5, round(2 / 3, 6)), (4, 5, round(2 / 3, 6))}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_weighted_prefix_candidate_reduction(spark):
+    """The structural win: the prefix relation driving the quadratic
+    self-join must be much smaller than the full token relation the
+    plain join consumes."""
+    from lazo_spark.operators.weighted import token_weights
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .selectExpr("doc_id", "text")
+    )
+    t = 0.8
+    tw = token_weights(docs, "doc_id", "text")
+    full = tw.count()
+    totals = tw.groupBy("key").agg(F.sum("w").alias("wt"))
+    freq = tw.groupBy("t").agg(F.count(F.lit(1)).alias("dfc"))
+    tail_incl = F.sum("w").over(
+        Window.partitionBy("key")
+        .orderBy(F.desc("dfc"), F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        tw.join(freq, "t")
+        .withColumn("tail", tail_incl)
+        .join(totals, "key")
+        .filter(F.col("tail") >= t * F.col("wt"))
+        .count()
+    )
+    assert prefix < 0.5 * full, (prefix, full)
