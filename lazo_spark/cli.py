@@ -150,6 +150,20 @@ def main(argv: list[str] | None = None) -> dict:
         jcx_threshold=args.jcx_threshold,
         bucket_cap=args.bucket_cap,
     )
+    if args.max_df_frac is not None and args.phase in (
+        "discover", "curate", "decontaminate"
+    ):
+        # df-capped shingling is consumed by the sketch/full paths and
+        # by assemble's own drop-set builder; the remaining phases never
+        # read it — say so instead of silently ignoring the flag
+        # (ADVICE r04 item 4).
+        import warnings
+
+        warnings.warn(
+            f"--max-df-frac has no effect on phase {args.phase!r} "
+            "(consumed by sketch-lsh/full and assemble only); running "
+            "uncapped"
+        )
     if args.phase == "discover":
         return _run_discover(spark, args)
     if args.phase == "curate":
@@ -162,14 +176,32 @@ def main(argv: list[str] | None = None) -> dict:
     source = read_table(spark, args.input)
     n_files = source.count()
 
+    df_cap_report = None
     if args.max_df_frac is not None:
-        from lazo_spark.operators.heavy import frequent_gram_drop_set
+        from lazo_spark.operators.heavy import (
+            df_cap_error_bound,
+            frequent_gram_drop_set,
+        )
         from dataclasses import replace
 
         drop = frequent_gram_drop_set(
             source, "content", config, phi=args.max_df_frac
         )
         config = replace(config, drop_shingle_hashes=drop)
+        if drop:
+            # capped-universe Jaccard safety number: worst per-pair jcx
+            # deviation on THIS corpus (operators/heavy.df_cap_error_bound)
+            df_cap_report = df_cap_error_bound(
+                source, "content", config, drop
+            )
+        else:
+            # no gram met the phi support: the cap is a no-op, and the
+            # zero bound says so explicitly
+            df_cap_report = {
+                "max_jcx_error_bound": 0.0, "fully_dropped_docs": 0,
+                "max_dropped_grams_per_doc": 0, "n_dropped_grams": 0,
+            }
+        print(json.dumps({"df_cap": df_cap_report}))
 
     t0 = time.time()
     if args.phase == "sketch-lsh":
@@ -197,6 +229,8 @@ def main(argv: list[str] | None = None) -> dict:
             "master": spark.sparkContext.master,
             "config_fingerprint": config.fingerprint(),
         }
+        if df_cap_report is not None:
+            metrics["df_cap"] = df_cap_report
         if args.metrics_out:
             with open(args.metrics_out, "w") as f:
                 json.dump(metrics, f, indent=2)
@@ -232,6 +266,8 @@ def main(argv: list[str] | None = None) -> dict:
             if isinstance(v, (int, float))
         },
     }
+    if df_cap_report is not None:
+        metrics["df_cap"] = df_cap_report
     if args.metrics_out:
         with open(args.metrics_out, "w") as f:
             json.dump(metrics, f, indent=2)
@@ -511,10 +547,14 @@ def _run_assemble(spark, args, config) -> dict:
     source = with_key_and_sha(read_table(spark, args.input))
     n_files = source.count()
 
+    df_cap_report = None
     if args.max_df_frac is not None:
         from dataclasses import replace
 
-        from lazo_spark.operators.heavy import frequent_gram_drop_set
+        from lazo_spark.operators.heavy import (
+            df_cap_error_bound,
+            frequent_gram_drop_set,
+        )
 
         config = replace(
             config,
@@ -522,6 +562,16 @@ def _run_assemble(spark, args, config) -> dict:
                 source, "content", config, phi=args.max_df_frac
             ),
         )
+        if config.drop_shingle_hashes:
+            df_cap_report = df_cap_error_bound(
+                source, "content", config, config.drop_shingle_hashes
+            )
+        else:
+            df_cap_report = {
+                "max_jcx_error_bound": 0.0, "fully_dropped_docs": 0,
+                "max_dropped_grams_per_doc": 0, "n_dropped_grams": 0,
+            }
+        print(json.dumps({"df_cap": df_cap_report}))
 
     pipe = DedupPipeline(spark, config, checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(source, verify_threshold=args.jcx_threshold)
@@ -593,6 +643,8 @@ def _run_assemble(spark, args, config) -> dict:
         "master": spark.sparkContext.master,
         "config_fingerprint": config.fingerprint(),
     }
+    if df_cap_report is not None:
+        metrics["df_cap"] = df_cap_report
     if args.metrics_out:
         with open(args.metrics_out, "w") as f:
             json.dump(metrics, f, indent=2)

@@ -50,6 +50,7 @@ for the corpus-curation surface, feeding the df-cap knobs above.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -184,8 +185,15 @@ def _partition_candidates(
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        texts = pdf["content"].astype(str).tolist()
-        docs_seen += len(texts)
+        # NULL content must not reach the hash stream (astype(str) would
+        # mint literal "None" grams that compete with real mass in the
+        # MG summary while the Catalyst recount drops null rows); null
+        # DOCS still count toward docs_seen because df.count() — the
+        # doc-mode total T — counts them too.
+        docs_seen += len(pdf)
+        texts = pdf["content"].dropna().astype(str).tolist()
+        if not texts:
+            continue
         h1, gram_doc, n_docs, _ = raw_gram_hashes(texts, n, seed)
         if len(h1) == 0:
             continue
@@ -286,6 +294,23 @@ def heavy_hitters(
         raise ValueError(f"unknown support {support!r}")
     if k is None:
         k = max(8, int(math.ceil(2.0 / phi)))
+    elif support == "occurrence":
+        # the EXACT contract rests on the MG superset guarantee, which
+        # in occurrence mode is conditional on k: plain candidates need
+        # k >= ceil(1/phi) (undercount <= S/(k+1) < phi*S), the merge
+        # cap proof needs k >= ceil(2/phi) (undercount < phi*S/2).  A
+        # smaller caller-supplied k silently voids EXACT on adversarial
+        # data — clamp up and say so.  (doc mode is budget-capped:
+        # unconditional in k, any capacity is safe.)
+        need = int(math.ceil((2.0 if merge_candidates else 1.0) / phi))
+        if k < need:
+            warnings.warn(
+                f"heavy_hitters: k={k} is below the proven superset bound "
+                f"{need} for phi={phi} (occurrence"
+                f"{'+merge' if merge_candidates else ''}); clamping up to "
+                f"keep the EXACT guarantee"
+            )
+            k = need
 
     summaries = df.select(
         F.col(content_col).cast("string").alias("content")
@@ -446,3 +471,56 @@ def heavy_hitters_doc_sql(src: str, phi: float, n: int) -> str:
       HAVING COUNT(*) >= (SELECT CAST(ceiling({phi!r} * total) AS BIGINT)
                           FROM tot)
     """
+
+
+def df_cap_error_bound(
+    df: DataFrame, content_col: str, config, drop: tuple
+) -> dict:
+    """Worst-case per-pair containment error of df-capped shingling on
+    THIS corpus — the safety number a 100-TB operator needs before
+    turning `--max-df-frac` on (VERDICT r04 item 8).
+
+    For a pair (x, y) with true jcx = a/n (a = |x ∩ y|, n = |x|'s
+    distinct shingles), dropping d_x of x's shingles (d_i of them from
+    the intersection) gives capped jcx' = (a - d_i)/(n - d_x).  Over
+    the feasible d_i the difference is extremized at d_i = 0
+    (jcx' - jcx = a*d_x / (n(n - d_x)) <= d_x/(n - d_x)) and at
+    d_i = min(d_x, a) (jcx' - jcx >= -d_x/n >= -d_x/(n - d_x)), so
+
+        |jcx' - jcx| <= d_x / (n_x - d_x)
+
+    and the corpus-level bound is the max over documents — computed in
+    ONE aggregate with the (<= 1/phi)-gram drop set inlined as an array
+    literal (same broadcast-not-shuffle shape as the knob itself).
+    Documents whose shingles are ALL dropped have an undefined capped
+    jcx (empty capped sketch — they leave the near-dup universe) and
+    are reported separately instead of polluting the max."""
+    from .verify import shingle_hashes_udf
+
+    drop_arr = F.array(*[F.lit(int(h)) for h in drop]).cast("array<long>")
+    sh = df.select(
+        shingle_hashes_udf(
+            F.col(content_col).cast("string"), config.shingle_mode
+        ).alias("sh")
+    ).select(
+        F.size("sh").alias("n"),
+        F.size(F.array_intersect("sh", drop_arr)).alias("d"),
+    )
+    row = sh.agg(
+        F.max(
+            F.when(
+                F.col("n") > F.col("d"),
+                F.col("d").cast("double") / (F.col("n") - F.col("d")),
+            )
+        ).alias("max_err"),
+        F.sum(
+            ((F.col("d") >= F.col("n")) & (F.col("n") > 0)).cast("long")
+        ).alias("fully_dropped"),
+        F.max("d").alias("max_dropped"),
+    ).first()
+    return {
+        "max_jcx_error_bound": float(row.max_err or 0.0),
+        "fully_dropped_docs": int(row.fully_dropped or 0),
+        "max_dropped_grams_per_doc": int(row.max_dropped or 0),
+        "n_dropped_grams": len(drop),
+    }

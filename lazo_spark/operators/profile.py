@@ -45,14 +45,32 @@ def histogram_quantiles(
     the histogram (e.g. n_docs=sum(_c)).  value_col must be integral
     (the histogram is exact over any hashable domain, but quantile
     interpolation assumes numeric)."""
+    # NULL handling (F.percentile / DuckDB quantile_cont semantics):
+    # null VALUES are ignored — filtered before the histogram, so they
+    # neither inflate _cum nor block the min(when(...)) lookups; null
+    # GROUP KEYS are legal groups — the cum->tot join is null-safe
+    # (<=>), where a plain equi-join would silently drop them.  A group
+    # whose values are ALL null vanishes here (no histogram rows) where
+    # the aggregate forms return a NULL-valued row — the one documented
+    # deviation.
     hist = (
-        df.groupBy(*group_cols, F.col(value_col).alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     w = Window.partitionBy(*group_cols).orderBy("_v")
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
     tot = cum.groupBy(*group_cols).agg(F.max("_cum").alias("_n"))
-    j = cum.join(tot.hint("SHUFFLE_HASH"), group_cols)
+    tot_r = tot.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols], "_n"
+    )
+    cond = None
+    for c in group_cols:
+        eq = cum[c].eqNullSafe(tot_r[f"_g_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    j = cum.join(tot_r.hint("SHUFFLE_HASH"), cond).drop(
+        *[f"_g_{c}" for c in group_cols]
+    )
 
     aggs = []
     for name, q in qs.items():

@@ -138,3 +138,57 @@ def test_filter_ragged_empty_docs_and_noop():
         h, off, np.array([5, 9], dtype=np.int64), extra
     )
     assert e4.tolist() == [60, 70]
+
+
+def test_df_cap_error_bound_hand_computed(spark):
+    """VERDICT r04 item 8: the reported per-corpus jcx error bound is
+    max_x d_x/(n_x - d_x) over docs with surviving shingles, plus the
+    fully-dropped count — pinned on a corpus where every term is
+    hand-computable (word mode: shingle = token)."""
+    from lazo_spark.operators.heavy import df_cap_error_bound
+
+    cfg = LazoConfig(shingle_mode="word")
+    rows = [
+        ("a", "hot1 hot2 u1 u2 u3 u4"),   # n=6, d=2 -> 2/4 = 0.5
+        ("b", "hot1 u5 u6 u7"),           # n=4, d=1 -> 1/3
+        ("c", "hot1 hot2"),               # n=2, d=2 -> fully dropped
+        ("d", "u8 u9"),                   # n=2, d=0 -> 0
+    ]
+    df = spark.createDataFrame(rows, ["key", "content"])
+    drop = tuple(
+        int(murmur3_str([g], cfg.seed)[0]) for g in ("hot1", "hot2")
+    )
+    rep = df_cap_error_bound(df, "content", cfg, drop)
+    assert rep["max_jcx_error_bound"] == pytest.approx(0.5)
+    assert rep["fully_dropped_docs"] == 1
+    assert rep["max_dropped_grams_per_doc"] == 2
+    assert rep["n_dropped_grams"] == 2
+
+
+def test_df_cap_error_bound_is_sound(spark):
+    """The bound must DOMINATE the realized capped-vs-true jcx deviation
+    on the boilerplate corpus (soundness, not just the formula)."""
+    from lazo_spark.operators.heavy import df_cap_error_bound
+
+    cfg = LazoConfig(shingle_mode="word")
+    df = spark.createDataFrame(_corpus(), ["key", "content"])
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 64)
+    assert drop  # boilerplate grams must be heavy
+    rep = df_cap_error_bound(df, "content", cfg, drop)
+    true_pairs = {
+        (r.key_x, r.key_y): r.jcx
+        for r in exact_pairs(df, "key", "content", "word").collect()
+    }
+    capped_pairs = {
+        (r.key_x, r.key_y): r.jcx
+        for r in exact_pairs(
+            df, "key", "content", "word", drop=drop
+        ).collect()
+    }
+    worst = max(
+        abs(capped_pairs[p] - true_pairs[p])
+        for p in capped_pairs
+        if p in true_pairs
+    )
+    assert worst <= rep["max_jcx_error_bound"] + 1e-12
+    assert rep["fully_dropped_docs"] == 0

@@ -317,3 +317,34 @@ def test_heavy_hitters_plan_is_broadcast_semi(spark):
         # (array_distinct), never as an exchange keyed on the doc
         if support == "doc":
             assert "array_distinct" in plan
+
+
+def test_heavy_hitters_null_content_and_k_clamp(spark):
+    """ADVICE r04 items 1+3: (a) NULL content rows must not mint "None"
+    grams or perturb the MG stream — output equals the same corpus
+    without the null rows (occurrence) / with nulls counted only in the
+    doc total (doc); (b) an occurrence-mode k below the proven bound is
+    clamped up (with a warning) so the EXACT superset contract holds."""
+    import warnings as _w
+
+    texts = ["a a a b", "a c", "a b", None, None, "b b b b"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    clean = spark.createDataFrame(
+        [(t,) for t in texts if t is not None], "text string"
+    )
+    got = set(map(tuple, heavy_hitters(df, "text", phi=0.25, n=1).collect()))
+    want = set(map(tuple, heavy_hitters(clean, "text", phi=0.25, n=1).collect()))
+    assert got == want and got
+    # doc mode: total T counts null docs (6), threshold ceil(0.5*6)=3 —
+    # 'a' (3 docs) and 'b' (3 docs) qualify, 'None' must not appear
+    got_doc = set(map(tuple, heavy_hitters(
+        df, "text", phi=0.5, n=1, support="doc"
+    ).collect()))
+    assert got_doc == {("a", 3), ("b", 3)}
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = set(map(tuple, heavy_hitters(
+            df, "text", phi=0.25, n=1, k=2
+        ).collect()))
+    assert any("clamping" in str(r.message) for r in rec)
+    assert out == want

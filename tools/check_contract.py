@@ -4,12 +4,27 @@ oracle_sql() via DuckDB (row count + order-insensitive value hash,
 columns sorted by name).  Usage:
   python tools/check_contract.py [sf_dir] [query_name ...]
 With query names given, only those queries run (fast re-check loop).
+
+Round-5 (VERDICT r04 item 5) hardening for full-board runs:
+- ONE warm session for the whole board (as before), but queries run
+  cheapest-first when a prior board's timing record exists
+  (tools/board_timings.json, refreshed on every full run) so an
+  interrupted/budget-capped sweep still maximizes coverage — the same
+  policy the queries() registry order encodes statically.
+- Per-query wall budget (--budget SECS, default 120): a watchdog
+  cancels the query's Spark job group so one pathological query can't
+  eat the board; the query is recorded as a BUDGET failure, the board
+  continues.
+- Machine-readable summary (--json PATH) mirroring the driver's
+  CORRECTNESS_r{N}.json shape, plus per-query seconds.
 """
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -22,6 +37,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+TIMINGS_PATH = os.path.join(REPO, "tools", "board_timings.json")
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -36,7 +53,37 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def run_with_budget(spark, fn, name: str, budget: float):
+    """Run fn() with a watchdog that cancels the job group at budget.
+    Uses setJobGroup so only this query's jobs are cancelled."""
+    sc = spark.sparkContext
+    sc.setJobGroup(name, f"contract:{name}", interruptOnCancel=True)
+    done = threading.Event()
+    timed_out = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget):
+            timed_out.set()
+            try:
+                sc.cancelJobGroup(name)
+            except Exception:
+                pass
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return fn(), timed_out.is_set()
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
+
+
+def main(
+    sf_dir: str,
+    only: list[str] | None = None,
+    budget: float = 120.0,
+    json_out: str | None = None,
+) -> int:
     import __spark_entry__ as entrymod
     from lazo_spark.session import get_spark
 
@@ -51,29 +98,59 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     qs = entrymod.queries()
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
+    elif os.path.exists(TIMINGS_PATH):
+        try:
+            with open(TIMINGS_PATH) as fh:
+                prior = json.load(fh)
+            qs = dict(
+                sorted(qs.items(), key=lambda kv: prior.get(kv[0], 1e9))
+            )
+        except Exception:
+            pass
     oracles = entrymod.oracle_sql()
     failures = 0
+    board: dict[str, dict] = {}
+    timings: dict[str, float] = {}
+    t_start = time.time()
     for name, fn in qs.items():
         t0 = time.time()
+        rec: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        board[name] = rec
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf, cancelled = run_with_budget(
+                spark, lambda: fn(spark, sf_dir).toPandas(), name, budget
+            )
         except Exception as e:
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            el = time.time() - t0
+            timings[name] = el
+            kind = "BUDGET" if el >= budget - 0.5 else "spark error"
+            rec["err"] = f"{kind}: {type(e).__name__}: {e}"
+            print(f"FAIL  {name}: {kind} {type(e).__name__}: {e} ({el:.1f}s)")
             failures += 1
             continue
         el = time.time() - t0
+        timings[name] = el
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s) [no oracle]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
+            rec["err"] = f"duckdb error: {e}"
             print(f"FAIL  {name}: duckdb error {e}")
             failures += 1
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(odf)
+        rec.update(
+            rows_match=ok_rows, schema_match=ok_cols, hash_match=ok_hash,
+            oracle_rows=len(odf),
+        )
         status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures += 1
@@ -90,10 +167,42 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                 print(f"      spark-only: {row}")
             for row in list(only_o)[:3]:
                 print(f"      duck-only:  {row}")
+    wall = time.time() - t_start
+    n_green = sum(1 for r in board.values() if r["hash_match"])
+    n_rows_only = sum(
+        1 for n, r in board.items()
+        if r["err"] is None and n not in oracles
+    )
+    print(
+        f"BOARD {len(board)} queries: {n_green} green, {n_rows_only} "
+        f"rows-only, {failures} fail — {wall:.0f}s wall"
+    )
+    if not only:
+        with open(TIMINGS_PATH, "w") as fh:
+            json.dump({k: round(v, 2) for k, v in timings.items()}, fh, indent=0)
+    if json_out:
+        for name, rec in board.items():
+            rec["seconds"] = round(timings.get(name, 0.0), 2)
+        with open(json_out, "w") as fh:
+            json.dump(board, fh, indent=1)
     spark.stop()
     return failures
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf_dir, only=sys.argv[2:] or None) else 0)
+    args = sys.argv[1:]
+    budget = 120.0
+    json_out = None
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i : i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(
+        1 if main(sf_dir, only=args[1:] or None, budget=budget, json_out=json_out)
+        else 0
+    )
