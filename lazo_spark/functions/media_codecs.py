@@ -16,6 +16,9 @@ Formats:
     comment-tolerant header.
   * WAV: RIFF/WAVE, PCM (format 1) 8-bit unsigned or 16-bit signed,
     any channel count; chunk-walks to find fmt/data.
+  * JPEG: baseline sequential (SOF0/SOF1), Huffman entropy decode +
+    dequant + vectorized IDCT, 4:4:4/4:2:0/4:2:2 sampling, restart
+    markers (functions/jpeg.py — pure NumPy, spec-only).
 
 Per-payload dispatch is a Python loop over the Arrow batch — the same
 shape a PIL/ffmpeg-backed decoder necessarily has (codecs are
@@ -404,7 +407,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 def sniff_media(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: 'bmp' | 'pnm' | 'png' | 'wav' | None."""
+    """Container sniff by magic bytes: 'bmp' | 'pnm' | 'png' | 'wav' | 'jpeg' | None."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] in (b"P6", b"P5"):
@@ -413,6 +416,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -478,10 +483,15 @@ def decode_any(payload: bytes):
         return "image", decode_png(payload)
     if kind == "wav":
         return "audio", decode_wav(payload)
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return "image", decode_jpeg(payload)
     raise NotImplementedError(
         "unsupported media container (supported without codec libraries: "
         "BMP 24/32-bpp, binary PPM/PGM, PNG 8-bit non-interlaced, "
-        "PCM/G.711 WAV); plug a decoder= for other formats (PIL/ffmpeg)"
+        "baseline JPEG, PCM/G.711 WAV); plug a decoder= for other "
+        "formats, e.g. MP3/progressive-JPEG (PIL/ffmpeg)"
     )
 
 

@@ -106,7 +106,12 @@ def test_sniff_and_decode_any():
     kind, arr = decode_any(encode_ppm(img))
     assert kind == "image" and arr.shape == (2, 2, 3)
     with pytest.raises(NotImplementedError):
-        decode_any(b"\xff\xd8\xff\xe0JFIF")  # JPEG -> needs codec lib
+        decode_any(b"ID3\x04\x00mp3-frames")  # MP3 -> still needs codec lib
+    # JPEG is now decoded natively (functions/jpeg.py)
+    from lazo_spark.functions.jpeg import encode_jpeg
+
+    kind, arr = decode_any(encode_jpeg(img))
+    assert kind == "image" and arr.shape == (2, 2, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -278,3 +283,94 @@ def test_extract_features_real_mode_spark(spark):
     assert rows["i1"].features[2] == pytest.approx(100 / 255.0)
     assert rows["a1"].features[2] == pytest.approx(0.5)
     assert rows["i1"].n_bytes == len(img)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py) — round-4 verdict item 6
+# ---------------------------------------------------------------------------
+
+def _smooth(h, w):
+    return np.clip(
+        np.round(np.add.outer(np.linspace(0, 255, h), np.linspace(0, 255, w)) / 2),
+        0, 255,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample,ri", [("444", 0), ("420", 0), ("444", 3), ("420", 2)])
+def test_jpeg_roundtrip_smooth(subsample, ri):
+    """Encoder->decoder round-trip on a smooth gradient: bounded error
+    at quality 90 for every sampling/restart layout the decoder claims."""
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.stack(
+        [_smooth(70, 53), _smooth(70, 53)[::-1], _smooth(70, 53)[:, ::-1]],
+        axis=2,
+    )
+    dec = decode_jpeg(encode_jpeg(img, 90, subsample=subsample, restart_interval=ri))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 25
+
+
+def test_jpeg_flat_blocks_exact():
+    """Flat 8x8 blocks have only a DC coefficient; quantized DC of a
+    flat level round-trips exactly — pins the huffman coder, DC
+    prediction chain, dequant and IDCT with zero tolerance."""
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.repeat(np.repeat(np.arange(16).reshape(4, 4) * 16, 8, 0), 8, 1).astype(np.uint8)
+    f3 = np.stack([flat] * 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(f3, 90)), f3)
+
+
+def test_jpeg_gray_and_odd_sizes():
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    g = _smooth(17, 23)
+    dec = decode_jpeg(encode_jpeg(g, 95))
+    assert dec.shape == (17, 23, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 3.0
+    dec420 = decode_jpeg(encode_jpeg(np.stack([g] * 3, 2), 95, subsample="420"))
+    assert dec420.shape == (17, 23, 3)
+
+
+def test_jpeg_deterministic_and_sniffed():
+    from lazo_spark.functions.jpeg import encode_jpeg
+
+    img = np.stack([_smooth(16, 16)] * 3, axis=2)
+    p1, p2 = encode_jpeg(img, 80), encode_jpeg(img, 80)
+    assert p1 == p2
+    assert mc.sniff_media(p1) == "jpeg"
+    feats = mc.features_for_payload(p1)
+    assert feats.shape == (mc.FEATURE_DIM,)
+
+
+def test_jpeg_rejects_progressive():
+    """SOF2 must hit the documented NotImplementedError seam, not
+    garbage output."""
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.stack([_smooth(16, 16)] * 3, axis=2)
+    p = bytearray(encode_jpeg(img, 80))
+    i = p.find(b"\xff\xc0")
+    p[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_extract_features_real_mode_spark(spark):
+    """The verdict's 'done' gate: a synthesized baseline JPEG flows
+    through extract_features(mode='real') on the Spark path."""
+    from lazo_spark.functions.jpeg import encode_jpeg
+    from lazo_spark.operators.multimodal import extract_features
+
+    img = np.full((24, 16, 3), 100, dtype=np.uint8)
+    payload = encode_jpeg(img, 90)
+    df = spark.createDataFrame(
+        [("j1", "image", bytearray(payload), {})],
+        "media_id string, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_features(df, mode="real").collect()}
+    # flat image: mean channel ~100/255 (DC-exact round-trip)
+    assert rows["j1"].features[2] == pytest.approx(100 / 255.0, abs=1e-3)
+    assert rows["j1"].n_bytes == len(payload)
