@@ -16,9 +16,10 @@ Formats:
     comment-tolerant header.
   * WAV: RIFF/WAVE, PCM (format 1) 8-bit unsigned or 16-bit signed,
     any channel count; chunk-walks to find fmt/data.
-  * JPEG: baseline sequential (SOF0/SOF1), Huffman entropy decode +
-    dequant + vectorized IDCT, 4:4:4/4:2:0/4:2:2 sampling, restart
-    markers (functions/jpeg.py — pure NumPy, spec-only).
+  * JPEG: baseline sequential (SOF0/SOF1) AND progressive (SOF2 —
+    spectral selection + successive approximation), Huffman entropy
+    decode + dequant + vectorized IDCT, 4:4:4/4:2:0/4:2:2 sampling,
+    restart markers (functions/jpeg.py — pure NumPy, spec-only).
 
 Per-payload dispatch is a Python loop over the Arrow batch — the same
 shape a PIL/ffmpeg-backed decoder necessarily has (codecs are
@@ -490,8 +491,8 @@ def decode_any(payload: bytes):
     raise NotImplementedError(
         "unsupported media container (supported without codec libraries: "
         "BMP 24/32-bpp, binary PPM/PGM, PNG 8-bit non-interlaced, "
-        "baseline JPEG, PCM/G.711 WAV); plug a decoder= for other "
-        "formats, e.g. MP3/progressive-JPEG (PIL/ffmpeg)"
+        "baseline + progressive JPEG, PCM/G.711 WAV); plug a decoder= "
+        "for other formats, e.g. MP3 (ffmpeg)"
     )
 
 

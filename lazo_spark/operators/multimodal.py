@@ -33,7 +33,7 @@ FEATURE_DIM = 16
 def decode_media(payload: bytes, media_type: str, mode: str = "fake") -> np.ndarray:
     """Decode one media payload into a float32 feature vector.
 
-    mode='real' runs the NumPy codecs (BMP/PPM/PGM/PNG/baseline-JPEG/WAV — see
+    mode='real' runs the NumPy codecs (BMP/PPM/PGM/PNG/JPEG incl. progressive/WAV — see
     functions/media_codecs.py) and raises NotImplementedError for
     containers that need external codec libraries; mode='fake' derives a
     deterministic vector from sha256(payload) so the distributed

@@ -345,17 +345,88 @@ def test_jpeg_deterministic_and_sniffed():
     assert feats.shape == (mc.FEATURE_DIM,)
 
 
-def test_jpeg_rejects_progressive():
-    """SOF2 must hit the documented NotImplementedError seam, not
-    garbage output."""
+def _noisy(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 90 * np.sin(yy / 9) * np.cos(xx / 13),
+            128 + 70 * np.cos(yy / 7),
+            128 + 80 * np.sin(xx / 11),
+        ],
+        axis=2,
+    )
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample,ri", [("444", 0), ("420", 0), ("444", 3), ("420", 2)])
+def test_jpeg_progressive_matches_baseline(subsample, ri):
+    """Round-5 seam closure: progressive (SOF2) encode carries the SAME
+    quantized coefficients as baseline, so decode(progressive) must be
+    BIT-IDENTICAL to decode(baseline) — pins all four progressive scan
+    kinds (DC first/refine, banded AC first/refine), the optimal-table
+    builder, and restart handling inside progressive scans."""
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _noisy(45, 67)
+    base = decode_jpeg(
+        encode_jpeg(img, 85, subsample=subsample, restart_interval=ri)
+    )
+    prog = decode_jpeg(
+        encode_jpeg(
+            img, 85, subsample=subsample, restart_interval=ri, progressive=True
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_gray_and_odd_sizes():
+    from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    g = _smooth(17, 23)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 95, progressive=True)),
+        decode_jpeg(encode_jpeg(g, 95)),
+    )
+
+
+def test_jpeg_progressive_eobrun_gt1():
+    """A mostly-flat image makes whole bands zero across many
+    consecutive blocks, forcing EOBn (n >= 1) run codes — the codes the
+    Annex K.3 baseline tables don't even have.  White-box: assert the
+    AC-first scan ops actually contain an EOBn>0 symbol, then pin the
+    decode against baseline."""
+    from lazo_spark.functions import jpeg as J
+
+    flat = np.full((64, 64, 3), 77, np.uint8)
+    flat[0:8, 0:8] = [200, 30, 90]
+    (
+        gray, comps, comp_zz, comp_bx, mcux, mcuy, qt_l, qt_c, h, w
+    ) = J._component_coefficients(flat, 90, "444")
+    ops = J._progressive_scan_ops(
+        [0], 1, 63, 0, 1, comps, comp_zz, comp_bx, mcux, mcuy, h, w, 1, 1, 0
+    )
+    eobn = [s for kind, *rest in ops if kind == "s"
+            for s in rest if (s & 0x0F) == 0 and 0 < (s >> 4) < 15]
+    assert eobn, "expected an EOBn>0 run symbol on a mostly-flat image"
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(flat, 90, progressive=True)),
+        J.decode_jpeg(J.encode_jpeg(flat, 90)),
+    )
+
+
+def test_jpeg_rejects_arithmetic_and_lossless():
+    """Non-DCT-sequential/progressive SOFs must hit the documented
+    NotImplementedError seam, not garbage output."""
     from lazo_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
     img = np.stack([_smooth(16, 16)] * 3, axis=2)
-    p = bytearray(encode_jpeg(img, 80))
-    i = p.find(b"\xff\xc0")
-    p[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(p))
+    for sof in (0xC3, 0xC9):  # lossless, arithmetic sequential
+        p = bytearray(encode_jpeg(img, 80))
+        i = p.find(b"\xff\xc0")
+        p[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(p))
 
 
 def test_jpeg_extract_features_real_mode_spark(spark):
