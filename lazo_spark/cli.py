@@ -52,6 +52,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--verify", action="store_true",
         help="candidate-restricted exact verification before clustering (P8)",
     )
+    p.add_argument(
+        "--verify-batches", type=int, default=1,
+        help="disk-bounded verification: slice the candidate set by pair "
+        "hash into this many independent verify jobs, each checkpointed "
+        "before the next starts, bounding peak shuffle scratch at ~1/N "
+        "of the monolithic join (output identical; for Zipfian junk-tail "
+        "regimes where candidates outgrow executor local disk)",
+    )
     p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
     p.add_argument(
         "--max-df-frac", type=float, default=None,
@@ -242,6 +250,7 @@ def main(argv: list[str] | None = None) -> dict:
         source,
         verify_threshold=args.jcx_threshold if args.verify else None,
         collect_lineage=args.lineage,
+        verify_batches=args.verify_batches,
     )
 
     pairs_name = "verified_pairs" if args.verify else "pairs"

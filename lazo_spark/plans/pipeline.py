@@ -80,6 +80,63 @@ class DedupPipeline:
                 )
         return self.spark.read.parquet(path)
 
+    def _verify_batched(
+        self, pairs: DataFrame, keyed: DataFrame,
+        verify_threshold: float, n: int,
+    ) -> DataFrame:
+        """Disk-bounded exact verification: slice the candidate set by a
+        deterministic pair hash into n independent verify jobs, each
+        materialized (checkpoint/persist) before the next starts, so the
+        PEAK shuffle-spill footprint on local disk is ~1/n of the
+        monolithic join's.
+
+        Why this exists: the verify stage's shuffle volume is
+        sum-over-pairs of the two shingle arrays (a doc ships once per
+        pair it appears in).  In a Zipfian junk-tail regime the candidate
+        count can grow superlinearly (sf1.0 measured 41.1M candidates at
+        1M files), and a single monolithic join then needs candidate-mass
+        x array-bytes of SIMULTANEOUS shuffle scratch — 1M files
+        overflowed this sandbox's ~73 GB quota.  Executors on a real
+        cluster have the same finite local disk; slicing by pair hash
+        bounds the concurrent footprint at the cost of n scans of the
+        (narrow, semi-join-pruned) content relation.  Results are
+        EXACTLY the monolithic output: the slices partition the pair set
+        and verification is per-pair (pinned in tests).
+
+        The per-slice hash is over the canonical pair, so slices are
+        balanced regardless of key skew; each slice's checkpoint
+        participates in the normal fingerprint-keyed resume.  After each
+        slice the Python/JVM references are dropped and a GC is forced so
+        the ContextCleaner retires the slice's shuffle files before the
+        next slice runs — the disk bound depends on it (verified by
+        df-monitoring in BASELINE.md's sf1.0 leg).
+        """
+        import gc
+
+        from ..operators.verify import verify_candidates
+
+        parts = []
+        for i in range(n):
+            sl = pairs.filter(
+                F.pmod(F.xxhash64("key_x", "key_y"), F.lit(n)) == i
+            )
+            v = verify_candidates(
+                sl, keyed, "key", "content", self.config.shingle_mode,
+                jcx_threshold=verify_threshold,
+                drop=self.config.drop_shingle_hashes,
+            )
+            parts.append(self._checkpoint(v, f"verified_b{i:03d}of{n}"))
+            v = sl = None
+            gc.collect()
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- stages -----------------------------------------------------------
     def run(
         self,
@@ -87,6 +144,7 @@ class DedupPipeline:
         verify_threshold: float | None = None,
         collect_lineage: bool = False,
         ucb_prune: bool = True,
+        verify_batches: int = 1,
     ) -> dict[str, DataFrame]:
         """source: (repo, path, commit, lang, content).  Returns dict of
         stage DataFrames: membership, sketches, pairs, clusters (plus
@@ -136,14 +194,19 @@ class DedupPipeline:
             from ..operators.verify import verify_candidates
 
             tv = time.time()
-            # candidate keys are rep keys: the semi-join inside pulls just
-            # those rows from a fresh (column-pruned) source scan
-            verified = verify_candidates(
-                pairs, keyed, "key", "content", self.config.shingle_mode,
-                jcx_threshold=verify_threshold,
-                drop=self.config.drop_shingle_hashes,
-            )
-            verified = self._checkpoint(verified, "verified_pairs")
+            if verify_batches and verify_batches > 1:
+                verified = self._verify_batched(
+                    pairs, keyed, verify_threshold, int(verify_batches)
+                )
+            else:
+                # candidate keys are rep keys: the semi-join inside pulls
+                # just those rows from a fresh (column-pruned) source scan
+                verified = verify_candidates(
+                    pairs, keyed, "key", "content", self.config.shingle_mode,
+                    jcx_threshold=verify_threshold,
+                    drop=self.config.drop_shingle_hashes,
+                )
+                verified = self._checkpoint(verified, "verified_pairs")
             out["verified_pairs"] = verified
             cluster_input = verified
             self.metrics["verify_seconds"] = time.time() - tv

@@ -43,8 +43,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MASTER_HOST = "127.0.0.1"
 MASTER_PORT = 7077
 MASTER_UI = 8080
-N_WORKERS = 4
-WORKER_CORES = 2
+# N and 4N executors (north rule); worker size is env-tunable so big
+# corpora can probe at realistic executor widths (e.g. 8-core executors
+# for the sf1.0 leg) instead of stretching a 2-core leg past an hour
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_PROBE_WORKERS", "4"))
+WORKER_CORES = int(os.environ.get("SPARK_GRAFT_WORKER_CORES", "2"))
+# extra run_dedup.py args for flagship legs (after `--` on the command
+# line), e.g. `-- --max-df-frac 0.00390625` for the df-capped regime
+EXTRA_ARGS: list[str] = []
 
 
 def _spark_class() -> list[str]:
@@ -120,7 +126,8 @@ def start_cluster() -> list[subprocess.Popen]:
                 + _spark_class()
                 + ["org.apache.spark.deploy.worker.Worker",
                    f"spark://{MASTER_HOST}:{MASTER_PORT}",
-                   "-c", str(WORKER_CORES), "-m", "8g",
+                   "-c", str(WORKER_CORES),
+                   "-m", os.environ.get("SPARK_GRAFT_WORKER_MEM", "8g"),
                    "--webui-port", str(MASTER_UI + 1 + i)],
                 f"worker{i}.log",
             )
@@ -183,7 +190,8 @@ def run_flagship_leg(cores: int, sf: float, zpath: str) -> dict:
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "--conf", f"spark.cores.max={cores}",
         "--conf", f"spark.executor.cores={WORKER_CORES}",
-        "--conf", "spark.executor.memory=6g",
+        "--conf", "spark.executor.memory="
+        + os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
         "--conf", f"spark.pyspark.python={sys.executable}",
         "--conf", "spark.sql.shuffle.partitions=32",
         "--conf", "spark.sql.files.maxPartitionBytes=4m",
@@ -196,7 +204,7 @@ def run_flagship_leg(cores: int, sf: float, zpath: str) -> dict:
         "--output", os.path.join(work, "out"),
         "--jcx-threshold", "0.8", "--verify",
         "--metrics-out", metrics,
-    ]
+    ] + EXTRA_ARGS
     s0, t0j = _cpu_stat()
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     s1, t1j = _cpu_stat()
@@ -228,8 +236,13 @@ def main() -> None:
     # (they are start_new_session'd so a group signal misses them):
     # convert to SystemExit so the finally-block stops the cluster
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
-    args = [a for a in sys.argv[1:] if a != "flagship"]
-    flagship = "flagship" in sys.argv[1:]
+    argv = sys.argv[1:]
+    if "--" in argv:
+        cut = argv.index("--")
+        EXTRA_ARGS.extend(argv[cut + 1 :])
+        argv = argv[:cut]
+    args = [a for a in argv if a != "flagship"]
+    flagship = "flagship" in argv
     if flagship:
         # end-to-end CLI legs default to the pinned-oracle corpus scale
         sf = float(args[0]) if args else 0.01
