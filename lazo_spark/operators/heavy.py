@@ -65,15 +65,23 @@ def ngram_occurrence_col(content: Column, n: int) -> Column:
     toks = F.filter(
         F.split(F.trim(content), r"\s+"), lambda t: t != F.lit("")
     )
-    return (
-        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+    # NULL content must yield NO grams, matching the kernel's dropna()
+    # and the DuckDB twin's WHERE len(arr) > 0: size() is -1 (legacy
+    # conf) or NULL there, so `<= 0` catches empty-and-legacy-null and
+    # the outer coalesce catches the propagated-NULL case — without
+    # this, explode() emits one NULL gram per NULL doc into the
+    # occurrence total (round-4-advice class bug, pass-B edition)
+    empty = F.array().cast("array<string>")
+    return F.coalesce(
+        F.when(F.size(toks) <= 0, empty)
         .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
         .otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             )
-        )
+        ),
+        empty,
     )
 
 
@@ -250,6 +258,81 @@ def _partition_candidates(
         )
 
 
+def _hash_recount(
+    batches: Iterator[pd.DataFrame],
+    n: int,
+    seed: int,
+    cand_sorted: np.ndarray,
+    support: str,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the hashed recount (pass B of
+    engine='hashed'): exact occurrence/doc counts of the (tiny, sorted)
+    candidate hash set over the SAME kernel gram stream pass A consumed,
+    plus this partition's exact stream total — one partial relation per
+    partition: rows with hi >= 0 are counts for cand_sorted[hi]; the
+    hi == -1 row carries the partition total (gram occurrences, or docs
+    seen in doc mode), so total and counts come from one tokenization
+    with zero extra corpus scans."""
+    from ..functions.shingles import raw_gram_hashes
+
+    counts = np.zeros(len(cand_sorted), dtype=np.int64)
+    total = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if support == "doc":
+            total += len(pdf)  # null docs count toward D, as in pass A
+        texts = pdf["content"].dropna().astype(str).tolist()
+        if not texts:
+            continue
+        h1, gram_doc, n_docs, _ = raw_gram_hashes(texts, n, seed)
+        if support != "doc":
+            total += len(h1)
+        if len(h1) == 0 or len(cand_sorted) == 0:
+            continue
+        idx = np.searchsorted(cand_sorted, h1)
+        idx = np.clip(idx, 0, len(cand_sorted) - 1)
+        hit = cand_sorted[idx] == h1
+        if not hit.any():
+            continue
+        if support == "doc":
+            # distinct (candidate, document): a doc lives entirely in
+            # one batch, so batch-local dedup is global dedup
+            key = idx[hit].astype(np.int64) * np.int64(n_docs) + gram_doc[hit]
+            uk = np.unique(key)
+            np.add.at(counts, (uk // np.int64(n_docs)).astype(np.int64), 1)
+        else:
+            counts += np.bincount(
+                idx[hit], minlength=len(cand_sorted)
+            ).astype(np.int64)
+    out = np.nonzero(counts)[0]
+    yield pd.DataFrame(
+        {
+            "hi": np.concatenate((out.astype(np.int64), [-1])),
+            "c": np.concatenate((counts[out], [total])),
+        }
+    )
+
+
+def gram_occurrence_count_col(content: Column, n: int) -> Column:
+    """Per-document gram-OCCURRENCE count as a plain Column — the
+    closed form of size(ngram_occurrence_col(...)) without building a
+    single gram string: 0 for empty docs, 1 for 0 < tokens < n
+    (whole-text rule), tokens - n + 1 otherwise."""
+    toks = F.filter(
+        F.split(F.trim(content), r"\s+"), lambda t: t != F.lit("")
+    )
+    # size() is -1 (legacy) or NULL on NULL input: `<= 0` catches empty
+    # AND legacy-null; a propagated NULL falls through every branch to a
+    # NULL result, which aggregate sums skip — either way a NULL doc
+    # contributes zero occurrences, matching the kernel's dropna()
+    return (
+        F.when(F.size(toks) <= 0, F.lit(0))
+        .when(F.size(toks) < n, F.lit(1))
+        .otherwise(F.size(toks) - F.lit(n - 1))
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     content_col: str = "text",
@@ -259,6 +342,7 @@ def heavy_hitters(
     seed: int = 666,
     support: str = "occurrence",
     merge_candidates: bool = False,
+    engine: str = "sql",
 ) -> DataFrame:
     """Exact heavy hitters via the two-pass MG-candidates +
     exact-recount plan described in the module docstring.
@@ -289,9 +373,35 @@ def heavy_hitters(
     merge's extra subtract also < phi*T/2 a phi-heavy gram keeps a
     positive merged weight.  Candidate count drops from k*P to <= k+1;
     the exact recount is unchanged, so the OUTPUT is identical either
-    way (test-pinned)."""
+    way (test-pinned).
+
+    engine='sql' (default): pass B explodes gram STRINGS in Catalyst —
+    the oracle-parity path (counts keyed on the strings themselves).
+    engine='hashed': pass B is a second kernel scan counting the (tiny,
+    broadcast-in-closure) candidate HASH set via searchsorted — at 1M
+    files the string explode measured ~23 s per 1 MB task vs ~2 s for
+    the kernel, a 10x stage win, which is why the df-cap drop-set
+    builder uses it.  Counts are keyed on murmur3-64 hashes, so two
+    distinct grams colliding would merge counts; inside the <= k+1
+    candidate set a collision is detected and raises (use engine='sql'),
+    corpus-side a colliding non-candidate gram can only inflate a
+    candidate's count (~stream/2^64 expected occurrences) — the right
+    measure for the drop-set use where HASHES are the dropped unit.
+    Requires merge_candidates=True (bounded candidate collect); runs
+    eagerly (two bounded driver actions) and returns a small local
+    DataFrame.  The recount emits its own kernel stream total and the
+    plan's Column-expression total is asserted equal, so any
+    tokenization drift between the two fails loudly instead of shifting
+    the threshold silently."""
     if support not in ("occurrence", "doc"):
         raise ValueError(f"unknown support {support!r}")
+    if engine not in ("sql", "hashed"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "hashed" and not merge_candidates:
+        raise ValueError(
+            "engine='hashed' requires merge_candidates=True (the "
+            "candidate set must be bounded to collect)"
+        )
     if k is None:
         k = max(8, int(math.ceil(2.0 / phi)))
     elif support == "occurrence":
@@ -319,25 +429,37 @@ def heavy_hitters(
         "gram string, w long",
     )
 
+    grams = None
     if support == "doc":
-        grams = df.select(
-            F.explode(
-                F.array_distinct(
-                    ngram_occurrence_col(
-                        F.col(content_col).cast("string"), n
+        if engine == "sql":
+            grams = df.select(
+                F.explode(
+                    F.array_distinct(
+                        ngram_occurrence_col(
+                            F.col(content_col).cast("string"), n
+                        )
                     )
-                )
-            ).alias("gram"),
-        )
+                ).alias("gram"),
+            )
         total = df.agg(F.count(F.lit(1)).alias("total"))
         out_count = "n_docs"
     else:
-        grams = df.select(
-            F.explode(
-                ngram_occurrence_col(F.col(content_col).cast("string"), n)
-            ).alias("gram")
-        )
-        total = grams.agg(F.count(F.lit(1)).alias("total"))
+        if engine == "sql":
+            grams = df.select(
+                F.explode(
+                    ngram_occurrence_col(F.col(content_col).cast("string"), n)
+                ).alias("gram")
+            )
+            total = grams.agg(F.count(F.lit(1)).alias("total"))
+        else:
+            # closed-form occurrence total: no gram string is ever built
+            total = df.agg(
+                F.sum(
+                    gram_occurrence_count_col(
+                        F.col(content_col).cast("string"), n
+                    )
+                ).cast("long").alias("total")
+            )
         out_count = "n_occ"
 
     if merge_candidates:
@@ -371,6 +493,52 @@ def heavy_hitters(
         )
     else:
         cand = summaries.select("gram").distinct()
+
+    if engine == "hashed":
+        from ..functions.javacompat import murmur3_str
+
+        cand_grams = [r["gram"] for r in cand.collect()]  # <= k+1 rows
+        spark = df.sparkSession
+        schema = f"gram string, {out_count} long"
+        if not cand_grams:
+            return spark.createDataFrame([], schema)
+        hashes = np.asarray(murmur3_str(cand_grams, seed), dtype=np.int64)
+        order = np.argsort(hashes)
+        cand_sorted = hashes[order]
+        grams_sorted = [cand_grams[int(i)] for i in order]
+        if len(np.unique(cand_sorted)) != len(cand_sorted):
+            raise ValueError(
+                "hash collision inside the candidate set; rerun with "
+                "engine='sql'"
+            )
+        parts = (
+            df.select(F.col(content_col).cast("string").alias("content"))
+            .mapInPandas(
+                lambda it: _hash_recount(it, n, seed, cand_sorted, support),
+                "hi long, c long",
+            )
+            .groupBy("hi")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        T = int(total.first()["total"] or 0)
+        kernel_total = sum(int(r["c"]) for r in parts if r["hi"] == -1)
+        if kernel_total != T:
+            raise AssertionError(
+                f"kernel stream total {kernel_total} != plan total {T}: "
+                "tokenization drift between gram kernel and Column "
+                "expression — refusing to threshold on inconsistent "
+                "totals"
+            )
+        # same float ops as the SQL threshold: one double multiply + ceil
+        thr = int(math.ceil(phi * T))
+        rows = [
+            (grams_sorted[int(r["hi"])], int(r["c"]))
+            for r in parts
+            if r["hi"] >= 0 and int(r["c"]) >= thr
+        ]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return spark.createDataFrame(rows, schema)
 
     # repr(phi) round-trips the exact double; both engines parse the
     # same literal, multiply the same doubles, ceil the same value —
@@ -422,6 +590,10 @@ def frequent_gram_drop_set(
         for r in heavy_hitters(
             df, content_col, phi=phi, n=n, seed=config.seed,
             merge_candidates=True,  # k*P -> <=k+1 (output identical)
+            # hashed recount: the drop set operates on HASHES anyway and
+            # the string-explode pass B measured 10x the kernel's cost
+            # per scan task at the 1M-file leg
+            engine="hashed",
         ).collect()
     ]
     if not grams:

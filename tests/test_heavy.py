@@ -348,3 +348,76 @@ def test_heavy_hitters_null_content_and_k_clamp(spark):
         ).collect()))
     assert any("clamping" in str(r.message) for r in rec)
     assert out == want
+
+
+def test_heavy_hitters_hashed_engine_identical(spark):
+    """engine='hashed' (kernel recount on broadcast candidate hashes +
+    closed-form total, zero string-gram explode) must produce EXACTLY
+    the sql engine's output in both supports — including on whitespace
+    runs, tabs/newlines, short docs (whole-text rule), empty and NULL
+    content, and n-gram n where short docs matter."""
+    rng = np.random.RandomState(77)
+    vocab = [f"tok{i}" for i in range(60)]
+    w = 1.0 / (np.arange(60) + 1)
+    w /= w.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 20), p=w))
+        for _ in range(400)
+    ]
+    texts += [
+        "",
+        "   ",
+        "\t\n  \t",
+        "one",
+        "one two",
+        "  spaced   out\ttokens \n here  ",
+        None,
+        None,
+    ]
+    # a hot boilerplate line so n=3 has genuine heavy trigrams too
+    texts += ["licensed under the apache license version two"] * 60
+    df = spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).repartition(7)
+    for support in ("occurrence", "doc"):
+        for n in (1, 3):
+            sql = heavy_hitters(
+                df, "text", phi=1.0 / 64, n=n, support=support,
+                merge_candidates=True,
+            ).collect()
+            hashed = heavy_hitters(
+                df, "text", phi=1.0 / 64, n=n, support=support,
+                merge_candidates=True, engine="hashed",
+            ).collect()
+            assert [tuple(r) for r in sql] == [tuple(r) for r in hashed], (
+                support, n,
+            )
+            assert sql, (support, n)
+
+
+def test_heavy_hitters_hashed_requires_merge(spark):
+    df = spark.createDataFrame([("a b a",)], "text string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "text", phi=0.5, n=1, engine="hashed")
+
+
+def test_gram_occurrence_count_col_matches_size(spark):
+    """The closed-form occurrence count must equal
+    size(ngram_occurrence_col) on every edge shape."""
+    from lazo_spark.operators.heavy import gram_occurrence_count_col
+
+    rows = [
+        ("",), ("   ",), ("\t",), ("a",), ("a b",), ("a b c",),
+        ("a b c d e",), ("  x   y  \n z ",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        F.size(ngram_occurrence_col(F.col("text"), 3)).alias("a"),
+        gram_occurrence_count_col(F.col("text"), 3).alias("b"),
+    ).collect()
+    for r in got:
+        # size() is -1 on NULL input; the count col is NULL — both are
+        # "no grams" and the agg sums treat them as zero contribution
+        a = max(0, r.a) if r.a is not None else 0
+        b = r.b if r.b is not None else 0
+        assert a == b, r
