@@ -63,10 +63,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-cap", type=int, default=2000, help="salt buckets above this size")
     p.add_argument(
         "--max-df-frac", type=float, default=None,
-        help="df-capped shingling: drop grams whose occurrence support "
-        "exceeds this fraction of the corpus gram stream (Misra-Gries "
-        "heavy hitters -> config.drop_shingle_hashes; applies to sketch "
-        "AND exact verify, i.e. capped-universe Jaccard). Off by default "
+        help="df-capped shingling: drop grams contained in more than "
+        "this fraction of DOCUMENTS (max_df in the classic IR sense; "
+        "Misra-Gries doc-frequency heavy hitters -> "
+        "config.drop_shingle_hashes; applies to sketch AND exact "
+        "verify, i.e. capped-universe Jaccard). Off by default "
         "(reference parity).",
     )
     p.add_argument(

@@ -563,10 +563,21 @@ def frequent_gram_drop_set(
 ) -> tuple:
     """Build `LazoConfig.drop_shingle_hashes` from the corpus: the
     murmur3 h1 hashes (the sketch stage's shingle hash) of every gram
-    whose occurrence support exceeds phi — the df-capped-shingling knob
+    whose DOCUMENT frequency exceeds phi — the df-capped-shingling knob
     recorded in SURVEY §9 for Zipfian corpora, where one ubiquitous
-    gram (a common import line, a license header) mints O(n^2)
-    one-shared-shingle LSH candidates that no k=64 statistic can kill.
+    gram (a common import line, a license header) mints O(m^2)
+    one-shared-shingle LSH candidates (m = documents sharing it) that
+    no k=64 statistic can kill.
+
+    Support semantics (round-5 correction): the measure is DOC
+    frequency (`support='doc'` — max_df in the classic IR sense, what
+    the flag name says), NOT occurrence share of the gram stream.  The
+    junk-pair mechanism is per-document sharing — a gram in m docs
+    mints ~m^2/2 candidate pairs regardless of how often it repeats
+    WITHIN a document — and on a large corpus no single gram ever
+    reaches a meaningful fraction of the total occurrence stream (the
+    measured sf0.01 max was 7e-5), so an occurrence-share phi like
+    2^-8 is a silent no-op exactly where the knob is needed.
 
     The heavy-hitter relation is tiny (<= 1/phi grams by definition),
     so the collect here is bounded by construction, like the fuzzy
@@ -589,6 +600,7 @@ def frequent_gram_drop_set(
         r["gram"]
         for r in heavy_hitters(
             df, content_col, phi=phi, n=n, seed=config.seed,
+            support="doc",  # document frequency — see docstring
             merge_candidates=True,  # k*P -> <=k+1 (output identical)
             # hashed recount: the drop set operates on HASHES anyway and
             # the string-explode pass B measured 10x the kernel's cost

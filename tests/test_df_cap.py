@@ -85,7 +85,9 @@ def test_capped_verify_udf_and_candidate_collapse(spark):
     rows = _corpus(40)
     df = spark.createDataFrame(rows, "key string, content string")
     cfg = LazoConfig(shingle_mode="token_ngram:3")
-    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 32)
+    # doc-frequency semantics: boilerplate df = 1.0 must drop, the
+    # pair-shared bodies (df = 2/40 = 0.05) must survive -> phi between
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 8)
 
     # the UDF removes exactly the dropped hashes
     full = df.select(
@@ -172,7 +174,9 @@ def test_df_cap_error_bound_is_sound(spark):
 
     cfg = LazoConfig(shingle_mode="word")
     df = spark.createDataFrame(_corpus(), ["key", "content"])
-    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 64)
+    # doc-frequency phi: drop the df=1.0 boilerplate tokens, keep the
+    # pair-shared body tokens (df = 2/n_docs)
+    drop = frequent_gram_drop_set(df, "content", cfg, phi=1.0 / 4)
     assert drop  # boilerplate grams must be heavy
     rep = df_cap_error_bound(df, "content", cfg, drop)
     true_pairs = {
