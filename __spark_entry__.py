@@ -1555,6 +1555,7 @@ def q_media_real_decode(spark, sf_dir):
     def synth(batches):
         # payload synthesis = fixture generation (per-row encode, like
         # any test-data builder); the pipeline under test is the decode
+        from lazo_spark.functions.flac import encode_flac
         from lazo_spark.functions.media_codecs import (
             encode_bmp,
             encode_png,
@@ -1587,7 +1588,13 @@ def q_media_real_decode(spark, sf_dir):
                     s = np.empty(n, dtype=np.int16)
                     s[0::2] = v
                     s[1::2] = -v
-                    payloads.append(encode_wav(s, 16000, codec=codec))
+                    if i % 8 == 1:
+                        # FLAC container: lossless, so the oracle's
+                        # closed-form rms/first_val math is unchanged —
+                        # only the compressed container differs
+                        payloads.append(encode_flac(s, 16000))
+                    else:
+                        payloads.append(encode_wav(s, 16000, codec=codec))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )

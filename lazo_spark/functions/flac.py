@@ -1,0 +1,763 @@
+"""FLAC (RFC 9639 / xiph.org format spec) encode + decode in pure NumPy.
+
+Closes the compressed-LOSSLESS-audio leg of the media-decode seam
+(SURVEY §2.6 multimodal; reference has no media path — this family is
+north-rule breadth).  Unlike the perceptual codecs (MP3/AAC), FLAC is
+fully specified with no psychoacoustic model and no out-of-band tables,
+so an offline clean-room implementation can be spec-true, and because
+the codec is lossless the round-trip pin is BIT-EXACT sample equality —
+strictly stronger than the JPEG coefficient pin in `jpeg.py`.
+
+Decoder coverage (everything a conforming fixed-blocksize stream can
+contain at 8/12/16/20/24-bit depths):
+  * CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes,
+  * wasted-bits shifts,
+  * both residual coding methods (4-bit RICE and 5-bit RICE2 params),
+  * any partition order, escape-coded (raw) partitions,
+  * all four channel assignments (independent, left/side, right/side,
+    mid/side) with the side channel's bps+1-bit width,
+  * fixed and variable blocking strategies (UTF-8-coded frame and
+    sample numbers up to 36 bits),
+  * CRC-8 header and CRC-16 frame verification, STREAMINFO MD5 check.
+
+Encoder (for the round-trip pins and corpus synthesis) emits fixed or
+Levinson-Durbin LPC predictors, optional mid/side decorrelation,
+wasted-bits detection, and any Rice partition order; losslessness is
+independent of predictor quality, so every encoder knob changes only
+the compression ratio, never the decoded samples.
+
+Perf shape: the entropy-coded residual is decoded with a
+searchsorted-over-set-bits cursor (O(log n) per sample on a
+pre-extracted one-positions array) and encoded with a fully vectorized
+bit-scatter per partition; predictors/warmup and all container math are
+NumPy throughout.  In the Spark pipeline this runs inside the
+`mapInPandas` media stage (operators/multimodal.py) — per-payload work,
+never per-row Python at the DataFrame layer.
+"""
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MAGIC = b"fLaC"
+
+# ---------------------------------------------------------------------------
+# CRCs (polynomials from the spec: CRC-8 x^8+x^2+x+1, CRC-16 x^16+x^15+x^2+1)
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = i << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) if (c & top) else (c << 1)
+        tab[i] = c & mask
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator; scalar fields go through write(),
+    vectorized residual partitions through write_bit_array()."""
+
+    def __init__(self) -> None:
+        self._chunks: list[np.ndarray] = []  # uint8 0/1 arrays
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        v = int(val) & ((1 << nbits) - 1)
+        bits = (v >> np.arange(nbits - 1, -1, -1, dtype=np.int64)) & 1
+        self._chunks.append(bits.astype(np.uint8))
+
+    def write_unary(self, q: int) -> None:
+        bits = np.zeros(q + 1, dtype=np.uint8)
+        bits[q] = 1
+        self._chunks.append(bits)
+
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        self._chunks.append(bits.astype(np.uint8, copy=False))
+
+    def getvalue(self) -> bytes:
+        bits = np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.uint8)
+        pad = (-len(bits)) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+        return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    """MSB-first reader over a byte payload, with a pre-extracted
+    one-positions index for O(log n)-per-sample Rice decoding."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+        # powers for k-bit field extraction (k <= 32)
+        self._pow = (1 << np.arange(63, -1, -1, dtype=np.int64))
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        end = self.pos + nbits
+        if end > len(self.bits):
+            raise ValueError("FLAC bitstream truncated")
+        chunk = self.bits[self.pos : end]
+        self.pos = end
+        return int(chunk @ self._pow[64 - nbits :])
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= (1 << (nbits - 1)):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise ValueError("FLAC bitstream truncated in unary code")
+        stop = int(self.ones[i])
+        q = stop - self.pos
+        self.pos = stop + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+# ---------------------------------------------------------------------------
+# UTF-8-style coded numbers (frame/sample number; up to 36 bits, 7 bytes)
+# ---------------------------------------------------------------------------
+
+
+def _utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, first_max in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << first_max):
+            marker = (0xFF << (8 - nbytes)) & 0xFF
+            cont = [(0x80 | ((n >> (6 * i)) & 0x3F)) for i in range(nbytes - 2, -1, -1)]
+            lead = marker | (n >> (6 * (nbytes - 1)))
+            return bytes([lead] + cont)
+    raise ValueError("number too large for FLAC UTF-8 coding")
+
+
+def _utf8_decode(rd: _BitReader) -> int:
+    b0 = rd.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(7):
+        if not (b0 & (0x80 >> i)):
+            break
+        nbytes += 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("invalid FLAC UTF-8 coded number")
+    n = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = rd.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation byte")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Rice residual coding
+# ---------------------------------------------------------------------------
+
+
+def _rice_encode_partition(res: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized Rice encode of one partition -> 0/1 uint8 bit array."""
+    r = res.astype(np.int64)
+    u = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    q = u >> k
+    rem = u & ((1 << k) - 1)
+    lengths = q + 1 + k
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    bits = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    bits[starts + q] = 1  # unary terminator after q zeros
+    for j in range(k):
+        bits[starts + q + 1 + j] = (rem >> (k - 1 - j)) & 1
+    return bits
+
+
+def _rice_decode_partition(rd: _BitReader, n: int, k: int) -> np.ndarray:
+    """Decode n Rice(k) codes via the one-positions cursor."""
+    out = np.empty(n, dtype=np.int64)
+    ones, bits, pow_ = rd.ones, rd.bits, rd._pow
+    pos = rd.pos
+    for i in range(n):
+        j = int(np.searchsorted(ones, pos))
+        if j >= len(ones):
+            raise ValueError("FLAC bitstream truncated in residual")
+        stop = int(ones[j])
+        q = stop - pos
+        pos = stop + 1
+        if k:
+            if pos + k > len(bits):
+                raise ValueError("FLAC bitstream truncated in residual")
+            rem = int(bits[pos : pos + k] @ pow_[64 - k :])
+            pos += k
+        else:
+            rem = 0
+        u = (q << k) | rem
+        out[i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+    rd.pos = pos
+    return out
+
+
+def _best_rice_param(res: np.ndarray, max_k: int = 14) -> int:
+    """Pick k minimizing the exact encoded size (small search, exact)."""
+    r = res.astype(np.int64)
+    u = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    best_k, best_sz = 0, None
+    for k in range(max_k + 1):
+        sz = int((u >> k).sum()) + len(u) * (1 + k)
+        if best_sz is None or sz < best_sz:
+            best_k, best_sz = k, sz
+    return best_k
+
+
+# ---------------------------------------------------------------------------
+# predictors
+# ---------------------------------------------------------------------------
+
+# fixed predictor residual: res_o = o-th order forward difference
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _fixed_restore(res: np.ndarray, warm: np.ndarray, order: int) -> np.ndarray:
+    """Invert _fixed_residual: integrate order times with warm-up samples."""
+    out = res.astype(np.int64)
+    # reconstruct the chain of difference seeds from the warm-up block
+    seeds = []
+    w = warm.astype(np.int64)
+    for _ in range(order):
+        seeds.append(w[0] if len(w) else np.int64(0))
+        w = np.diff(w)
+    for o in range(order - 1, -1, -1):
+        out = np.concatenate(([seeds[o]], out)).cumsum()
+    return out
+
+
+def _lpc_coeffs(x: np.ndarray, order: int) -> np.ndarray | None:
+    """Levinson-Durbin on the windowed autocorrelation."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    w = np.hanning(n) if n > 1 else np.ones(1)
+    xw = xf * w
+    ac = np.array([np.dot(xw[: n - i], xw[i:]) for i in range(order + 1)])
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        # standard update: a_new[j] = a[j] - k*a[i-1-j]; a_new[i] = k
+        new = a[:i] - k * a[:i][::-1]
+        a[:i] = new
+        a[i] = k
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    return a
+
+
+def _quantize_lpc(a: np.ndarray, precision: int = 15) -> tuple[np.ndarray, int]:
+    cmax = np.abs(a).max()
+    if cmax == 0:
+        return np.zeros(len(a), dtype=np.int64), 0
+    # choose shift so round(a * 2^shift) fits in `precision` signed bits
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = (1 << (precision - 1)) - 1
+    return np.clip(q, -lim - 1, lim), shift
+
+
+def _lpc_residual(x: np.ndarray, qlp: np.ndarray, shift: int) -> np.ndarray:
+    """res[i] = x[i] - (sum_j qlp[j]*x[i-1-j] >> shift) for i >= order."""
+    xi = x.astype(np.int64)
+    order = len(qlp)
+    pred = np.zeros(len(xi) - order, dtype=np.int64)
+    for j in range(order):
+        pred += qlp[j] * xi[order - 1 - j : len(xi) - 1 - j]
+    return xi[order:] - (pred >> shift)
+
+
+def _lpc_restore(res: np.ndarray, warm: np.ndarray, qlp: np.ndarray, shift: int) -> np.ndarray:
+    order = len(qlp)
+    out = np.empty(order + len(res), dtype=np.int64)
+    out[:order] = warm
+    q = qlp[::-1].copy()  # q[j] multiplies x[i-order+j]
+    r = res.astype(np.int64)
+    for i in range(len(r)):
+        acc = int(np.dot(q, out[i : i + order]))
+        out[order + i] = r[i] + (acc >> shift)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# subframe encode / decode
+# ---------------------------------------------------------------------------
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray, order: int, blocksize: int,
+                    part_order: int) -> None:
+    nparts = 1 << part_order
+    if blocksize % nparts or (blocksize >> part_order) <= order:
+        part_order, nparts = 0, 1
+    bw.write(0, 2)  # coding method 00 = RICE (4-bit params)
+    bw.write(part_order, 4)
+    idx = 0
+    for p in range(nparts):
+        cnt = (blocksize >> part_order) - (order if p == 0 else 0)
+        part = res[idx : idx + cnt]
+        idx += cnt
+        k = min(_best_rice_param(part), 14)  # 15 is the escape code
+        bw.write(k, 4)
+        bw.write_bit_array(_rice_encode_partition(part, k))
+
+
+def _read_residual(rd: _BitReader, order: int, blocksize: int) -> np.ndarray:
+    method = rd.read(2)
+    if method not in (0, 1):
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = rd.read(4)
+    nparts = 1 << part_order
+    if blocksize % nparts:
+        raise ValueError("invalid FLAC partition order")
+    out: list[np.ndarray] = []
+    for p in range(nparts):
+        cnt = (blocksize >> part_order) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("invalid FLAC partition/order combination")
+        k = rd.read(pbits)
+        if k == escape:
+            raw_bits = rd.read(5)
+            if raw_bits == 0:
+                out.append(np.zeros(cnt, dtype=np.int64))
+            else:
+                out.append(
+                    np.array([rd.read_signed(raw_bits) for _ in range(cnt)], dtype=np.int64)
+                )
+        else:
+            out.append(_rice_decode_partition(rd, cnt, k))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+
+
+def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, use_lpc: bool,
+                     part_order: int) -> None:
+    n = len(x)
+    x = x.astype(np.int64)
+    # wasted bits: shared low zero bits across the block
+    wasted = 0
+    if np.any(x):
+        ored = int(np.bitwise_or.reduce(x))
+        wasted = (ored & -ored).bit_length() - 1
+        wasted = max(0, min(wasted, bps - 1))
+    else:
+        # all-zero block -> constant subframe, no wasted bits
+        wasted = 0
+    xw = x >> wasted if wasted else x
+    eff_bps = bps - wasted
+
+    if np.all(xw == xw[0]):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)
+        _write_wasted(bw, wasted)
+        bw.write(int(xw[0]), eff_bps)
+        return
+
+    # candidate: best fixed order
+    best_order, best_cost = 0, None
+    for o in range(5):
+        if n <= o:
+            break
+        r = _fixed_residual(xw, o)
+        cost = int(np.abs(r).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost = o, cost
+
+    if use_lpc and n > 64:
+        order = 8
+        a = _lpc_coeffs(xw, order)
+        if a is not None:
+            qlp, shift = _quantize_lpc(a)
+            res = _lpc_residual(xw, qlp, shift)
+            if np.abs(res).sum() < best_cost:
+                bw.write(0, 1)
+                bw.write(0b100000 | (order - 1), 6)
+                _write_wasted(bw, wasted)
+                for v in xw[:order]:
+                    bw.write(int(v), eff_bps)
+                bw.write(14, 4)  # precision-1 (15-bit coefficients)
+                bw.write(shift, 5)
+                for c in qlp:
+                    bw.write(int(c), 15)
+                _write_residual(bw, res, order, n, part_order)
+                return
+
+    o = best_order
+    res = _fixed_residual(xw, o)
+    bw.write(0, 1)
+    bw.write(0b001000 | o, 6)
+    _write_wasted(bw, wasted)
+    for v in xw[:o]:
+        bw.write(int(v), eff_bps)
+    _write_residual(bw, res, o, n, part_order)
+
+
+def _write_wasted(bw: _BitWriter, wasted: int) -> None:
+    if wasted:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+
+
+def _decode_subframe(rd: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if rd.read(1) != 0:
+        raise ValueError("invalid FLAC subframe sync bit")
+    stype = rd.read(6)
+    wasted = 0
+    if rd.read(1):
+        wasted = rd.read_unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        v = rd.read_signed(eff)
+        out = np.full(blocksize, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([rd.read_signed(eff) for _ in range(blocksize)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = np.array([rd.read_signed(eff) for _ in range(order)], dtype=np.int64)
+        res = _read_residual(rd, order, blocksize)
+        out = _fixed_restore(res, warm, order)
+    elif stype >= 32:  # LPC
+        order = (stype & 0x1F) + 1
+        warm = np.array([rd.read_signed(eff) for _ in range(order)], dtype=np.int64)
+        prec = rd.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        qlp = np.array([rd.read_signed(prec) for _ in range(order)], dtype=np.int64)
+        res = _read_residual(rd, order, blocksize)
+        out = _lpc_restore(res, warm, qlp, shift)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return out << wasted if wasted else out
+
+
+# ---------------------------------------------------------------------------
+# frame + stream layer
+# ---------------------------------------------------------------------------
+
+_BLOCKSIZE_CODES = {192: 0b0001, 576: 0b0010, 1152: 0b0011, 2304: 0b0100,
+                    4608: 0b0101, 256: 0b1000, 512: 0b1001, 1024: 0b1010,
+                    2048: 0b1011, 4096: 0b1100, 8192: 0b1101, 16384: 0b1110,
+                    32768: 0b1111}
+_BPS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 16000, *,
+                blocksize: int = 4096, stereo_mode: str = "auto",
+                use_lpc: bool = True, part_order: int = 2,
+                bps: int = 16) -> bytes:
+    """int16 (n,) or (n, ch) -> FLAC bytes.  Lossless: decode_flac_int
+    returns bit-identical samples for any knob setting.
+
+    stereo_mode: 'auto' picks the cheapest of independent/left-side/
+    right-side/mid-side per frame (by residual magnitude); 'independent'
+    forces no decorrelation; 'mid-side'/'left-side'/'right-side' force a
+    mode (2-channel input only).
+    """
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    s = s.astype(np.int64)
+    n, ch = s.shape
+    if ch > 8:
+        raise ValueError("FLAC supports at most 8 channels")
+    if bps not in _BPS_CODES:
+        raise ValueError(f"unsupported bits-per-sample {bps}")
+    lim = 1 << (bps - 1)
+    if s.size and (s.min() < -lim or s.max() >= lim):
+        raise ValueError(f"samples exceed {bps}-bit range")
+
+    # ---- STREAMINFO
+    md5 = hashlib.md5()
+    nbytes = (bps + 7) // 8
+    inter = s.reshape(-1)
+    le = np.zeros((len(inter), nbytes), dtype=np.uint8)
+    for b in range(nbytes):
+        le[:, b] = (inter >> (8 * b)) & 0xFF
+    md5.update(le.tobytes())
+
+    frames = []
+    frame_no = 0
+    for start in range(0, max(n, 1), blocksize):
+        blk = s[start : start + blocksize]
+        if len(blk) == 0:
+            break
+        frames.append(_encode_frame(blk, frame_no, sample_rate, blocksize, bps,
+                                    stereo_mode, use_lpc, part_order))
+        frame_no += 1
+    body = b"".join(frames)
+
+    si = _BitWriter()
+    si.write(blocksize, 16)  # min block size
+    si.write(blocksize, 16)  # max block size
+    min_f = min((len(f) for f in frames), default=0)
+    max_f = max((len(f) for f in frames), default=0)
+    si.write(min_f, 24)
+    si.write(max_f, 24)
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    streaminfo = si.getvalue() + md5.digest()
+    assert len(streaminfo) == 34
+    header = bytes([0x80 | 0x00]) + struct.pack(">I", len(streaminfo))[1:]
+    return _MAGIC + header + streaminfo + body
+
+
+def _encode_frame(blk: np.ndarray, frame_no: int, rate: int, nominal_bs: int,
+                  bps: int, stereo_mode: str, use_lpc: bool, part_order: int) -> bytes:
+    bs, ch = blk.shape
+    chans: list[tuple[np.ndarray, int]]
+    assign = ch - 1
+    if ch == 2 and stereo_mode != "independent":
+        left, right = blk[:, 0], blk[:, 1]
+        side = left - right
+        mid = (left + right) >> 1
+        cands = {
+            "independent": (ch - 1, [(left, bps), (right, bps)]),
+            "left-side": (0b1000, [(left, bps), (side, bps + 1)]),
+            "right-side": (0b1001, [(side, bps + 1), (right, bps)]),
+            "mid-side": (0b1010, [(mid, bps), (side, bps + 1)]),
+        }
+        if stereo_mode == "auto":
+            def cost(chlist):
+                return sum(int(np.abs(np.diff(c)).sum()) for c, _ in chlist)
+            stereo_mode = min(cands, key=lambda m: cost(cands[m][1]))
+        assign, chans = cands[stereo_mode]
+    else:
+        chans = [(blk[:, c], bps) for c in range(ch)]
+
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)  # reserved
+    bw.write(0, 1)  # fixed-blocksize strategy
+    if bs == nominal_bs and bs in _BLOCKSIZE_CODES:
+        bs_code, bs_follow = _BLOCKSIZE_CODES[bs], None
+    elif bs - 1 < 256:
+        bs_code, bs_follow = 0b0110, ("u8", bs - 1)
+    else:
+        bs_code, bs_follow = 0b0111, ("u16", bs - 1)
+    bw.write(bs_code, 4)
+    bw.write(0, 4)  # sample rate: from STREAMINFO
+    bw.write(assign, 4)
+    bw.write(_BPS_CODES[bps], 3)
+    bw.write(0, 1)  # reserved
+    header = bw.getvalue()
+    header += _utf8_encode(frame_no)
+    if bs_follow is not None:
+        kind, v = bs_follow
+        header += bytes([v]) if kind == "u8" else struct.pack(">H", v)
+    header += bytes([_crc8(header)])
+
+    body = _BitWriter()
+    for x, cbps in chans:
+        _encode_subframe(body, x, cbps, use_lpc, part_order)
+    payload = header + body.getvalue()
+    return payload + struct.pack(">H", _crc16(payload))
+
+
+def _parse_streaminfo(rd: _BitReader) -> dict:
+    info = {
+        "min_bs": rd.read(16), "max_bs": rd.read(16),
+        "min_fs": rd.read(24), "max_fs": rd.read(24),
+        "rate": rd.read(20), "channels": rd.read(3) + 1,
+        "bps": rd.read(5) + 1, "total": rd.read(36),
+    }
+    md5 = bytes(rd.read(8) for _ in range(16))
+    info["md5"] = md5
+    return info
+
+
+def decode_flac_int(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """FLAC bytes -> (int64 samples shaped (n, ch), sample_rate, bps).
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5 when present."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FLAC payload")
+    off = 4
+    info = None
+    while True:
+        if off + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[off]
+        last, btype = bool(hdr & 0x80), hdr & 0x7F
+        size = int.from_bytes(payload[off + 1 : off + 4], "big")
+        body = payload[off + 4 : off + 4 + size]
+        if btype == 0:
+            if size != 34:
+                raise ValueError("invalid FLAC STREAMINFO size")
+            info = _parse_streaminfo(_BitReader(body))
+        off += 4 + size
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+
+    rd = _BitReader(payload[off:])
+    ch = info["channels"]
+    blocks: list[np.ndarray] = []
+    total = 0
+    while True:
+        # skip any inter-frame padding of zero bytes at EOF
+        rd.align()
+        if rd.pos >= len(rd.bits):
+            break
+        if info["total"] and total >= info["total"]:
+            break
+        blk = _decode_frame(rd, info)
+        blocks.append(blk)
+        total += len(blk)
+    if not blocks:
+        out = np.zeros((0, ch), dtype=np.int64)
+    else:
+        out = np.concatenate(blocks)
+    if info["total"]:
+        out = out[: info["total"]]
+    if info["md5"] != b"\x00" * 16:
+        nbytes = (info["bps"] + 7) // 8
+        inter = out.reshape(-1)
+        le = np.zeros((len(inter), nbytes), dtype=np.uint8)
+        for b in range(nbytes):
+            le[:, b] = (inter >> (8 * b)) & 0xFF
+        if hashlib.md5(le.tobytes()).digest() != info["md5"]:
+            raise ValueError("FLAC MD5 mismatch: decoded audio is corrupt")
+    return out, info["rate"], info["bps"]
+
+
+def _decode_frame(rd: _BitReader, info: dict) -> np.ndarray:
+    frame_start_byte = rd.pos >> 3
+    sync = rd.read(14)
+    if sync != 0b11111111111110:
+        raise ValueError("bad FLAC frame sync")
+    if rd.read(1):
+        raise ValueError("reserved FLAC frame bit set")
+    rd.read(1)  # blocking strategy (number semantics only)
+    bs_code = rd.read(4)
+    sr_code = rd.read(4)
+    assign = rd.read(4)
+    bps_code = rd.read(3)
+    if rd.read(1):
+        raise ValueError("reserved FLAC frame bit set")
+    _utf8_decode(rd)  # frame/sample number (order is implicit here)
+    if bs_code == 0:
+        raise ValueError("reserved FLAC blocksize code")
+    elif bs_code == 1:
+        bs = 192
+    elif bs_code <= 5:
+        bs = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        bs = rd.read(8) + 1
+    elif bs_code == 7:
+        bs = rd.read(16) + 1
+    else:
+        bs = 256 << (bs_code - 8)
+    if sr_code == 12:
+        rd.read(8)
+    elif sr_code in (13, 14):
+        rd.read(16)
+    elif sr_code == 15:
+        raise ValueError("invalid FLAC sample-rate code")
+    # CRC-8 covers the header bytes up to (not incl.) the CRC byte
+    hdr_end_byte = rd.pos >> 3
+    crc8 = rd.read(8)
+    hdr_bytes = np.packbits(rd.bits[frame_start_byte * 8 : hdr_end_byte * 8]).tobytes()
+    if _crc8(hdr_bytes) != crc8:
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+
+    bps = info["bps"] if bps_code == 0 else {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}[bps_code]
+    if assign < 8:
+        nch = assign + 1
+        subs = [_decode_subframe(rd, bs, bps) for _ in range(nch)]
+        out = np.stack(subs, axis=1)
+    elif assign in (8, 9, 10):
+        w0 = bps + (1 if assign == 9 else 0)
+        w1 = bps + (1 if assign in (8, 10) else 0)
+        c0 = _decode_subframe(rd, bs, w0)
+        c1 = _decode_subframe(rd, bs, w1)
+        if assign == 8:  # left/side
+            left, side = c0, c1
+            right = left - side
+        elif assign == 9:  # right/side
+            side, right = c0, c1
+            left = right + side
+        else:  # mid/side
+            mid, side = c0, c1
+            m2 = (mid << 1) | (side & 1)
+            left = (m2 + side) >> 1
+            right = (m2 - side) >> 1
+        out = np.stack([left, right], axis=1)
+    else:
+        raise ValueError(f"reserved FLAC channel assignment {assign}")
+
+    rd.align()
+    end_byte = rd.pos >> 3
+    crc16 = rd.read(16)
+    frame_bytes = np.packbits(rd.bits[frame_start_byte * 8 : end_byte * 8]).tobytes()
+    if _crc16(frame_bytes) != crc16:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return out
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 samples in [-1, 1] shaped (n, ch), rate) —
+    same convention as decode_wav."""
+    out, rate, bps = decode_flac_int(payload)
+    scale = np.float32(1 << (bps - 1))
+    return (out.astype(np.float32) / scale), rate

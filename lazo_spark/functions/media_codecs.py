@@ -419,6 +419,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "wav"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -488,11 +490,15 @@ def decode_any(payload: bytes):
         from .jpeg import decode_jpeg
 
         return "image", decode_jpeg(payload)
+    if kind == "flac":
+        from .flac import decode_flac
+
+        return "audio", decode_flac(payload)
     raise NotImplementedError(
         "unsupported media container (supported without codec libraries: "
         "BMP 24/32-bpp, binary PPM/PGM, PNG 8-bit non-interlaced, "
-        "baseline + progressive JPEG, PCM/G.711 WAV); plug a decoder= "
-        "for other formats, e.g. MP3 (ffmpeg)"
+        "baseline + progressive JPEG, PCM/G.711 WAV, FLAC); plug a "
+        "decoder= for perceptual formats, e.g. MP3 (ffmpeg)"
     )
 
 

@@ -1,0 +1,240 @@
+"""FLAC codec pins (lazo_spark/functions/flac.py).
+
+Lossless codec, so the headline pin is BIT-EXACT round-trip equality
+across every encoder knob.  Decoder-only paths the encoder never emits
+(RICE2 params, escape-coded partitions, VERBATIM subframes) are
+exercised by hand-built conforming streams, and the integrity layer
+(CRC-8, CRC-16, MD5) is pinned by corrupting streams and asserting
+detection.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from lazo_spark.functions.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_encode,
+    _rice_encode_partition,
+    decode_flac,
+    decode_flac_int,
+    encode_flac,
+)
+from lazo_spark.functions.media_codecs import decode_any, sniff_media
+
+
+def _sig_stereo(n=12000, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    left = (8000 * np.sin(t * 0.03) + rng.normal(0, 200, n)).astype(np.int64)
+    right = (7000 * np.sin(t * 0.031 + 0.4) + rng.normal(0, 180, n)).astype(np.int64)
+    return np.stack([left, right], axis=1).astype(np.int16)
+
+
+@pytest.mark.parametrize("mode", ["auto", "independent", "mid-side", "left-side", "right-side"])
+@pytest.mark.parametrize("use_lpc", [True, False])
+def test_roundtrip_stereo_modes(mode, use_lpc):
+    s = _sig_stereo()
+    enc = encode_flac(s, 16000, stereo_mode=mode, use_lpc=use_lpc)
+    dec, rate, bps = decode_flac_int(enc)
+    assert (rate, bps) == (16000, 16)
+    assert np.array_equal(dec, s.astype(np.int64))
+
+
+@pytest.mark.parametrize("part_order", [0, 1, 3, 4])
+def test_roundtrip_partition_orders(part_order):
+    s = _sig_stereo(n=8192)
+    enc = encode_flac(s, 48000, part_order=part_order)
+    dec, rate, _ = decode_flac_int(enc)
+    assert rate == 48000
+    assert np.array_equal(dec, s.astype(np.int64))
+
+
+def test_roundtrip_edge_signals():
+    rng = np.random.default_rng(3)
+    for sig in [
+        np.zeros(5000, np.int16),                       # constant silence
+        np.full(777, -123, np.int16),                   # constant nonzero, odd len
+        rng.integers(-32768, 32767, size=97).astype(np.int16),  # white noise, tiny
+        np.array([32767, -32768], np.int16),            # extremes
+        np.zeros(0, np.int16),                          # empty stream
+        (rng.integers(-500, 500, size=4096) * 64).astype(np.int16),  # wasted bits
+    ]:
+        enc = encode_flac(sig, 8000)
+        dec, _, _ = decode_flac_int(enc)
+        assert np.array_equal(dec.reshape(-1), sig.astype(np.int64))
+
+
+def test_roundtrip_odd_blocksize_and_multichannel():
+    rng = np.random.default_rng(11)
+    s = rng.integers(-2000, 2000, size=(5000, 4)).astype(np.int16)
+    enc = encode_flac(s, 16000, blocksize=1000)  # non-standard size -> 16-bit follow-up
+    dec, _, _ = decode_flac_int(enc)
+    assert np.array_equal(dec, s.astype(np.int64))
+    enc = encode_flac(s[:, :1], 16000, blocksize=192)  # 4-bit table code path
+    dec, _, _ = decode_flac_int(enc)
+    assert np.array_equal(dec.reshape(-1), s[:, 0].astype(np.int64))
+
+
+@pytest.mark.parametrize("bps,scale", [(8, 127), (24, 8_000_000)])
+def test_roundtrip_other_bit_depths(bps, scale):
+    rng = np.random.default_rng(5)
+    s = rng.integers(-scale, scale, size=(3000, 2)).astype(np.int64)
+    enc = encode_flac(s, 22050, bps=bps)
+    dec, rate, got_bps = decode_flac_int(enc)
+    assert (rate, got_bps) == (22050, bps)
+    assert np.array_equal(dec, s)
+
+
+def test_float_api_matches_wav_convention():
+    s = _sig_stereo(4000)
+    f, rate = decode_flac(encode_flac(s, 44100))
+    assert f.dtype == np.float32 and f.shape == (4000, 2) and rate == 44100
+    assert np.array_equal(f, s.astype(np.float32) / np.float32(32768.0))
+
+
+def test_sniff_and_decode_any_dispatch():
+    s = _sig_stereo(1000)
+    enc = encode_flac(s, 16000)
+    assert sniff_media(enc) == "flac"
+    kind, (samples, rate) = decode_any(enc)
+    assert kind == "audio" and rate == 16000
+    assert np.array_equal(samples, s.astype(np.float32) / np.float32(32768.0))
+
+
+def test_compression_actually_compresses():
+    # smooth signal must compress well below raw PCM size
+    t = np.arange(30000)
+    s = (10000 * np.sin(t * 0.01)).astype(np.int16)
+    enc = encode_flac(s, 16000)
+    assert len(enc) < s.nbytes * 0.5
+
+
+# ---------------------------------------------------------------------------
+# integrity layer
+# ---------------------------------------------------------------------------
+
+
+def _flip_byte(b: bytes, idx: int) -> bytes:
+    arr = bytearray(b)
+    arr[idx] ^= 0x01
+    return bytes(arr)
+
+
+def test_crc_detects_frame_corruption():
+    s = _sig_stereo(4096)
+    enc = encode_flac(s, 16000)
+    # flip one byte in the middle of the first frame's entropy stream
+    # (past the 4+4+34 byte stream header and the frame header)
+    bad = _flip_byte(enc, len(enc) // 2)
+    with pytest.raises(ValueError):
+        decode_flac_int(bad)
+
+
+def test_md5_present_and_checked():
+    s = _sig_stereo(2048)
+    enc = encode_flac(s, 16000)
+    # STREAMINFO md5 lives at bytes [4+4+18, 4+4+34); zero it out ->
+    # decoder skips the check (spec: all-zero md5 = unset) and succeeds
+    arr = bytearray(enc)
+    for i in range(4 + 4 + 18, 4 + 4 + 34):
+        arr[i] = 0
+    dec, _, _ = decode_flac_int(bytes(arr))
+    assert np.array_equal(dec, s.astype(np.int64))
+    # corrupt (nonzero) md5 -> detected
+    arr[4 + 4 + 18] = 0xAB
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac_int(bytes(arr))
+
+
+def test_rejects_non_flac():
+    with pytest.raises(ValueError):
+        decode_flac_int(b"RIFFxxxxWAVE")
+
+
+# ---------------------------------------------------------------------------
+# decoder-only paths via hand-built conforming streams
+# ---------------------------------------------------------------------------
+
+
+def _handbuilt_stream(subframe_bits, blocksize, md5=b"\x00" * 16):
+    """Wrap one mono 16-bit frame (given as a _BitWriter of subframe
+    content) into a minimal conforming FLAC stream."""
+    si = _BitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)       # channels-1
+    si.write(15, 5)      # bps-1
+    si.write(blocksize, 36)
+    streaminfo = si.getvalue() + md5
+    meta = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+
+    hw = _BitWriter()
+    hw.write(0b11111111111110, 14)
+    hw.write(0, 1)
+    hw.write(0, 1)
+    hw.write(0b0111, 4)  # 16-bit blocksize-1 follows
+    hw.write(0, 4)       # rate from streaminfo
+    hw.write(0, 4)       # 1 channel
+    hw.write(0b100, 3)   # 16-bit
+    hw.write(0, 1)
+    header = hw.getvalue() + _utf8_encode(0) + struct.pack(">H", blocksize - 1)
+    header += bytes([_crc8(header)])
+
+    payload = header + subframe_bits.getvalue()
+    frame = payload + struct.pack(">H", _crc16(payload))
+    return b"fLaC" + meta + streaminfo + frame
+
+
+def test_decoder_verbatim_subframe():
+    rng = np.random.default_rng(2)
+    x = rng.integers(-30000, 30000, size=64).astype(np.int64)
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b000001, 6)  # VERBATIM
+    bw.write(0, 1)         # no wasted bits
+    for v in x:
+        bw.write(int(v), 16)
+    dec, rate, _ = decode_flac_int(_handbuilt_stream(bw, 64))
+    assert rate == 8000
+    assert np.array_equal(dec.reshape(-1), x)
+
+
+def test_decoder_rice2_and_escape_partitions():
+    # FIXED order 0 with: method 01 (RICE2, 5-bit params), partition
+    # order 1 -> two partitions, first RICE2-coded, second escape-coded
+    # raw at 12 bits
+    rng = np.random.default_rng(4)
+    x = rng.integers(-900, 900, size=64).astype(np.int64)
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b001000, 6)  # FIXED order 0 -> residual == samples
+    bw.write(0, 1)
+    bw.write(1, 2)         # coding method 01 = RICE2
+    bw.write(1, 4)         # partition order 1
+    k = 9
+    bw.write(k, 5)
+    bw.write_bit_array(_rice_encode_partition(x[:32], k))
+    bw.write(31, 5)        # escape code for 5-bit params
+    bw.write(12, 5)        # raw bit width
+    for v in x[32:]:
+        bw.write(int(v), 12)
+    dec, _, _ = decode_flac_int(_handbuilt_stream(bw, 64))
+    assert np.array_equal(dec.reshape(-1), x)
+
+
+def test_decoder_wasted_bits_handbuilt():
+    # CONSTANT subframe with 3 wasted bits: stored value is sample >> 3
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b000000, 6)
+    bw.write(1, 1)         # wasted-bits flag
+    bw.write_unary(2)      # unary 2 -> wasted = 3
+    bw.write(-100, 13)     # 16 - 3 bits
+    dec, _, _ = decode_flac_int(_handbuilt_stream(bw, 10))
+    assert np.array_equal(dec.reshape(-1), np.full(10, -800, dtype=np.int64))
