@@ -238,3 +238,34 @@ def test_decoder_wasted_bits_handbuilt():
     bw.write(-100, 13)     # 16 - 3 bits
     dec, _, _ = decode_flac_int(_handbuilt_stream(bw, 10))
     assert np.array_equal(dec.reshape(-1), np.full(10, -800, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary signals round-trip bit-exactly under arbitrary knobs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    ch=st.integers(1, 3),
+    blocksize=st.sampled_from([192, 256, 100, 4096]),
+    mode=st.sampled_from(["auto", "independent", "mid-side"]),
+    use_lpc=st.booleans(),
+    part_order=st.integers(0, 3),
+)
+def test_roundtrip_property(data, ch, blocksize, mode, use_lpc, part_order):
+    if ch != 2 and mode != "independent":
+        mode = "independent"  # decorrelation modes are stereo-only
+    n = (len(data) // ch) * ch
+    if n == 0:
+        return
+    s = np.array(data[:n], dtype=np.int16).reshape(-1, ch)
+    enc = encode_flac(s, 8000, blocksize=blocksize, stereo_mode=mode,
+                      use_lpc=use_lpc, part_order=part_order)
+    dec, rate, bps = decode_flac_int(enc)
+    assert (rate, bps) == (8000, 16)
+    assert np.array_equal(dec, s.astype(np.int64))
