@@ -270,18 +270,24 @@ def test_extract_features_real_mode_spark(spark):
     containers in one binary column."""
     from lazo_spark.operators.multimodal import extract_features
 
+    from lazo_spark.functions.flac import encode_flac
+
     img = encode_bmp(np.full((3, 5, 3), 100, dtype=np.uint8))
     wav = encode_wav(np.full(320, 16384, dtype=np.int16), 16000)
+    flc = encode_flac(np.full(320, 16384, dtype=np.int16), 16000)
     df = spark.createDataFrame(
         [
             ("i1", "image", bytearray(img), {}),
             ("a1", "audio", bytearray(wav), {}),
+            ("a2", "audio", bytearray(flc), {}),
         ],
         "media_id string, media_type string, payload binary, meta map<string,string>",
     )
     rows = {r.media_id: r for r in extract_features(df, mode="real").collect()}
     assert rows["i1"].features[2] == pytest.approx(100 / 255.0)
     assert rows["a1"].features[2] == pytest.approx(0.5)
+    # FLAC is lossless: same samples -> identical features to the WAV row
+    assert list(rows["a2"].features) == pytest.approx(list(rows["a1"].features))
     assert rows["i1"].n_bytes == len(img)
 
 
