@@ -524,6 +524,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000, *,
     lim = 1 << (bps - 1)
     if s.size and (s.min() < -lim or s.max() >= lim):
         raise ValueError(f"samples exceed {bps}-bit range")
+    if not 1 <= blocksize <= 65536:
+        raise ValueError("FLAC block size must be in [1, 65536]")
 
     # ---- STREAMINFO
     md5 = hashlib.md5()
@@ -721,7 +723,10 @@ def _decode_frame(rd: _BitReader, info: dict) -> np.ndarray:
     if _crc8(hdr_bytes) != crc8:
         raise ValueError("FLAC frame header CRC-8 mismatch")
 
-    bps = info["bps"] if bps_code == 0 else {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}[bps_code]
+    _bps_by_code = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+    if bps_code != 0 and bps_code not in _bps_by_code:
+        raise ValueError(f"reserved FLAC sample-size code {bps_code}")
+    bps = info["bps"] if bps_code == 0 else _bps_by_code[bps_code]
     if assign < 8:
         nch = assign + 1
         subs = [_decode_subframe(rd, bs, bps) for _ in range(nch)]
