@@ -1,0 +1,120 @@
+"""Round-6 optimization measurement harness (bench.py is frozen for
+measurement — this file exists so the round's before/after numbers can be
+taken per query, with plan capture, without touching the timed artifact).
+
+Usage:
+    python bench_extra.py [--sf-dir DIR] [--passes N] [--plans OUTDIR]
+                          [--action count|noop] [query ...]
+
+Reproduces bench.py's sweep methodology exactly: one session on
+local[min(cpus,8)], shuffle_partitions=min(cpus,16),
+spark.sql.files.maxPartitionBytes=1m, workers pre-warmed before the
+timer, best-of-N per query in the same warm session with
+spark.catalog.clearCache() before each pass.  Prints one JSON line:
+{"sf": .., "action": .., "queries": {name: best}, "first": {...},
+ "samples": {...}}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    "lazo_pairs",
+    "oph_lazo_pairs",
+    "simhash_pairs",
+    "substring_pairs",
+    "fuzzy_theta",
+    "embedding_topk",
+    "ann_topk_lsh",
+    "exact_dedup",
+    "token_stats",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--plans", default=None, help="dir for explain('formatted')")
+    ap.add_argument("--action", choices=("count", "noop"), default="count")
+    ap.add_argument("--suffix", default="", help="plan filename suffix")
+    args = ap.parse_args()
+    names = args.queries or DEFAULT_QUERIES
+    sf_dir = args.sf_dir
+
+    import __spark_entry__ as entrymod
+    from lazo_spark.config import LazoConfig
+    from lazo_spark.operators.sketch import sketch_stage
+    from lazo_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "bench-extra", master=f"local[{min(cpus, 8)}]",
+        shuffle_partitions=min(cpus, 16),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "1m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # identical pre-warm to bench.run_queries
+    par = spark.sparkContext.defaultParallelism
+    docs = entrymod._docs_keyed(spark, sf_dir)
+    sketch_stage(
+        docs.limit(1024 * par).repartition(par),
+        LazoConfig(jcx_threshold=0.5, shingle_mode="token_ngram:2"),
+    ).count()
+
+    qs = entrymod.queries()
+    best: dict[str, float] = {}
+    first: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            fn = os.path.join(args.plans, f"{name}{args.suffix}.txt")
+            with open(fn, "w") as f:
+                f.write(plan)
+        for p in range(args.passes):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"{name} pass {p}")
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            if args.action == "count":
+                n = df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+                n = -1
+            el = round(time.time() - t0, 3)
+            samples.setdefault(name, []).append(el)
+            first.setdefault(name, el)
+            rows[name] = n
+            if name not in best or el < best[name]:
+                best[name] = el
+            print(f"# {name} pass{p}: {n} rows in {el}s", file=sys.stderr, flush=True)
+        spark.sparkContext.setJobDescription(None)
+    print(json.dumps({
+        "sf_dir": sf_dir, "action": args.action, "queries": best,
+        "first": first, "samples": samples, "rows": rows,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

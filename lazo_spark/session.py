@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
+        # HotSpot never JIT-compiles methods over 8000 bytecode bytes
+        # (-XX:DontCompileHugeMethods, HugeMethodLimit=8000), so a
+        # whole-stage-codegen method past that size runs in the JVM
+        # bytecode INTERPRETER forever.  Spark's default fallback
+        # threshold (65535, the janino limit) misses that by 8x: the
+        # fused estimation stage compiled fine, passed the codegen
+        # plan checks, and still executed interpreted — measured 42 s
+        # -> 9.6 s on lazo_pairs@sf1.0 (50k docs, 12M candidate pairs)
+        # from this one line.  Past the limit Spark falls back to
+        # per-operator projections, each small enough for the JIT.
+        # JVM-property-dependent, not scale- or deployment-dependent.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # local mode: driver memory is the only memory knob (128 GiB host)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # real Python tracebacks when a worker dies (segfault/OOM-kill)
