@@ -360,6 +360,21 @@ def verify_substring_pairs(
         candidates.join(docs.withColumnRenamed("k", "key_x").withColumnRenamed("c", "cx"), "key_x")
         .join(docs.withColumnRenamed("k", "key_y").withColumnRenamed("c", "cy"), "key_y")
     )
+    # The LCS verify below is the expensive stage (~0.5-1 ms/pair of
+    # suffix-array work), but its INPUT is byte-small: AQE's partition
+    # coalescing sees a few MB of shuffle output and folds the join
+    # result into one partition, serializing the whole verification on a
+    # single core (measured: 17.5 s single-task stage at 24k pairs).
+    # An explicit ROUND-ROBIN repartition pins the layout at a
+    # parallelism-derived width: AQE never coalesces user-specified
+    # repartitions, and unlike repartition(n, key_x, key_y) the child's
+    # existing (key_x, key_y) hash partitioning can never satisfy it,
+    # so the optimizer cannot elide it as redundant (it did — the pair
+    # aggregation upstream already hashes by exactly those keys at the
+    # same partition count).  Per-pair verification is row-independent,
+    # so the output is unchanged.
+    n_verify = candidates.sparkSession.sparkContext.defaultParallelism * 2
+    joined = joined.repartition(n_verify)
     schema = "key_x string, key_y string, lcs_len long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
