@@ -60,9 +60,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_capped(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("text").alias("content"),
+    from lazo_spark.functions.partitioning import widen_scan
+
+    # documents.parquet is written as ONE row group, so the scan yields
+    # one non-empty split and every downstream sketch/shingle stage runs
+    # single-task; the conditional round-robin widen only fires when the
+    # scan is narrower than the session's cores (guide: repartition
+    # right after an unsplittable read) — row-independent consumers only
+    return widen_scan(
+        _docs_capped(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("content"),
+        )
     ).withColumn("sha", F.sha2("content", 256))
 
 

@@ -1,0 +1,35 @@
+"""Scan-width defense for low-split inputs.
+
+A parquet row group is the minimum read unit: a table written as one
+row group yields exactly one non-empty scan partition no matter how
+small ``spark.sql.files.maxPartitionBytes`` is, so every downstream
+narrow stage (explode, sketch UDF, gram counting) runs on ONE core
+while the rest of the executor idles (guide §2.5 "input skew: one huge
+unsplittable file — repartition immediately after the read").
+
+``widen_scan`` repartitions ONLY when the plan's current partition
+count is below what the session can use (cores x factor), so it is a
+no-op at production scale where scans already carry at least
+cores-many splits, and costs one small round-robin shuffle exactly in
+the degenerate case where the alternative is serial execution.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen_scan(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition df to defaultParallelism * factor IFF its
+    current partitioning is narrower than that.  Row-independent
+    downstream work only (repartition changes row placement, never row
+    content); the partition probe builds the physical RDD but runs no
+    job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)

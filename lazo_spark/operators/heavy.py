@@ -422,6 +422,14 @@ def heavy_hitters(
             )
             k = need
 
+    from ..functions.partitioning import widen_scan
+
+    # both the MG summary pass and the recount explode are scan-fused
+    # CPU; a single-row-group source serializes them on one core.  The
+    # conditional widen is a no-op whenever the scan already carries
+    # cores-many splits; the MG superset guarantee is per-partition and
+    # the recount is exact, so the output is partitioning-independent.
+    df = widen_scan(df.select(F.col(content_col).cast("string").alias(content_col)))
     summaries = df.select(
         F.col(content_col).cast("string").alias("content")
     ).mapInPandas(

@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, Window
 def _tok_rows(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """(key, tok) rows, lowercased whitespace tokens (NOT distinct —
     BM25 needs term frequencies)."""
+    from ..functions.partitioning import widen_scan
+
+    # the tokenize+explode feeding the tf aggregation is the corpus
+    # CPU pass; widen a single-row-group scan so it does not run
+    # single-task (no-op when the scan already has cores-many splits)
+    df = widen_scan(df.select(key_col, text_col))
     return df.select(
         F.col(key_col).alias("key"),
         F.explode(
@@ -110,13 +116,18 @@ def bm25_topk(
         * (F.col("tf") * F.lit(k1 + 1.0))
         / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
     )
+    # c_micro depends only on (tok, doc) — quantize it on the |postings|
+    # rows BEFORE the query join, not on every fanned-out (query, tok,
+    # doc) join row: with a small vocabulary each posting matches many
+    # query terms and the fan-out is ~30x the posting count, so this
+    # moves the idf/tf float math (and the micro-unit rounding, same
+    # ops, same values) off the hot loop.  The join+aggregation then
+    # only sums a ready long.
+    postings_c = postings.select(
+        "tok", "key", F.round(contrib * 1e6).cast("long").alias("c_micro")
+    )
     scored = (
-        postings.join(F.broadcast(q_terms), "tok")
-        .select(
-            "qid",
-            "key",
-            F.round(contrib * 1e6).cast("long").alias("c_micro"),
-        )
+        postings_c.join(F.broadcast(q_terms), "tok")
         .groupBy("qid", "key")
         .agg(F.sum("c_micro").alias("score_micro"))
     )

@@ -218,11 +218,20 @@ def decontaminate(
     the usual xxhash64-keyed shuffle semi-join + string verify used by
     the other candidate paths (operators/verify.py:93).
     """
+    from ..functions.partitioning import widen_scan
+
     grams = token_ngram_strings(F.col(content_col), n)
-    g_train = train.select(
+    # the gram explode on both sides is scan-fused CPU; widen
+    # single-row-group scans so it does not run single-task (no-op when
+    # the scan already carries cores-many splits)
+    g_train = widen_scan(train.select(key_col, content_col)).select(
         F.col(key_col).alias("key"), F.explode(grams).alias("gram")
     )
-    g_eval = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    g_eval = (
+        widen_scan(eval_df.select(content_col))
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
     matched = g_train.join(F.broadcast(g_eval), "gram", "left_semi")
     return matched.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n_matched_grams")
@@ -258,16 +267,23 @@ def decontaminate_bloom(
     suites size m ~ 10 bits/gram.
     """
     from ..functions.bloom import bloom_probe_column, build_bloom
+    from ..functions.partitioning import widen_scan
 
     grams = token_ngram_strings(F.col(content_col), n)
-    g_train = train.select(
+    # widen single-row-group scans before the gram explodes (no-op when
+    # the scans already carry cores-many splits): the train-side explode
+    # + bloom probe and the eval-side explode+distinct are the CPU
+    g_train = widen_scan(train.select(key_col, content_col)).select(
         F.col(key_col).alias("key"), F.explode(grams).alias("gram")
     )
     # persist: the eval explode+distinct (the expensive eval-side
     # shuffle) feeds BOTH the bloom build (collected eagerly below) and
     # the exact re-verify semi-join — without the persist it runs twice
     g_eval = (
-        eval_df.select(F.explode(grams).alias("gram")).distinct().persist()
+        widen_scan(eval_df.select(content_col))
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+        .persist()
     )
     bloom = build_bloom(
         g_eval.select(F.xxhash64("gram").alias("h")), "h", m_bits, k_hashes
@@ -653,13 +669,17 @@ def decontaminate_fuzzy(
     from ..operators.sketch import sketch_stage
     from ..operators.verify import verify_candidates
 
+    from ..functions.partitioning import widen_scan
+
     cfg = config or LazoConfig(jcx_threshold=candidate_floor, shingle_mode=mode)
     keyed = lambda d: d.select(  # noqa: E731
         F.col(key_col).cast("string").alias("key"),
         F.col(content_col).alias("content"),
     ).withColumn("sha", F.sha2(F.col("content"), 256))
-    sk_t = sketch_stage(keyed(train), cfg)
-    sk_e = sketch_stage(keyed(eval_df), cfg)
+    # widen single-row-group scans before the Arrow sketch stages so
+    # they do not run single-task (no-op at production split counts)
+    sk_t = sketch_stage(widen_scan(keyed(train)), cfg)
+    sk_e = sketch_stage(widen_scan(keyed(eval_df)), cfg)
     # persist the (tiny) candidate pair relation: verify_candidates fans
     # out over it three times (two key-union scans + the pair join) and
     # without a persist the whole upstream bipartite DAG — BOTH sketch

@@ -317,7 +317,12 @@ def icws_signatures(
                 }
             )
 
-    return df.select(*cols).mapInPandas(run, schema)
+    from ..functions.partitioning import widen_scan
+
+    # the ICWS sampling kernel is the corpus CPU pass; widen a
+    # single-row-group scan so it does not run single-task (no-op when
+    # the scan already carries cores-many splits)
+    return widen_scan(df.select(*cols)).mapInPandas(run, schema)
 
 
 def icws_lsh_pairs(
