@@ -387,8 +387,14 @@ def code_clones(
     are excluded — they are not clones of each other in any useful
     sense.
     """
+    from ..functions.partitioning import widen_scan
+
     norm = normalize_code(F.col(content_col))
-    keyed = df.select(
+    # the regex normalization chain is the scan CPU and the unpersisted
+    # keyed subtree executes twice (group agg + join-back); widen a
+    # single-row-group scan so neither pass runs single-task (no-op at
+    # production split counts)
+    keyed = widen_scan(df.select(key_col, content_col)).select(
         F.col(key_col).alias("key"), F.sha2(norm, 256).alias("grp")
     ).where(F.length(norm) > 0)
     groups = keyed.groupBy("grp").agg(

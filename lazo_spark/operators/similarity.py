@@ -54,9 +54,16 @@ def cosine_topk(
     if query_filter is not None:
         q = q.filter(query_filter)
     q = q.withColumn("qn", _norm(F.col("qv")))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    from ..functions.partitioning import widen_scan
+
+    # the corpus-side dot products are the query's CPU; widen a
+    # single-row-group scan so they do not run single-task (no-op at
+    # production split counts)
+    c = widen_scan(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))

@@ -865,7 +865,13 @@ def ccnet_perplexity(
     them, an exact NTILE window over (rounded avg_nll, key) gives the
     deterministic oracle-matched tertiles used at test scale.
     """
-    toks = df.select(
+    from ..functions.partitioning import widen_scan
+
+    # the regexp tokenize + explode is the corpus CPU pass and the
+    # unpersisted dtc subtree executes twice (LM fit + scoring); widen a
+    # single-row-group scan so neither pass runs single-task (no-op at
+    # production split counts)
+    toks = widen_scan(df.select(key_col, content_col)).select(
         F.col(key_col).alias("key"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(content_col)), F.lit("[a-z0-9]+"), 0)
