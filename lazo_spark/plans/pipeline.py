@@ -156,7 +156,27 @@ class DedupPipeline:
         # sketch map-side over ALL rows, collapse exact dups on the narrow
         # sketch relation — content is never shuffled or cached
         sketches, membership = sketch_and_collapse(keyed, self.config)
-        membership = self._checkpoint(membership, "membership")
+        membership_join = None
+        if self.checkpoint_dir:
+            membership = self._checkpoint(membership, "membership")
+        else:
+            # membership is consumed only by the FINAL clustering stage,
+            # so its cache materialization need not be a serial barrier
+            # before the pairs stage: persist it and run the
+            # materializing count in a driver thread (guide §2.6 —
+            # actions are only sequential because the driver calls them
+            # sequentially); the scheduler back-fills its tasks into the
+            # pairs stages' idle slots.  Joined before clustering.
+            import threading
+
+            from pyspark import StorageLevel
+            from pyspark.util import inheritable_thread_target
+
+            membership = membership.persist(StorageLevel.MEMORY_AND_DISK)
+            membership_join = threading.Thread(
+                target=inheritable_thread_target(membership.count)
+            )
+            membership_join.start()
         sketches = self._checkpoint(sketches, "sketches")
         self.metrics["sketch_seconds"] = time.time() - t0
 
@@ -212,6 +232,8 @@ class DedupPipeline:
             self.metrics["verify_seconds"] = time.time() - tv
 
         t2 = time.time()
+        if membership_join is not None:
+            membership_join.join()
         clusters = cluster_assignments(cluster_input, membership)
         clusters = self._checkpoint(clusters, "clusters")
         out["clusters"] = clusters
