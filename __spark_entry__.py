@@ -1962,7 +1962,12 @@ def q_joinable_columns(spark, sf_dir):
         small_set_probe_candidates,
     )
 
-    vals = _discovery_values(spark, sf_dir).persist()
+    from lazo_spark.functions.partitioning import materialize
+
+    # eager: the hybrid fan-out reads vals from ~9 concurrent AQE
+    # jobs; a lazy persist lets each race the cold cache (measured
+    # 39 s -> 29 s at sf1.0 from this one count)
+    vals = materialize(_discovery_values(spark, sf_dir))
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
     sk = column_sketches(vals, cfg)
     cands = (
@@ -1997,7 +2002,12 @@ def q_joinable_columns_incremental(spark, sf_dir):
         delta_pairs_indexed,
     )
 
-    vals = _discovery_values(spark, sf_dir).persist()
+    from lazo_spark.functions.partitioning import materialize
+
+    # eager: the hybrid fan-out reads vals from ~9 concurrent AQE
+    # jobs; a lazy persist lets each race the cold cache (measured
+    # 39 s -> 29 s at sf1.0 from this one count)
+    vals = materialize(_discovery_values(spark, sf_dir))
     is_new = F.col("key").startswith("lineitem.")
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
     path = "/tmp/lazo_spark_ixstore"
@@ -2074,7 +2084,11 @@ def q_repo_near_forks(spark, sf_dir):
         small_set_probe_candidates,
     )
 
-    vals = _repo_manifests(spark, sf_dir).persist()
+    from lazo_spark.functions.partitioning import materialize
+
+    # eager for the same concurrent-fan-out reason as
+    # q_joinable_columns
+    vals = materialize(_repo_manifests(spark, sf_dir))
     cfg = LazoConfig(jcx_threshold=0.3, shingle_mode="line")
     sk = column_sketches(vals, cfg)
     cands = (

@@ -687,12 +687,15 @@ def decontaminate_fuzzy(
     # 48 s -> ~8 s at sf0.1; same fix as verify_set_candidates)
     from pyspark import StorageLevel
 
-    cands = (
+    # EAGER (materialize, not bare persist): verify_candidates fans out
+    # over cands in concurrent AQE jobs; a lazy persist lets each race
+    # the cold cache and re-execute the bipartite DAG
+    from ..functions.partitioning import materialize
+
+    cands = materialize(
         bipartite_pairs(
             sk_t, sk_e, cfg, js_threshold=None, jcx_threshold=candidate_floor
-        )
-        .select("key_x", "key_y")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).select("key_x", "key_y")
     )
     # one union relation feeds verification; key spaces are disjoint by
     # contract so the shingle rows never collide

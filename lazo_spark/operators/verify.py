@@ -322,12 +322,13 @@ def verify_set_candidates(
     exactly what a cluster run would want resident during verification
     (MEMORY_AND_DISK — spills, never recomputes the melt).
     """
-    from pyspark import StorageLevel
+    from ..functions.partitioning import materialize
 
-    cands = (
-        candidates.select("key_x", "key_y").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # EAGER persists: both relations feed multiple downstream joins
+    # whose AQE stage jobs run concurrently — a lazy persist lets each
+    # consumer race the cold cache and recompute partitions (the same
+    # measured lesson as DedupPipeline._checkpoint / materialize())
+    cands = materialize(candidates.select("key_x", "key_y").distinct())
     keys = (
         cands.select(F.col("key_x").alias("key"))
         .union(cands.select(F.col("key_y").alias("key")))
@@ -336,10 +337,9 @@ def verify_set_candidates(
     v = values.select("key", "value")
     if not assume_distinct:
         v = v.distinct()
-    v = (
+    v = materialize(
         v.join(keys.hint("SHUFFLE_HASH"), "key", "left_semi")
         .select("key", F.xxhash64("value").alias("vh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = v.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     a = v.select(F.col("key").alias("key_x"), "vh")
