@@ -524,8 +524,14 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000, *,
     lim = 1 << (bps - 1)
     if s.size and (s.min() < -lim or s.max() >= lim):
         raise ValueError(f"samples exceed {bps}-bit range")
-    if not 1 <= blocksize <= 65536:
-        raise ValueError("FLAC block size must be in [1, 65536]")
+    if not 16 <= blocksize <= 65535:
+        # STREAMINFO min/max block size are 16-bit fields and RFC 9639
+        # sets the spec minimum at 16: blocksize 65536 would silently
+        # write 0 into both fields (non-conforming stream)
+        raise ValueError("FLAC block size must be in [16, 65535]")
+    if not 0 < sample_rate < (1 << 20):
+        # 20-bit STREAMINFO field: larger rates would silently truncate
+        raise ValueError("FLAC sample rate must be in (0, 2^20)")
 
     # ---- STREAMINFO
     md5 = hashlib.md5()
@@ -725,6 +731,15 @@ def _decode_frame(rd: _BitReader, info: dict) -> np.ndarray:
 
     _bps_by_code = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
     if bps_code != 0 and bps_code not in _bps_by_code:
+        # code 0b011 is 32 bits/sample in RFC 9639; this decoder scopes
+        # coverage to 8-24 bit (int32-safe residual paths), so 32-bit
+        # streams are rejected explicitly rather than treated as
+        # reserved
+        if bps_code == 3:
+            raise ValueError(
+                "FLAC 32-bit sample size (code 3) is outside this "
+                "decoder's 8-24 bit coverage"
+            )
         raise ValueError(f"reserved FLAC sample-size code {bps_code}")
     bps = info["bps"] if bps_code == 0 else _bps_by_code[bps_code]
     if assign < 8:
